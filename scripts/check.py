@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <outDir> <sfDir>
+Reads each <outDir>/<name>/ parquet (Spark output) and runs
+<outDir>/oracle_sql.json[name] in DuckDB against views over <sfDir>'s
+tables; compares row counts, sorted-row value hashes, and prints a diff
+sample on mismatch.
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def rows_of(df_rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(canon(r[i]) for i in order) for r in df_rows]
+    return sorted(rows)
+
+fails = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    sp = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+    sp_cols, sp_rows = sp.columns, sp.fetchall()
+    try:
+        du = con.sql(oracle[name])
+        du_cols, du_rows = du.columns, du.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    if sorted(sp_cols) != sorted(du_cols):
+        print(f"FAIL {name}: cols spark={sorted(sp_cols)} duck={sorted(du_cols)}"); fails += 1; continue
+    a, b = rows_of(sp_rows, sp_cols), rows_of(du_rows, du_cols)
+    ha = hashlib.sha256(json.dumps(a).encode()).hexdigest()[:16]
+    hb = hashlib.sha256(json.dumps(b).encode()).hexdigest()[:16]
+    if a == b:
+        print(f"OK   {name}: rows={len(a)} hash={ha}")
+    else:
+        fails += 1
+        print(f"FAIL {name}: rows spark={len(a)} duck={len(b)} hash {ha}!={hb}")
+        onlya = [r for r in a if r not in b][:3]
+        onlyb = [r for r in b if r not in a][:3]
+        print(f"  spark-only: {onlya}\n  duck-only:  {onlyb}")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational bench surface B1–B12 (SURVEY.md §2.8, BASELINE.md).
+  *
+  * Every query exists twice: as a Spark DataFrame program (`apply`-style
+  * builders below) and as ANSI SQL for the DuckDB oracle (`oracle`).
+  * Cross-engine hash parity rules:
+  *
+  *  - Floating-point SUM/AVG is order-dependent (parallel partial
+  *    aggregation), so any aggregated double goes through an exact
+  *    decimal accumulator: `CAST(x AS DECIMAL(30,6))` → SUM → ROUND →
+  *    CAST back to DOUBLE. Decimal addition is associative, so the
+  *    result is bit-identical regardless of partitioning — this is the
+  *    property that survives a 1000-executor shuffle, not just local[32].
+  *  - Per-row double arithmetic (products, comparisons) is IEEE-exact and
+  *    deterministic across engines, so it needs no special handling.
+  *  - Column names are aliased identically on both sides (driver compare
+  *    sorts columns by name).
+  *  - Every query has a total deterministic ORDER BY before any LIMIT.
+  */
+object Relational {
+
+  /** Exact-decimal sum of a double column, rounded and returned as double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(30, 6))), scale).cast("double")
+
+  /** Exact-decimal average of a double column. */
+  private def davg(c: Column, scale: Int = 6): Column =
+    round(sum(c.cast(DecimalType(30, 6))) / count(lit(1)), scale).cast("double")
+
+  // -------------------------------------------------------------------
+  // B1: scan + filter + project — predicate pushdown showcase.
+  // Plan check: both filters appear in PushedFilters; ReadSchema is just
+  // the 3 referenced columns.
+  // -------------------------------------------------------------------
+  def b1ScanFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount") > 0.05)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val b1Sql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND l_discount > 0.05""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B2: TPC-H Q1-style hash aggregation. Partial (map-side) + final agg
+  // is planned by Catalyst automatically; the decimal accumulator keeps
+  // it deterministic.
+  // -------------------------------------------------------------------
+  def b2HashAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val b2Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_price,
+      |       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B3: multi-way join region⋈nation⋈customer⋈orders + agg.
+  // region/nation/customer are dims → explicit broadcast() so the big
+  // fact (orders) never shuffles for the join; only the final 5-group
+  // agg shuffles. At 100 TB the same shape holds as long as dims fit
+  // the broadcast threshold.
+  // -------------------------------------------------------------------
+  def b3MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d)
+    val nation = Tables.nation(s, d)
+    val customer = Tables.customer(s, d)
+    val orders = Tables.orders(s, d)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("r_name"))
+  }
+
+  val b3Sql: String =
+    """SELECT r_name,
+      |       COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B4: fact⋈dim join with a dim-side filter + agg. The p_type filter is
+  // applied before the broadcast, shrinking the build side; lineitem
+  // filter-free scan stays shuffle-free.
+  // -------------------------------------------------------------------
+  def b4JoinFilter(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d).filter(col("p_type") === "PROMO")
+    val li = Tables.lineitem(s, d)
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val b4Sql: String =
+    """SELECT p_brand,
+      |       COUNT(*) AS n_items,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B5: window top-N per group. row_number with a total order
+  // (totalprice DESC, orderkey ASC) so ranks are deterministic.
+  // -------------------------------------------------------------------
+  def b5WindowTopn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val b5Sql: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B6: global top-k — Spark plans TakeOrderedAndProject (per-partition
+  // top-k then driver merge; no full sort, no shuffle of the full table).
+  // -------------------------------------------------------------------
+  def b6Topk(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  val b6Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B7: distinct / count-distinct. Exact distincts here (oracle-
+  // comparable); the scale path at 100 TB is approx_count_distinct (HLL),
+  // exposed separately in the ops surface.
+  // -------------------------------------------------------------------
+  def b7Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  val b7Sql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B8: set operation — nations that have customers but no suppliers.
+  // -------------------------------------------------------------------
+  def b8Setop(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") < -500)
+      .select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < -500)
+      .select(col("s_nationkey").as("nationkey"))
+    c.except(su).orderBy(col("nationkey"))
+  }
+
+  val b8Sql: String =
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -500
+      |  EXCEPT
+      |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < -500) t
+      |ORDER BY nationkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B9: JSON/string extraction over events.props ({"k": <int>}).
+  // get_json_object on the Spark side (codegen'd JSON path), regexp on
+  // the DuckDB side — both yield the integer payload.
+  // -------------------------------------------------------------------
+  def b9JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(lit(1)).as("n_purchases"))
+
+  val b9Sql: String =
+    """SELECT CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |       COUNT(*) AS n_purchases
+      |FROM events
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B10: split + explode + distinct over document text.
+  // -------------------------------------------------------------------
+  def b10Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"))
+
+  val b10Sql: String =
+    """SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B11: tumbling time-window aggregation on events (hourly).
+  // Timestamps are emitted as epoch seconds so both engines serialize
+  // identically.
+  // -------------------------------------------------------------------
+  def b11TimeWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_epoch"))
+
+  val b11Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B12: brute-force cosine top-k over 64-dim embeddings, higher-order
+  // array functions only (zip_with + aggregate → whole-stage codegen;
+  // no UDF). Query vector broadcast as a 1-row cross join. Both engines
+  // fold the 64 elements left-to-right in doubles, so the raw sims are
+  // bit-identical; rounding to 6 decimals before ORDER BY removes any
+  // residual risk at the LIMIT boundary.
+  // -------------------------------------------------------------------
+  def b12CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    emb.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(dot(col("e"), col("qv")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val b12Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT e.vec_id,
+      |              CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |              CAST(unnest(q.qv) AS DOUBLE) AS y
+      |       FROM embeddings e CROSS JOIN q),
+      |sums AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+      |         FROM ex GROUP BY vec_id)
+      |SELECT vec_id, CAST(ROUND(dot / (sqrt(nx) * sqrt(ny)), 6) AS DOUBLE) AS sim
+      |FROM sums
+      |ORDER BY sim DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** name → (builder, oracle SQL) */
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("b1_scan_filter", b1ScanFilter _, b1Sql),
+    ("b2_hash_agg", b2HashAgg _, b2Sql),
+    ("b3_multi_join", b3MultiJoin _, b3Sql),
+    ("b4_join_filter", b4JoinFilter _, b4Sql),
+    ("b5_window_topn", b5WindowTopn _, b5Sql),
+    ("b6_topk", b6Topk _, b6Sql),
+    ("b7_distinct", b7Distinct _, b7Sql),
+    ("b8_setop", b8Setop _, b8Sql),
+    ("b9_json_extract", b9JsonExtract _, b9Sql),
+    ("b10_explode", b10Explode _, b10Sql),
+    ("b11_time_window", b11TimeWindow _, b11Sql),
+    ("b12_cosine_topk", b12CosineTopk _, b12Sql))
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All tables are plain parquet scans — Catalyst pushes filters and prunes
+  * columns into the scan, so callers should express predicates on the
+  * returned DataFrame and let pushdown do its job (verified via
+  * `.explain("formatted")` → `PushedFilters`/`ReadSchema`).
+  *
+  * The only special case is `events`: its parquet footer declares
+  * `ts: timestamp[ns]`, which Spark 4 rejects (`PARQUET_TYPE_ILLEGAL`)
+  * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set; the raw
+  * nanosecond long is then rewrapped to a proper TimestampType via
+  * `timestamp_micros(ts div 1000)`.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory, applying per-table shims. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // runtime-settable SQL conf; must be in place before the scan's
+      // schema is resolved.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case other =>
+      spark.read.parquet(s"$sfDir/$other.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
