@@ -1,0 +1,187 @@
+package graft.cap
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Try
+
+/** The CAP dataflow as first-class Spark operators (SURVEY.md §2/§3).
+  *
+  * Reference pipeline (`task.ts:598-883`): feed → link extraction →
+  * per-URL fetch → XML parse/validate → expiry filter → fan-out →
+  * FeatureCollection. Here each stage is a declarative Dataset
+  * transform; the reference's *serial* per-alert loop (`task.ts:626`)
+  * becomes partition-parallel execution — the engine's main scalability
+  * win. Fetching is decoupled: these operators take `Dataset[String]`
+  * of feed/alert bodies, so any source (files, a DSv2 HTTP connector,
+  * a stream) plugs in front.
+  */
+object CapPipeline {
+
+  // ---------------------------------------------------------------
+  // P4 schema — all leaves forced to StringType so from_xml cannot
+  // numeric-coerce text nodes (fast-xml-parser quirk parity,
+  // SURVEY.md §7 risk register); polygon/parameter declared as arrays
+  // so the scalar-or-array XML quirk normalizes at parse time
+  // (task.ts:458, 647).
+  // ---------------------------------------------------------------
+  val parameterType: ArrayType = ArrayType(StructType(Seq(
+    StructField("valueName", StringType),
+    StructField("value", StringType))))
+
+  val alertSchema: StructType = StructType(Seq(
+    StructField("identifier", StringType),
+    StructField("sender", StringType),
+    StructField("sent", StringType),
+    StructField("status", StringType),
+    StructField("msgType", StringType),
+    StructField("scope", StringType),
+    StructField("info", StructType(Seq(
+      StructField("category", StringType),
+      StructField("event", StringType),
+      StructField("urgency", StringType),
+      StructField("severity", StringType),
+      StructField("certainty", StringType),
+      StructField("senderName", StringType),
+      StructField("headline", StringType),
+      StructField("description", StringType),
+      StructField("instruction", StringType),
+      StructField("responseType", StringType),
+      StructField("onset", StringType),
+      StructField("expires", StringType),
+      StructField("web", StringType),
+      StructField("area", StructType(Seq(
+        StructField("areaDesc", StringType),
+        StructField("polygon", ArrayType(StringType)),
+        StructField("circle", StringType)))),
+      StructField("parameter", parameterType)))),
+    StructField("Signature", StructType(Seq(
+      StructField("KeyInfo", StructType(Seq(
+        StructField("X509Data", StructType(Seq(
+          StructField("X509Certificate", StringType))))))))))))
+
+  // ---------------------------------------------------------------
+  // P1-P3: feed link extraction — regexp_extract_all for both RSS
+  // (<link>text</link>) and Atom (<link href="...">) shapes, with the
+  // reference's {1,1000} ReDoS length caps (task.ts:563, 572), then
+  // the /cap/-or-alert predicate and distinct.
+  // ---------------------------------------------------------------
+  private val rssLinkRe = "<link>([^<]{1,1000})</link>"
+  private val atomLinkRe = "<link[^>]+href=[\"']([^\"']{1,1000})[\"'][^>]*>"
+
+  def parseFeedLinks(feeds: Dataset[String]): Dataset[String] = {
+    val spark = feeds.sparkSession
+    import spark.implicits._
+    feeds.toDF("body")
+      .select(explode(concat(
+        regexp_extract_all(col("body"), lit(rssLinkRe), lit(1)),
+        regexp_extract_all(col("body"), lit(atomLinkRe), lit(1)))).as("link"))
+      .select(trim(col("link")).as("link"))
+      .filter(col("link").contains("/cap/") || col("link").contains("alert"))
+      .distinct()
+      .as[String]
+  }
+
+  // ---------------------------------------------------------------
+  // P4-P7: XML parse + projection + '' defaulting + validity filter +
+  // colour-code priority — all as declarative column expressions so
+  // Catalyst prunes/pushes around them.
+  // ---------------------------------------------------------------
+  def parseAlerts(xml: Dataset[String]): Dataset[CapAlert] = {
+    val spark = xml.sparkSession
+    import spark.implicits._
+
+    def s(c: Column): Column = coalesce(c, lit(""))
+
+    val a = from_xml(col("xml"), alertSchema, Map.empty[String, String].asJava)
+    val params = coalesce(col("a.info.parameter"), lit(null).cast(parameterType))
+    // P7 (task.ts:456-476): a present ColourCodeHex param wins even when
+    // its value is empty/null — no fallthrough to ColourCode.
+    val hexParam = get(filter(params, p => p("valueName") === "ColourCodeHex"), lit(0))
+    val namedParam = get(filter(params, p => p("valueName") === "ColourCode"), lit(0))
+    val colorCode = when(hexParam.isNotNull, s(hexParam("value")))
+      .otherwise(s(try_element_at(typedLit(graft.functions.Lookups.ColorMap), namedParam("value"))))
+
+    xml.toDF("xml")
+      .select(a.as("a"))
+      .select(
+        s(col("a.identifier")).as("identifier"),
+        s(col("a.sender")).as("sender"),
+        s(col("a.sent")).as("sent"),
+        s(col("a.status")).as("status"),
+        s(col("a.msgType")).as("msgType"),
+        s(col("a.scope")).as("scope"),
+        col("a.info").isNotNull.as("hasInfo"),
+        s(col("a.info.category")).as("category"),
+        s(col("a.info.event")).as("event"),
+        s(col("a.info.urgency")).as("urgency"),
+        s(col("a.info.severity")).as("severity"),
+        s(col("a.info.certainty")).as("certainty"),
+        s(col("a.info.senderName")).as("senderName"),
+        s(col("a.info.headline")).as("headline"),
+        s(col("a.info.description")).as("description"),
+        s(col("a.info.instruction")).as("instruction"),
+        s(col("a.info.responseType")).as("responseType"),
+        s(col("a.info.onset")).as("onset"),
+        s(col("a.info.expires")).as("expires"),
+        s(col("a.info.web")).as("web"),
+        s(col("a.info.area.areaDesc")).as("areaDesc"),
+        transform(
+          coalesce(col("a.info.area.polygon"), array().cast(ArrayType(StringType))),
+          p => coalesce(p, lit(""))).as("polygon"),
+        s(col("a.info.area.circle")).as("circle"),
+        colorCode.as("colorCode"),
+        s(col("a.Signature.KeyInfo.X509Data.X509Certificate")).as("cert"))
+      // P6 validity filter (task.ts:415-434): no <alert> root → all-null
+      // struct → dropped here too.
+      .filter(col("hasInfo") &&
+        col("identifier") =!= "" && col("sender") =!= "" && col("sent") =!= "")
+      .drop("hasInfo")
+      .as[CapAlert]
+  }
+
+  // ---------------------------------------------------------------
+  // F1 expiry filter with an injected asOf clock (deterministic —
+  // SURVEY.md §5). JS semantics: invalid `expires` compares NaN<now →
+  // false → alert kept; replicated via try_cast (null → kept). Plain
+  // column predicate so Catalyst can push it.
+  // ---------------------------------------------------------------
+  def filterActive(alerts: Dataset[CapAlert], asOf: Instant): Dataset[CapAlert] =
+    alerts.filter(
+      col("expires") === "" ||
+      coalesce(expr("try_cast(expires AS TIMESTAMP)") >= lit(java.sql.Timestamp.from(asOf)), lit(true)))
+
+  // ---------------------------------------------------------------
+  // X2 fan-out — typed flatMap over the heavily unit-tested pure
+  // function; per-alert error isolation (F2) mirrors the reference's
+  // try/catch-and-continue (task.ts:876-878).
+  // ---------------------------------------------------------------
+  def toFeatures(alerts: Dataset[CapAlert]): Dataset[CotFeature] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    alerts.flatMap(a => Try(Features.alertToFeatures(a)).getOrElse(Seq.empty))
+  }
+
+  /** End-to-end over a directory of CAP alert XML files (one alert per
+    * file, read whole-file so documents aren't line-split). */
+  def run(spark: SparkSession, xmlDir: String, asOf: Instant): Dataset[CotFeature] = {
+    import spark.implicits._
+    val xml = spark.read
+      .option("wholetext", "true")
+      .text(xmlDir)
+      .as[String]
+    toFeatures(filterActive(parseAlerts(xml), asOf))
+  }
+
+  // Spark's Column-based from_xml wants a java map for options.
+  private implicit class MapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val jm = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => jm.put(k, v) }
+      jm
+    }
+  }
+}

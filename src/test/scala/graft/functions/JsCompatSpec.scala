@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.time.Instant
+
+class JsCompatSpec extends AnyFunSuite {
+  import JsCompat._
+
+  test("jsParseFloat: prefix parsing like JS") {
+    assert(jsParseFloat("1.5") == 1.5)
+    assert(jsParseFloat("1.5abc") == 1.5)
+    assert(jsParseFloat("-41.29") == -41.29)
+    assert(jsParseFloat("  174.78  ") == 174.78)
+    assert(jsParseFloat("1e3") == 1000.0)
+    assert(jsParseFloat(".5") == 0.5)
+    assert(jsParseFloat("abc").isNaN)
+    assert(jsParseFloat("").isNaN)
+    assert(jsParseFloat(",").isNaN)
+  }
+
+  test("jsDateParse: ISO shapes") {
+    assert(jsDateParse("2026-08-12T10:00:00Z").contains(Instant.parse("2026-08-12T10:00:00Z")))
+    assert(jsDateParse("2026-08-12T10:00:00+12:00").contains(Instant.parse("2026-08-11T22:00:00Z")))
+    assert(jsDateParse("2026-08-12T10:00:00.123Z").contains(Instant.parse("2026-08-12T10:00:00.123Z")))
+    assert(jsDateParse("2026-08-12").contains(Instant.parse("2026-08-12T00:00:00Z")))
+    assert(jsDateParse("garbage").isEmpty)
+    assert(jsDateParse("").isEmpty)
+  }
+
+  test("toIsoString: JS toISOString millisecond-Z shape (task.ts:670)") {
+    assert(toIsoString(Instant.parse("2026-08-11T22:00:00Z")) == "2026-08-11T22:00:00.000Z")
+    assert(toIsoString(Instant.parse("2026-08-11T22:00:00.123Z")) == "2026-08-11T22:00:00.123Z")
+  }
+
+  test("toNzLocaleString: NZST winter (UTC+12), lowercase meridiem (task.ts:703)") {
+    // August = NZ winter = NZST (UTC+12)
+    val s = toNzLocaleString(Instant.parse("2026-08-11T22:00:00Z"))
+    assert(s == "12/08/2026, 10:00:00 am", s)
+  }
+
+  test("toNzLocaleString: NZDT summer (UTC+13)") {
+    // January = NZ summer = NZDT (UTC+13)
+    val s = toNzLocaleString(Instant.parse("2026-01-15T02:30:05Z"))
+    assert(s == "15/01/2026, 3:30:05 pm", s)
+  }
+}
