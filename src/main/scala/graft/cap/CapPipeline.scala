@@ -32,6 +32,31 @@ object CapPipeline {
     StructField("valueName", StringType),
     StructField("value", StringType))))
 
+  /** One <info> element. Declared separately because `info` itself is an
+    * ARRAY in the alert schema: fast-xml-parser yields an array for
+    * repeated <info> elements, and the reference then reads `info.x` off
+    * the ARRAY — undefined → '' for every field (task.ts:427-453). A
+    * struct schema here would silently keep the LAST <info> instead. */
+  val infoType: StructType = StructType(Seq(
+    StructField("category", StringType),
+    StructField("event", StringType),
+    StructField("urgency", StringType),
+    StructField("severity", StringType),
+    StructField("certainty", StringType),
+    StructField("senderName", StringType),
+    StructField("headline", StringType),
+    StructField("description", StringType),
+    StructField("instruction", StringType),
+    StructField("responseType", StringType),
+    StructField("onset", StringType),
+    StructField("expires", StringType),
+    StructField("web", StringType),
+    StructField("area", StructType(Seq(
+      StructField("areaDesc", StringType),
+      StructField("polygon", ArrayType(StringType)),
+      StructField("circle", StringType)))),
+    StructField("parameter", parameterType)))
+
   val alertSchema: StructType = StructType(Seq(
     StructField("identifier", StringType),
     StructField("sender", StringType),
@@ -39,25 +64,7 @@ object CapPipeline {
     StructField("status", StringType),
     StructField("msgType", StringType),
     StructField("scope", StringType),
-    StructField("info", StructType(Seq(
-      StructField("category", StringType),
-      StructField("event", StringType),
-      StructField("urgency", StringType),
-      StructField("severity", StringType),
-      StructField("certainty", StringType),
-      StructField("senderName", StringType),
-      StructField("headline", StringType),
-      StructField("description", StringType),
-      StructField("instruction", StringType),
-      StructField("responseType", StringType),
-      StructField("onset", StringType),
-      StructField("expires", StringType),
-      StructField("web", StringType),
-      StructField("area", StructType(Seq(
-        StructField("areaDesc", StringType),
-        StructField("polygon", ArrayType(StringType)),
-        StructField("circle", StringType)))),
-      StructField("parameter", parameterType)))),
+    StructField("info", ArrayType(infoType)),
     StructField("Signature", StructType(Seq(
       StructField("KeyInfo", StructType(Seq(
         StructField("X509Data", StructType(Seq(
@@ -97,7 +104,14 @@ object CapPipeline {
     def s(c: Column): Column = coalesce(c, lit(""))
 
     val a = from_xml(col("xml"), alertSchema, Map.empty[String, String].asJava)
-    val params = coalesce(col("a.info.parameter"), lit(null).cast(parameterType))
+    // JS semantics over the repeated-<info> quirk (task.ts:427-453): with
+    // exactly one <info>, fields project from it; with several, the
+    // reference reads `info.x` off the ARRAY → undefined → '' for every
+    // info-derived field (empty area → NZ-center fallback point). The
+    // Signature branch is independent of info and still applies.
+    val info = when(size(col("a.info")) === 1, element_at(col("a.info"), 1))
+      .otherwise(lit(null).cast(infoType))
+    val params = coalesce(info.getField("parameter"), lit(null).cast(parameterType))
     // P7 (task.ts:456-476): a present ColourCodeHex param wins even when
     // its value is empty/null — no fallthrough to ColourCode.
     val hexParam = get(filter(params, p => p("valueName") === "ColourCodeHex"), lit(0))
@@ -115,24 +129,25 @@ object CapPipeline {
         s(col("a.msgType")).as("msgType"),
         s(col("a.scope")).as("scope"),
         col("a.info").isNotNull.as("hasInfo"),
-        s(col("a.info.category")).as("category"),
-        s(col("a.info.event")).as("event"),
-        s(col("a.info.urgency")).as("urgency"),
-        s(col("a.info.severity")).as("severity"),
-        s(col("a.info.certainty")).as("certainty"),
-        s(col("a.info.senderName")).as("senderName"),
-        s(col("a.info.headline")).as("headline"),
-        s(col("a.info.description")).as("description"),
-        s(col("a.info.instruction")).as("instruction"),
-        s(col("a.info.responseType")).as("responseType"),
-        s(col("a.info.onset")).as("onset"),
-        s(col("a.info.expires")).as("expires"),
-        s(col("a.info.web")).as("web"),
-        s(col("a.info.area.areaDesc")).as("areaDesc"),
+        s(info.getField("category")).as("category"),
+        s(info.getField("event")).as("event"),
+        s(info.getField("urgency")).as("urgency"),
+        s(info.getField("severity")).as("severity"),
+        s(info.getField("certainty")).as("certainty"),
+        s(info.getField("senderName")).as("senderName"),
+        s(info.getField("headline")).as("headline"),
+        s(info.getField("description")).as("description"),
+        s(info.getField("instruction")).as("instruction"),
+        s(info.getField("responseType")).as("responseType"),
+        s(info.getField("onset")).as("onset"),
+        s(info.getField("expires")).as("expires"),
+        s(info.getField("web")).as("web"),
+        s(info.getField("area").getField("areaDesc")).as("areaDesc"),
         transform(
-          coalesce(col("a.info.area.polygon"), array().cast(ArrayType(StringType))),
+          coalesce(info.getField("area").getField("polygon"),
+            array().cast(ArrayType(StringType))),
           p => coalesce(p, lit(""))).as("polygon"),
-        s(col("a.info.area.circle")).as("circle"),
+        s(info.getField("area").getField("circle")).as("circle"),
         colorCode.as("colorCode"),
         s(col("a.Signature.KeyInfo.X509Data.X509Certificate")).as("cert"))
       // P6 validity filter (task.ts:415-434): no <alert> root → all-null
@@ -145,14 +160,21 @@ object CapPipeline {
 
   // ---------------------------------------------------------------
   // F1 expiry filter with an injected asOf clock (deterministic —
-  // SURVEY.md §5). JS semantics: invalid `expires` compares NaN<now →
-  // false → alert kept; replicated via try_cast (null → kept). Plain
-  // column predicate so Catalyst can push it.
+  // SURVEY.md §5). Parsing goes through JsCompat.jsDateParse — the SAME
+  // clock/parse semantics as feature rendering (fixed UTC, JS shapes) —
+  // so no session-timezone dependence and no alert kept here only to be
+  // dropped by iso()'s throw later. JS semantics: invalid `expires`
+  // compares NaN<now → false → alert kept (UDF None → coalesce true).
+  // The UDF blocks Catalyst pushdown, but it runs post-XML-parse where
+  // nothing remains to push past; correctness over pushdown here.
   // ---------------------------------------------------------------
+  private val jsExpiresMs =
+    udf((s: String) => graft.functions.JsCompat.jsDateParse(s).map(_.toEpochMilli))
+
   def filterActive(alerts: Dataset[CapAlert], asOf: Instant): Dataset[CapAlert] =
     alerts.filter(
       col("expires") === "" ||
-      coalesce(expr("try_cast(expires AS TIMESTAMP)") >= lit(java.sql.Timestamp.from(asOf)), lit(true)))
+      coalesce(jsExpiresMs(col("expires")) >= lit(asOf.toEpochMilli), lit(true)))
 
   // ---------------------------------------------------------------
   // X2 fan-out — typed flatMap over the heavily unit-tested pure

@@ -15,10 +15,14 @@ object JsCompat {
   private val floatPrefix = """^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
 
   /** JS `parseFloat`: longest valid numeric prefix, NaN if none.
-    * (`task.ts:287-288`, `327-330` rely on this — "1.5abc" parses to 1.5.) */
+    * (`task.ts:287-288`, `327-330` rely on this — "1.5abc" parses to 1.5.)
+    * Optionally-signed `Infinity` is a valid JS prefix too — the
+    * reference accepts a circle radius of Infinity (`task.ts:327-336`). */
   def jsParseFloat(s: String): Double = {
     val t = s.trim
-    floatPrefix.findFirstIn(t) match {
+    if (t.startsWith("Infinity") || t.startsWith("+Infinity")) Double.PositiveInfinity
+    else if (t.startsWith("-Infinity")) Double.NegativeInfinity
+    else floatPrefix.findFirstIn(t) match {
       case Some(m) => m.toDouble
       case None    => Double.NaN
     }

@@ -35,9 +35,22 @@ class CapPipelineSpec extends AnyFunSuite {
       "MS-2026-SCALAR",
       "MS-2026-UNK",
       "MS-2026-NODESC",
-      "MS-2026-BADCERT")
+      "MS-2026-BADCERT",
+      "NEMA-2026-MULTI")
     assert(features.keySet == expected)
     // expired.xml and missing-identifier.xml contribute nothing
+  }
+
+  test("P4 multi-<info> quirk: array info → all info fields '', NZ-center point") {
+    val f = features("NEMA-2026-MULTI")
+    // JS reads info.x off the ARRAY → undefined → '' (task.ts:427-453):
+    // no polygon survives, so a single fallback Point at NZ center.
+    assert(f.geomType == "Point")
+    assert(f.json.contains(""""coordinates":[174,-41]"""))
+    assert(f.callsign == "CAP Alert") // headline '' → default
+    assert(f.json.contains(""""headline":"""""))
+    assert(f.json.contains(""""areaDesc":"""""))
+    assert(f.remarks.contains("Category: Unknown"))
   }
 
   test("P7: ColourCode name mapped to hex through the color table") {

@@ -18,6 +18,15 @@ class JsCompatSpec extends AnyFunSuite {
     assert(jsParseFloat(",").isNaN)
   }
 
+  test("jsParseFloat: signed Infinity like JS parseFloat") {
+    assert(jsParseFloat("Infinity") == Double.PositiveInfinity)
+    assert(jsParseFloat("+Infinity") == Double.PositiveInfinity)
+    assert(jsParseFloat("-Infinity") == Double.NegativeInfinity)
+    assert(jsParseFloat("Infinity123") == Double.PositiveInfinity) // prefix rule
+    assert(jsParseFloat("  Infinity") == Double.PositiveInfinity)
+    assert(jsParseFloat("Inf").isNaN) // JS rejects partial keyword
+  }
+
   test("jsDateParse: ISO shapes") {
     assert(jsDateParse("2026-08-12T10:00:00Z").contains(Instant.parse("2026-08-12T10:00:00Z")))
     assert(jsDateParse("2026-08-12T10:00:00+12:00").contains(Instant.parse("2026-08-11T22:00:00Z")))
