@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CapQueries, Relational}
+import graft.queries.{CapQueries, Dedup, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,13 +17,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.b2HashAgg(spark, "/root/testdata/sf0.001")
 
+  /** All (name, builder, oracleSql) triples; oracleSql "" = no oracle. */
+  private def oracled: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    Relational.queries ++ Dedup.queries
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries.map { case (name, fn, _) => name -> fn }.toMap ++
+    oracled.map { case (name, fn, _) => name -> fn }.toMap ++
       CapQueries.queries.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.queries.map { case (name, _, sql) => name -> sql }.toMap
+    oracled.collect { case (name, _, sql) if sql.nonEmpty => name -> sql }.toMap
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Dedup suite over the sf0.001 corpus. The DuckDB oracle (driver t2)
+  * checks cross-engine hash parity; these specs check the *semantics*:
+  * LSH recall against an in-Spark all-pairs ground truth, stat
+  * consistency, and threshold invariants.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d1: stats add up against the raw table") {
+    val r = Dedup.d1ExactDedup(spark, sf).collect()(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+    assert(r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_docs") == nDocs)
+    assert(r.getAs[Long]("n_dup_groups") <= r.getAs[Long]("n_dup_docs") ||
+      r.getAs[Long]("n_dup_docs") == 0)
+  }
+
+  test("d2: MinHash-LSH finds exactly the ground-truth pairs >= 0.5 (full recall)") {
+    // Brute-force all-pairs ground truth — affordable at sf0.001 only.
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val sh = toks.select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(3)))))).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val truth = inter
+      .join(counts.as("ca"), col("ca.doc_id") === col("da"))
+      .join(counts.as("cb"), col("cb.doc_id") === col("db"))
+      .filter(col("c") / (col("ca.n") + col("cb.n") - col("c")) >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.d2MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == truth, s"LSH=$lsh truth=$truth")
+    assert(truth.nonEmpty, "corpus should contain injected near-dups")
+  }
+
+  test("d3: simhash pairs have hamming <= 3 and are plausible near-dups") {
+    val rows = Dedup.d3Simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 3)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("d4: blocked n-gram jaccard values within threshold bounds") {
+    val rows = Dedup.d4NgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0, s"jacc out of range: $j")
+    }
+  }
+}
