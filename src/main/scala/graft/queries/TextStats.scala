@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline quality surface: language identification,
+  * quality scoring, tokenization statistics, and winnowing document
+  * fingerprints.
+  *
+  * Determinism rules (shared with [[Relational]] / [[Dedup]]):
+  *  - classifier scores and ranks are INTEGERS (Cavnar-Trenkle
+  *    out-of-place distance), so argmax/argmin ties and sums are exact
+  *    on every engine and partitioning;
+  *  - aggregated doubles go through the exact DECIMAL(30,6) accumulator
+  *    (associative → partitioning-independent);
+  *  - per-row double arithmetic is IEEE-exact and needs no handling;
+  *  - every output has a total ORDER BY.
+  */
+object TextStats {
+
+  private val P = 1000000007L
+
+  // -------------------------------------------------------------------
+  // T1: language identification — Cavnar-Trenkle character-3-gram rank
+  // profiles, self-trained on the labeled corpus. Per-language and
+  // per-document profiles are the top-100 3-grams by frequency (ties
+  // broken by 3-gram text); a document's distance to a language is the
+  // sum of rank displacements (penalty 100 when absent); prediction is
+  // the argmin (tie → language asc). Output is the 5×5 confusion
+  // matrix. All-integer scoring makes the classifier bit-deterministic
+  // across engines. The language profile is 5×100 rows → broadcast
+  // join against per-doc profiles; at 100 TB the profile side stays
+  // constant-size, so the plan is a single scan + shuffle on doc_id.
+  // -------------------------------------------------------------------
+  def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ng = docs.select(col("doc_id"), col("lang"), explode(
+        when(length(col("text")) >= 3,
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
+      .filter(col("lrank") <= 100)
+      .select(col("lang").as("pl_lang"), col("ng").as("lng"), col("lrank"))
+    val docProf = ng.groupBy("doc_id", "ng").agg(count(lit(1)).as("c"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("ng").asc)))
+      .filter(col("drank") <= 100)
+      .select("doc_id", "ng", "drank")
+    val langs = langProf.select(col("pl_lang").as("cand")).distinct()
+    val dist = docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(langProf), col("lng") === col("ng") && col("pl_lang") === col("cand"), "left")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(100))).as("dist"))
+    val pred = dist.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist").asc, col("cand").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"))
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(pred, "doc_id")
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val t1Sql: String =
+    """WITH ng AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS ng
+      |            FROM documents, UNNEST(range(1, GREATEST(length(text)-1, 1))) AS u(i)),
+      |lp AS (SELECT lang AS cand, ng AS lng, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, ng ASC) AS lrank
+      |       FROM ng GROUP BY lang, ng QUALIFY lrank <= 100),
+      |dp AS (SELECT doc_id, ng, row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, ng ASC) AS drank
+      |       FROM ng GROUP BY doc_id, ng QUALIFY drank <= 100),
+      |langs AS (SELECT DISTINCT cand FROM lp),
+      |dist AS (SELECT dp.doc_id, langs.cand, SUM(COALESCE(ABS(dp.drank - lp.lrank), 100)) AS dist
+      |         FROM dp CROSS JOIN langs
+      |         LEFT JOIN lp ON lp.lng = dp.ng AND lp.cand = langs.cand
+      |         GROUP BY dp.doc_id, langs.cand),
+      |pred AS (SELECT doc_id, cand AS pred_lang,
+      |                row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, cand ASC) AS rn
+      |         FROM dist QUALIFY rn = 1)
+      |SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+      |FROM documents d JOIN pred p USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T2: per-source quality scoring — stopword ratio, short-token ratio,
+  // duplicate-token ratio folded into a composite score; per-row math
+  // is IEEE doubles (deterministic), per-source averages go through the
+  // decimal accumulator. One scan, one shuffle on `source`.
+  // -------------------------------------------------------------------
+  def t2Quality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopR = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok
+    val shortR = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
+    val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val score = lit(1.0) - lit(0.5) * stopR - lit(0.3) * shortR - lit(0.2) * dupR
+    def davg(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast(DecimalType(30, 6))) / count(lit(1)), 6).cast("double")
+    docs.select(col("source"), stopR.as("stop_r"), shortR.as("short_r"),
+        dupR.as("dup_r"), score.as("score"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        davg(col("score")).as("avg_quality"),
+        davg(col("stop_r")).as("avg_stop_ratio"),
+        davg(col("dup_r")).as("avg_dup_ratio"),
+        sum(when(col("score") < 0.7, 1).otherwise(0)).as("n_low_quality"))
+      .orderBy("source")
+  }
+
+  val t2Sql: String =
+    """WITH q AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t) AS stop_r,
+      |         CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t) AS short_r,
+      |         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dup_r
+      |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents))
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(ROUND(SUM(CAST(1.0 - 0.5*stop_r - 0.3*short_r - 0.2*dup_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_quality,
+      |       CAST(ROUND(SUM(CAST(stop_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_stop_ratio,
+      |       CAST(ROUND(SUM(CAST(dup_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_dup_ratio,
+      |       SUM(CASE WHEN 1.0 - 0.5*stop_r - 0.3*short_r - 0.2*dup_r < 0.7 THEN 1 ELSE 0 END) AS n_low_quality
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T3: corpus tokenization statistics — whitespace tokens vs a BPE-ish
+  // regex tokenizer (word / number / other-symbol classes), exact
+  // distinct-token count, type-token ratio. countDistinct is exact here
+  // (correctness gate); the scale path swaps in approx_count_distinct
+  // (see Relational b13+ / HLL note).
+  // -------------------------------------------------------------------
+  private val tokPat = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+  def t3TokenStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val a = toks.agg(
+      count(lit(1)).as("n_ws_tokens"),
+      countDistinct(col("tok")).as("n_distinct_tokens"))
+    val b = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(regexp_extract_all(col("text"), lit(tokPat), lit(0)))).as("n_re_tokens"))
+    a.crossJoin(b).select(
+      col("n_docs"), col("n_ws_tokens"), col("n_distinct_tokens"), col("n_re_tokens"),
+      round(col("n_ws_tokens") / col("n_docs"), 6).as("avg_tokens_per_doc"),
+      round(col("n_distinct_tokens") / col("n_ws_tokens"), 6).as("ttr"))
+  }
+
+  val t3Sql: String =
+    s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |a AS (SELECT COUNT(*) AS n_ws_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens FROM toks),
+      |b AS (SELECT COUNT(*) AS n_docs,
+      |             SUM(len(regexp_extract_all(text, '$tokPat'))) AS n_re_tokens
+      |      FROM documents)
+      |SELECT n_docs, n_ws_tokens, n_distinct_tokens, n_re_tokens,
+      |       ROUND(CAST(n_ws_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens_per_doc,
+      |       ROUND(CAST(n_distinct_tokens AS DOUBLE) / n_ws_tokens, 6) AS ttr
+      |FROM a CROSS JOIN b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T4: winnowing document fingerprints (MOSS-style): polynomial
+  // rolling hash (B=257 mod 1e9+7) over char-8-grams, window-4 minimum
+  // (winnowing guarantees any match ≥ 11 chars shares a fingerprint),
+  // distinct fingerprints per doc, then near-dup pairs by overlap
+  // coefficient ≥ 0.5 via an equi-join on fingerprint — candidate
+  // generation is again join-based, never O(n²). The per-position
+  // 8-char fold is O(8n) portable SQL; the O(n) true-rolling variant is
+  // a custom-Expression optimization, not a semantics change.
+  // -------------------------------------------------------------------
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= 11)
+    val pos = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"),
+      explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+    val kh = pos.select(col("doc_id"), col("len"), col("i"),
+      aggregate(sequence(col("i"), col("i") + 7), lit(0L),
+        (h, j) => (h * 257 + ascii(col("text").substr(j, lit(1)))) % P).as("h"))
+    val fps = kh
+      .withColumn("fp", min(col("h")).over(
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
+      .filter(col("i") <= col("len") - 10)
+      .select(col("doc_id"), col("fp")).distinct()
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val ov = col("c") / least(col("ca.n"), col("cb.n"))
+    inter
+      .join(counts.as("ca"), col("ca.doc_id") === col("da"))
+      .join(counts.as("cb"), col("cb.doc_id") === col("db"))
+      .filter(ov >= 0.5)
+      .select(col("da"), col("db"), round(ov, 6).as("overlap"))
+      .orderBy("da", "db")
+  }
+
+  val t4Sql: String =
+    s"""WITH pos AS (SELECT doc_id, text, length(text) AS len, CAST(i AS INT) AS i
+      |             FROM documents, UNNEST(range(1, length(text)-6)) AS u(i)
+      |             WHERE length(text) >= 11),
+      |kh AS (SELECT doc_id, len, i,
+      |         list_reduce(list_transform(range(0,8), j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
+      |                     (h,c) -> (h*257+c) % $P) AS h
+      |       FROM pos),
+      |win AS (SELECT doc_id, i, len,
+      |          MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |        FROM kh),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= len - 10),
+      |counts AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
+      |          FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT da, db, ROUND(CAST(c AS DOUBLE)/LEAST(ca.n, cb.n), 6) AS overlap
+      |FROM inter JOIN counts ca ON ca.doc_id = da JOIN counts cb ON cb.doc_id = db
+      |WHERE CAST(c AS DOUBLE)/LEAST(ca.n, cb.n) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("t1_lang_id", t1LangId _, t1Sql),
+    ("t2_quality", t2Quality _, t2Sql),
+    ("t3_token_stats", t3TokenStats _, t3Sql),
+    ("t4_fingerprint", t4Fingerprint _, t4Sql))
+}

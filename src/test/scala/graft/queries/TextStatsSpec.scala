@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Semantic checks for the text-analysis surface (cross-engine hash
+  * parity is the DuckDB oracle's job; these pin the invariants).
+  */
+class TextStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("textstats-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t1: confusion matrix partitions the corpus (every doc classified exactly once)") {
+    val conf = TextStats.t1LangId(spark, sf).collect()
+    val total = conf.map(_.getAs[Long]("n")).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs)
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    // predictions stay within the label set
+    conf.foreach { r =>
+      assert(r.getAs[String]("pred_lang").nonEmpty)
+    }
+    assert(conf.map(_.getAs[String]("true_lang")).distinct.length == langs)
+  }
+
+  test("t2: one row per source; ratios and score bounded") {
+    val rows = TextStats.t2Quality(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).select("source").distinct().count())
+    rows.foreach { r =>
+      val q = r.getAs[Double]("avg_quality")
+      val stop = r.getAs[Double]("avg_stop_ratio")
+      val dup = r.getAs[Double]("avg_dup_ratio")
+      assert(q > 0.0 && q <= 1.0, s"quality out of range: $q")
+      assert(stop >= 0.0 && stop <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(r.getAs[Long]("n_low_quality") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("t3: token accounting is self-consistent") {
+    val r = TextStats.t3TokenStats(spark, sf).collect()(0)
+    val nWs = r.getAs[Long]("n_ws_tokens")
+    val nDistinct = r.getAs[Long]("n_distinct_tokens")
+    assert(nWs > 0 && nDistinct > 0 && nDistinct <= nWs)
+    // the regex tokenizer splits at least as fine as whitespace
+    assert(r.getAs[Long]("n_re_tokens") >= nWs)
+    val ttr = r.getAs[Double]("ttr")
+    assert(ttr > 0.0 && ttr <= 1.0)
+  }
+
+  test("t4: winnowing pairs are ordered, bounded, and consistent with MinHash near-dups") {
+    val rows = TextStats.t4Fingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val ov = r.getDouble(2)
+      assert(ov >= 0.5 && ov <= 1.0, s"overlap out of range: $ov")
+    }
+    // high-Jaccard pairs (>=0.9 on 3-gram shingles) must also share
+    // fingerprint windows — winnowing guarantees shared substrings >= 11
+    // chars produce shared fingerprints.
+    val strong = Dedup.d2MinhashLsh(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fpPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(fpPairs),
+      s"missing winnowing pairs for strong near-dups: ${strong.diff(fpPairs)}")
+  }
+}
