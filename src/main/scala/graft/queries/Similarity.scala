@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors). [[Relational.b12CosineTopk]] is the exact
+  * brute-force baseline; these are the scale paths:
+  *
+  *  - S1: sign-random-projection LSH (16 md5-derived integer
+  *    hyperplanes, 4 bands × 4 bits) — candidates from a bucket
+  *    equi-join, exact cosine re-rank of candidates only;
+  *  - S2: IVF (inverted-file) — deterministic seed centroids, nearest-
+  *    centroid assignment, queries probe the top-2 cells;
+  *  - D5: embedding near-dup summary over LSH-bucket candidate pairs.
+  *
+  * Determinism: hyperplane weights are integers derived from md5 (same
+  * trick as [[Dedup]]), projections are summed through the exact
+  * DECIMAL accumulator before the sign test, cosines reuse the b12
+  * left-to-right double fold + round(6), and every ranking breaks ties
+  * on vec_id. So signatures, buckets, candidates, and final top-k are
+  * bit-identical across engines and partitionings.
+  *
+  * Scale notes: candidate generation never materializes the O(n²) pair
+  * space — LSH buckets and IVF cells are equi-joins on small keys; the
+  * plane/centroid side of every join is broadcast (16×64 resp. n/50
+  * rows); re-ranking touches only candidates. On the test corpus the
+  * vectors are near-orthogonal (max pairwise cosine 0.479, no cluster
+  * structure), which bounds achievable recall for ANY pruning index —
+  * the spec measures recall against brute force and the bucket
+  * geometry, not against an absolute bar the data cannot support.
+  */
+object Similarity {
+
+  private val NPlanes = 16
+  private val BandBits = 4
+  private val NBands = NPlanes / BandBits
+
+  /** (vec_id, d, x): one row per vector component, d 0-based, x double. */
+  private def ex(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))).toDF("vec_id", "d", "x")
+
+  /** 16×64 integer hyperplane weights in [-1000, 1000], md5-derived. */
+  private def planes(s: SparkSession): DataFrame = {
+    val p = s.range(NPlanes).toDF("p")
+    val dd = s.range(64).toDF("d")
+    p.crossJoin(dd).select(col("p"), col("d"),
+      (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
+        .cast("long") % 2001 - 1000).as("w"))
+  }
+
+  private val duckPlanes =
+    """planes AS (SELECT p, d,
+      |    list_reduce(list_transform(string_split(substr(md5('plane' || p || '_' || d),1,12),''),
+      |      c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (h,c) -> h*16+c) % 2001 - 1000 AS w
+      |  FROM range(0,16) t1(p), range(0,64) t2(d))""".stripMargin
+
+  /** (vec_id, band, bval): 4-bit LSH band values per vector. */
+  private def bands(s: SparkSession, emb: DataFrame): DataFrame = {
+    val dots = ex(emb).join(broadcast(planes(s)), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("x") * col("w")).cast(DecimalType(30, 12))).as("proj"))
+    val bits = dots.select(col("vec_id"), col("p"),
+      when(col("proj") >= 0, 1L).otherwise(0L).as("bit"))
+    bits.groupBy(col("vec_id"), (col("p") / BandBits).cast("long").as("band"))
+      .agg(sum(col("bit") * element_at(
+        array(lit(1L), lit(2L), lit(4L), lit(8L)), (col("p") % BandBits).cast("int") + 1)).as("bval"))
+  }
+
+  private val duckBands =
+    s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |       FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(30,12))) AS proj
+      |         FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+      |bits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
+      |bands AS (SELECT vec_id, p // $BandBits AS band,
+      |                 SUM(bit * ([1,2,4,8])[(p % $BandBits) + 1]) AS bval
+      |          FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** b12-parity cosine: left-to-right double fold, both engines. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Exact re-rank of (qid, vec_id) candidates → top-5 per query. */
+  private def rerank(emb: DataFrame, cand: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sims = cand
+      .join(e.select(col("vec_id").as("qid"), col("e").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(col("qid"), col("vec_id"), cosine(col("e"), col("qv")).as("sim"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("qid", "vec_id", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private val duckRerank =
+    """sims AS (
+      |  SELECT c.qid, c.vec_id,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT qid, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |           FROM sims QUALIFY rank <= 5)
+      |SELECT qid, vec_id, sim, rank FROM ranked ORDER BY qid, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S1: SRP-LSH top-5 for queries vec_id < 10. Bucket equi-join on
+  // (band, bval) generates candidates; exact cosine re-ranks them.
+  // -------------------------------------------------------------------
+  def s1AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val b = bands(s, emb)
+    val qb = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("band"), col("bval"))
+    val cand = qb.join(b, Seq("band", "bval"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    rerank(emb, cand)
+  }
+
+  val s1Sql: String =
+    s"""WITH $duckPlanes,
+      |$duckBands,
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id
+      |         FROM bands q JOIN bands b ON q.band = b.band AND q.bval = b.bval
+      |         WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id),
+      |$duckRerank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // S2: IVF top-5 for queries vec_id < 10. Seed centroids are every
+  // 50th vector (data-independent, deterministic); vectors assign to
+  // their nearest centroid (broadcast argmin); queries probe the top-2
+  // cells and re-rank only their members.
+  // -------------------------------------------------------------------
+  def s2AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("cv"))
+    val asgSims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+    val rn = row_number().over(
+      Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
+    val assign = asgSims.withColumn("rn", rn).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val probes = asgSims.filter(col("vec_id") < 10)
+      .withColumn("rn", rn).filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    rerank(emb, cand)
+  }
+
+  val s2Sql: String =
+    """WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cents AS (SELECT vec_id AS cid, d AS cd, x AS cx FROM ex WHERE vec_id % 50 = 0),
+      |asg_sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(ROUND(SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))), 6) AS DOUBLE) AS csim
+      |  FROM ex e JOIN cents c ON c.cd = e.d GROUP BY 1, 2),
+      |ranked_asg AS (SELECT vec_id, cid, csim,
+      |                      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |               FROM asg_sims),
+      |assign AS (SELECT vec_id, cid FROM ranked_asg WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM ranked_asg WHERE vec_id < 10 AND rn <= 2),
+      |cand AS (SELECT DISTINCT p.qid, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+      |         WHERE p.qid <> a.vec_id),
+      |sims AS (
+      |  SELECT c.qid, c.vec_id,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |  GROUP BY 1, 2),
+      |ranked AS (SELECT qid, vec_id, sim,
+      |                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+      |           FROM sims QUALIFY rank <= 5)
+      |SELECT qid, vec_id, sim, rank FROM ranked ORDER BY qid, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // D5: embedding-cosine near-dup summary. All same-bucket pairs
+  // (da < db) are exact-verified; output is the corpus near-dup
+  // profile at thresholds 0.95 / 0.5 / 0.45 plus the max similarity.
+  // On this corpus n_ge95 is 0 by construction (max cosine 0.479) —
+  // the thresholds document that, while the candidate machinery is the
+  // same one a dup-laden corpus would exercise.
+  // -------------------------------------------------------------------
+  def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val b = bands(s, emb)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id")).distinct()
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sims = cand
+      .join(e.select(col("vec_id").as("qid"), col("e").as("qv")), "qid")
+      .join(e, "vec_id")
+      .select(cosine(col("e"), col("qv")).as("sim"))
+    sims.agg(
+      count(lit(1)).as("n_cand_pairs"),
+      sum(when(col("sim") >= 0.95, 1L).otherwise(0L)).as("n_ge95"),
+      sum(when(col("sim") >= 0.5, 1L).otherwise(0L)).as("n_ge50"),
+      sum(when(col("sim") >= 0.45, 1L).otherwise(0L)).as("n_ge45"),
+      max(col("sim")).as("max_sim"))
+  }
+
+  val d5Sql: String =
+    s"""WITH $duckPlanes,
+      |$duckBands,
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      |         WHERE a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT c.qid, c.vec_id,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |  GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_cand_pairs,
+      |       SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS n_ge95,
+      |       SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS n_ge50,
+      |       SUM(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS n_ge45,
+      |       MAX(sim) AS max_sim
+      |FROM sims""".stripMargin
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("s1_ann_lsh", s1AnnLsh _, s1Sql),
+    ("s2_ann_ivf", s2AnnIvf _, s2Sql),
+    ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql))
+}

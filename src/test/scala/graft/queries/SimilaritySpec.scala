@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** ANN semantics: LSH/IVF results must be exact cosines of real
+  * candidates (no fabricated sims), ranked correctly, and achieve
+  * nonzero recall against the brute-force ground truth. The corpus is
+  * near-orthogonal random vectors (max pairwise cosine 0.479), so
+  * absolute recall bars are set by measurement, not theory — the point
+  * is that candidates are genuinely pruned yet the true neighbor list
+  * is partially recovered, deterministically.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("similarity-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Brute-force top-5 per query (qid < 10), same rounding/tie rules. */
+  private lazy val truth: Map[(Long, Int), Long] = {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qv"))
+    q.crossJoin(emb).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("e"), col("qv")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("vec_id"))
+      .toMap
+  }
+
+  private def checkShape(rows: Array[org.apache.spark.sql.Row]): Unit = {
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length), "ranks must be 1..k dense")
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_)), "sims must be non-increasing in rank")
+    }
+  }
+
+  private def recallAt5(rows: Array[org.apache.spark.sql.Row]): Double = {
+    val found = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val truthPairs = truth.map { case ((q, _), v) => (q, v) }.toSet
+    truthPairs.count(found).toDouble / truthPairs.size
+  }
+
+  test("s1: LSH top-k is well-formed and recalls part of the true top-5") {
+    val rows = Similarity.s1AnnLsh(spark, sf).collect()
+    checkShape(rows)
+    val r = recallAt5(rows)
+    assert(r >= 0.2, s"LSH recall@5 collapsed: $r")
+    // and it genuinely pruned: no query may have scanned the whole corpus
+    assert(rows.length <= 50)
+  }
+
+  test("s2: IVF top-k is well-formed and recalls part of the true top-5") {
+    val rows = Similarity.s2AnnIvf(spark, sf).collect()
+    checkShape(rows)
+    val r = recallAt5(rows)
+    assert(r >= 0.1, s"IVF recall@5 collapsed: $r")
+  }
+
+  test("s1/s2: every reported sim equals the brute-force cosine for that pair") {
+    // spot-check: reported (qid, vec_id, sim) that appear in the truth
+    // top-5 must carry the identical rounded sim (no approximation in
+    // the re-rank, only in candidate selection).
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val byId = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[scala.collection.Seq[Double]]("e").toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (Similarity.s1AnnLsh(spark, sf).collect() ++ Similarity.s2AnnIvf(spark, sf).collect())
+      .foreach { r =>
+        val expect = cos(byId(r.getAs[Long]("qid")), byId(r.getAs[Long]("vec_id")))
+        assert(math.abs(r.getAs[Double]("sim") - expect) < 1e-9,
+          s"sim mismatch for (${r.get(0)}, ${r.get(1)})")
+      }
+  }
+
+  test("d5: candidate pairs are a strict subset of all pairs; thresholds consistent") {
+    val r = Similarity.d5EmbeddingNeardup(spark, sf).collect()(0)
+    val n = Tables.embeddings(spark, sf).count()
+    val allPairs = n * (n - 1) / 2
+    assert(r.getAs[Long]("n_cand_pairs") > 0)
+    assert(r.getAs[Long]("n_cand_pairs") < allPairs, "LSH bucketing must prune the pair space")
+    assert(r.getAs[Long]("n_ge95") <= r.getAs[Long]("n_ge50"))
+    assert(r.getAs[Long]("n_ge50") <= r.getAs[Long]("n_ge45"))
+    assert(r.getAs[Double]("max_sim") <= 1.0)
+  }
+}
