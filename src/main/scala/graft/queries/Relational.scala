@@ -321,6 +321,113 @@ object Relational {
       |ORDER BY sim DESC, vec_id ASC
       |LIMIT 10""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B13: ROLLUP aggregation (grouping-sets class). Catalyst plans one
+  // Expand + hash aggregate — a single shuffle regardless of the number
+  // of grouping sets. NULLS FIRST pinned on both engines (Spark default
+  // asc is nulls-first, DuckDB's is nulls-last).
+  // -------------------------------------------------------------------
+  def b13Rollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val b13Sql: String =
+    """SELECT n_name, o_orderpriority,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |            JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, o_orderpriority)
+      |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B14: left-semi + left-anti joins — per-nation counts of customers
+  // with and without orders. The distinct custkey build side shuffles
+  // once and is reused; at scale both joins hash on c_custkey and AQE
+  // can pick broadcast when the build side shrinks.
+  // -------------------------------------------------------------------
+  def b14SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val n = Tables.nation(s, d)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("ank")).agg(count(lit(1)).as("n_without_orders"))
+    semi.join(anti, col("c_nationkey") === col("ank"), "full_outer")
+      .join(broadcast(n), coalesce(col("c_nationkey"), col("ank")) === col("n_nationkey"))
+      .select(col("n_name"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("n_name")
+  }
+
+  val b14Sql: String =
+    """WITH oc AS (SELECT DISTINCT o_custkey FROM orders)
+      |SELECT n_name,
+      |       SUM(CASE WHEN oc.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_with_orders,
+      |       SUM(CASE WHEN oc.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_orders
+      |FROM customer JOIN nation ON n_nationkey = c_nationkey
+      |LEFT JOIN oc ON oc.o_custkey = c_custkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B15: as-of join — for every error event, the most recent click by
+  // the same user at or before it. Implemented as the single-shuffle
+  // windowed pattern (partition by user, order by time, last-ignoring-
+  // nulls), NOT a range join: one shuffle on user_id, no pair blowup,
+  // survives any scale where a per-user timeline fits a partition
+  // group. Gap reported in exact integer microseconds.
+  // -------------------------------------------------------------------
+  def b15AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("last_click_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b15Sql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+      |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM events)
+      |SELECT event_id, user_id, last_click_id,
+      |       epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+      |FROM w WHERE event_type = 'error' AND last_click_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B16: approx_count_distinct (HLL++) next to the exact count — the
+  // scale path for B7-style cardinality at 100 TB. No DuckDB oracle
+  // (sketch internals differ by engine); the driver records a rows-only
+  // check and the spec bounds the relative error.
+  // -------------------------------------------------------------------
+  def b16ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_suppkey")).as("exact_supps"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -334,5 +441,9 @@ object Relational {
     ("b9_json_extract", b9JsonExtract _, b9Sql),
     ("b10_explode", b10Explode _, b10Sql),
     ("b11_time_window", b11TimeWindow _, b11Sql),
-    ("b12_cosine_topk", b12CosineTopk _, b12Sql))
+    ("b12_cosine_topk", b12CosineTopk _, b12Sql),
+    ("b13_rollup", b13Rollup _, b13Sql),
+    ("b14_semi_anti", b14SemiAnti _, b14Sql),
+    ("b15_asof_join", b15AsofJoin _, b15Sql),
+    ("b16_approx_distinct", b16ApproxDistinct _, ""))
 }

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Invariants for the grouping-sets / semi-anti / as-of / approx
+  * operators (B13–B16); cross-engine value parity for B13–B15 is the
+  * DuckDB oracle's job.
+  */
+class RelationalExtSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("relational-ext-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("b13: rollup grand total equals the sum of leaf rows") {
+    val rows = Relational.b13Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val leaf = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(leaf.map(_.getAs[Long]("n_orders")).sum == grand(0).getAs[Long]("n_orders"))
+    // per-nation subtotal rows exist and are consistent
+    val nationTotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(nationTotals.map(_.getAs[Long]("n_orders")).sum == grand(0).getAs[Long]("n_orders"))
+  }
+
+  test("b14: semi + anti counts partition each nation's customers") {
+    val byNation = Relational.b14SemiAnti(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")))
+      .toMap
+    val expected = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(byNation == expected)
+  }
+
+  test("b15: every error's matched click precedes it for the same user") {
+    val rows = Relational.b15AsofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_us") >= 0, s"click after error: $r")
+    }
+    // spot-check one pair against the raw table
+    val r0 = rows.head
+    val types = Tables.events(spark, sf)
+      .filter(col("event_id").isin(r0.getLong(0), r0.getLong(2)))
+      .select("event_id", "event_type", "user_id").collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(types(r0.getLong(0))._1 == "error")
+    assert(types(r0.getLong(2))._1 == "click")
+    assert(types(r0.getLong(0))._2 == types(r0.getLong(2))._2)
+  }
+
+  test("b16: approx distinct within the configured 2% rsd (generously 10%)") {
+    val r = Relational.b16ApproxDistinct(spark, sf).collect()(0)
+    def close(exact: Long, approx: Long): Boolean =
+      math.abs(approx - exact).toDouble / exact <= 0.10
+    assert(close(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")))
+    assert(close(r.getAs[Long]("exact_supps"), r.getAs[Long]("approx_supps")))
+  }
+}
