@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.multimodal.Multimodal
 import graft.queries.{CapQueries, Dedup, Relational, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +20,8 @@ object SparkEntry {
 
   /** All (name, builder, oracleSql) triples; oracleSql "" = no oracle. */
   private def oracled: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Relational.queries ++ Dedup.queries ++ TextStats.queries ++ Similarity.queries
+    Relational.queries ++ Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

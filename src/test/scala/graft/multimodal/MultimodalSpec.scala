@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.BinaryType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal plumbing contract: BinaryType schema, shuffle-free
+  * narrow transforms, deterministic stub decode, bounded frame fan-out.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("multimodal-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("assets: payload is BinaryType and kinds partition the corpus") {
+    val ds = Multimodal.assets(spark, sf)
+    assert(ds.schema("payload").dataType == BinaryType)
+    val kinds = ds.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == ds.count())
+  }
+
+  test("feature extraction is a narrow transform: partition count preserved, no shuffle") {
+    val ds = Multimodal.assets(spark, sf).repartition(7)
+    val feats = Multimodal.extractFeatures(ds)
+    assert(feats.rdd.getNumPartitions == 7, "mapPartitions must not reshuffle")
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "no hash exchange may appear between assets and features")
+  }
+
+  test("stub decode is deterministic and feature values are sane") {
+    val f1 = Multimodal.extractFeatures(Multimodal.assets(spark, sf)).collect()
+    val f2 = Multimodal.extractFeatures(Multimodal.assets(spark, sf)).collect()
+    assert(f1.map(_.asset_id).sorted.sameElements(f2.map(_.asset_id).sorted))
+    val m1 = f1.map(f => f.asset_id -> f).toMap
+    f2.foreach(f => assert(m1(f.asset_id) == f, "decode must be deterministic"))
+    f1.foreach { f =>
+      assert(f.n_distinct_bytes > 0 && f.n_distinct_bytes <= 256)
+      assert(f.width >= 16 && f.width < 80 && f.height >= 16 && f.height < 80)
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("resize caps the longest side and preserves orientation") {
+    val feats = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
+    val resized = Multimodal.resizeMeta(feats, 32).collect()
+    val orig = feats.collect().map(f => f.asset_id -> f).toMap
+    resized.foreach { r =>
+      assert(math.max(r.width, r.height) <= 32)
+      val o = orig(r.asset_id)
+      if (o.width > o.height) assert(r.width >= r.height)
+      if (o.width < o.height) assert(r.width <= r.height)
+    }
+  }
+
+  test("frame sampling: only videos, dense 0-based indices, <= 8 frames") {
+    val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf)).collect()
+    assert(frames.nonEmpty)
+    val videoIds = Multimodal.assets(spark, sf).filter(_.kind == "video")
+      .collect().map(_.asset_id).toSet
+    frames.foreach(f => assert(videoIds.contains(f.asset_id)))
+    frames.groupBy(_.asset_id).foreach { case (_, fs) =>
+      val idx = fs.map(_.frame_idx).sorted
+      assert(idx.sameElements(idx.indices), "frame indices must be dense from 0")
+      assert(fs.length <= 8)
+    }
+  }
+}
