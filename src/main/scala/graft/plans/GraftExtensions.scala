@@ -1,0 +1,152 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.cap.{CapAlert, CotFeature, Features}
+import graft.functions.CentroidAgg
+
+/** JVM kernel for [[PolygonCentroid]] — one static entry point shared by
+  * interpreted eval and generated code, operating directly on Catalyst
+  * [[ArrayData]] (no row conversion, no boxing of the hot loop).
+  * Semantics = `Geo.polygonCentroid` (reference task.ts:340-378):
+  * shoelace centroid, arithmetic-mean fallback for |area| < 1e-10,
+  * [0,0] for rings with < 3 points.
+  */
+object PolygonCentroidKernel {
+  def compute(ring: ArrayData): ArrayData = {
+    val n = ring.numElements()
+    if (n < 3) return new GenericArrayData(Array(0.0, 0.0))
+    var area = 0.0
+    var cx = 0.0
+    var cy = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val p0 = ring.getArray(i)
+      val p1 = ring.getArray(i + 1)
+      val x0 = p0.getDouble(0); val y0 = p0.getDouble(1)
+      val x1 = p1.getDouble(0); val y1 = p1.getDouble(1)
+      val a = x0 * y1 - x1 * y0
+      area += a
+      cx += (x0 + x1) * a
+      cy += (y0 + y1) * a
+      i += 1
+    }
+    area *= 0.5
+    if (math.abs(area) < 1e-10) {
+      var x = 0.0; var y = 0.0
+      var j = 0
+      while (j < n) {
+        val p = ring.getArray(j)
+        x += p.getDouble(0); y += p.getDouble(1)
+        j += 1
+      }
+      new GenericArrayData(Array(x / n, y / n))
+    } else {
+      new GenericArrayData(Array(cx / (6 * area), cy / (6 * area)))
+    }
+  }
+}
+
+/** `polygon_centroid(ring)` as a native Catalyst expression with code
+  * generation — the SURVEY §4 showcase expression. Unlike a Scala UDF,
+  * this stays inside the WholeStageCodegen span (no serialization
+  * boundary, no closure dispatch): the generated code calls the static
+  * kernel on Catalyst's own array representation.
+  */
+case class PolygonCentroid(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"polygon_centroid expects array<array<double>>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(ring: Any): Any =
+    PolygonCentroidKernel.compute(ring.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolygonCentroidKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolygonCentroid =
+    copy(child = newChild)
+}
+
+/** `alert_to_features(struct(<CapAlert columns>))` — the X2 fan-out
+  * (task.ts:644-875) as a custom Catalyst [[Generator]] (UDTF analog,
+  * SURVEY §2.6): one alert row generates 0..2N feature rows directly in
+  * the plan, composable with any other operators, instead of the typed
+  * `flatMap` that forces a full Dataset boundary. Per-alert error
+  * isolation (F2) is preserved: a throwing alert yields zero rows.
+  */
+case class AlertToFeatures(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  @transient private lazy val deser =
+    ExpressionEncoder[CapAlert]().resolveAndBind().createDeserializer()
+  @transient private lazy val ser =
+    ExpressionEncoder[CotFeature]().resolveAndBind().createSerializer()
+
+  override def elementSchema: StructType =
+    ExpressionEncoder[CotFeature]().schema
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val row = child.eval(input).asInstanceOf[InternalRow]
+    if (row == null) Nil
+    else {
+      val alert = deser(row)
+      Try(Features.alertToFeatures(alert)).getOrElse(Seq.empty).map(f => ser(f).copy())
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AlertToFeatures =
+    copy(child = newChild)
+}
+
+/** Session-extension entry point: registers the graft-native functions
+  * into the Catalyst function registry. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("polygon_centroid"),
+      new ExpressionInfo(classOf[PolygonCentroid].getName, "polygon_centroid"),
+      (exprs: Seq[Expression]) => PolygonCentroid(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("alert_to_features"),
+      new ExpressionInfo(classOf[AlertToFeatures].getName, "alert_to_features"),
+      (exprs: Seq[Expression]) => AlertToFeatures(exprs.head)))
+  }
+}
+
+/** Registration for an already-built session (tests, REPL) plus the
+  * UDAF, which goes through the udf registry rather than extensions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "polygon_centroid", exprs => PolygonCentroid(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "alert_to_features", exprs => AlertToFeatures(exprs.head), "scala_udf")
+    spark.udf.register("centroid_agg", udaf(CentroidAgg))
+  }
+}

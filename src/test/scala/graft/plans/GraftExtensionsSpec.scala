@@ -1,0 +1,100 @@
+package graft.plans
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cap.CapPipeline
+import graft.functions.Geo
+
+/** The custom-Catalyst surface: native codegen expression, generator
+  * (UDTF), typed UDAF, and SparkSessionExtensions registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // built WITH the extension class; since an earlier suite's session may
+  // be reused by getOrCreate (ignoring new configs), the temp-function
+  // registration path is applied unconditionally as well — both paths
+  // install the same expressions.
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plans-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("extension class applies cleanly to a fresh SparkSessionExtensions") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  private def ringSql(pts: Seq[(Double, Double)]): String =
+    "array(" + pts.map { case (x, y) => s"array(${x}d, ${y}d)" }.mkString(", ") + ")"
+
+  test("polygon_centroid matches the reference kernel on a convex ring") {
+    val ring = Seq((174.0, -41.0), (175.0, -41.0), (175.0, -40.0), (174.0, -40.0), (174.0, -41.0))
+    val got = spark.sql(s"SELECT polygon_centroid(${ringSql(ring)}) AS c")
+      .collect()(0).getSeq[Double](0)
+    val want = Geo.polygonCentroid(ring.map(p => Array(p._1, p._2)).toArray)
+    assert(got(0) === want(0) && got(1) === want(1))
+    assert(math.abs(got(0) - 174.5) < 1e-9 && math.abs(got(1) + 40.5) < 1e-9)
+  }
+
+  test("polygon_centroid degenerate ring falls back to vertex mean; <3 points to [0,0]") {
+    val collinear = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 0.0))
+    val got = spark.sql(s"SELECT polygon_centroid(${ringSql(collinear)}) AS c")
+      .collect()(0).getSeq[Double](0)
+    val want = Geo.polygonCentroid(collinear.map(p => Array(p._1, p._2)).toArray)
+    assert(got == want.toSeq)
+    val tiny = spark.sql(s"SELECT polygon_centroid(array(array(1.0d, 2.0d))) AS c")
+      .collect()(0).getSeq[Double](0)
+    assert(tiny == Seq(0.0, 0.0))
+  }
+
+  test("polygon_centroid runs inside WholeStageCodegen (no fallback project)") {
+    val df = spark.range(100).selectExpr(
+      "polygon_centroid(array(array(CAST(id AS DOUBLE), 0.0d), array(CAST(id+1 AS DOUBLE), 0.0d), array(CAST(id AS DOUBLE), 1.0d), array(CAST(id AS DOUBLE), 0.0d))) AS c")
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' marks operators fused into a WholeStageCodegen stage; the
+    // Project holding the expression must carry it (a CodegenFallback
+    // expression would strip it).
+    assert(plan.contains("*(1) Project"), s"project fell out of codegen:\n$plan")
+    assert(df.collect().length == 100)
+  }
+
+  test("alert_to_features generator reproduces the typed flatMap fan-out") {
+    val asOf = Instant.parse("2024-06-01T00:00:00Z")
+    val xml = spark.read.option("wholetext", "true").text("fixtures/cap")
+      .as(org.apache.spark.sql.Encoders.STRING)
+    val alerts = CapPipeline.filterActive(CapPipeline.parseAlerts(xml), asOf)
+    val expected = CapPipeline.toFeatures(alerts).collect()
+      .map(_.json).sorted
+
+    val gdf = alerts.toDF()
+      .select(expr(s"alert_to_features(struct(${alerts.columns.mkString(", ")}))"))
+    val jsonCol = if (gdf.columns.contains("json")) col("json") else col("col.json")
+    val viaGen = gdf.select(jsonCol).collect().map(_.getString(0)).sorted
+    assert(viaGen.sameElements(expected))
+    assert(expected.nonEmpty)
+  }
+
+  test("centroid_agg computes per-group mean centroids with partial aggregation") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val pts = Seq(
+      ("a", Array(0.0, 0.0)), ("a", Array(2.0, 4.0)),
+      ("b", Array(1.0, 1.0)), ("b", Array(3.0, 5.0)), ("b", Array(5.0, 0.0))).toDF("g", "p")
+    pts.createOrReplaceTempView("pts")
+    val got = spark.sql("SELECT g, centroid_agg(p) AS c FROM pts GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(1.0, 2.0))
+    assert(got("b") == Seq(3.0, 2.0))
+  }
+}
