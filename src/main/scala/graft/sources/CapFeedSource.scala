@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("capfeed")` — DSv2 batch source for a CAP feed
+  * (S1-S3). Planning (driver): fetch the RSS/Atom feed once, extract
+  * alert links (P1-P3). Execution (executors): each partition fetches
+  * its slice of alert URLs with reference-parity retry/backoff and
+  * yields `(url, xml)` rows. The reference fetches the N alerts
+  * serially (task.ts:626) — here wall-clock ≈ ceil(N / parallelism) ×
+  * fetch, the engine's headline scalability win for the ETL path.
+  *
+  * Options: `url` (required), `headers` ("K=V;K=V"), `timeout` (ms,
+  * default 30000), `retries` (default 2), `numPartitions` (default 4) —
+  * timeout/retries defaults mirror the reference env schema
+  * (task.ts:15-22).
+  */
+class CapFeedDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "capfeed"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CapFeedDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CapFeedTable(new CaseInsensitiveStringMap(properties))
+}
+
+object CapFeedDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("xml", StringType, nullable = false)))
+
+  case class Conf(headers: Map[String, String], timeoutMs: Long, retries: Int)
+
+  def conf(options: CaseInsensitiveStringMap): Conf = Conf(
+    Http.parseHeaders(options.getOrDefault("headers", "")),
+    options.getLong("timeout", 30000L),
+    options.getInt("retries", 2))
+}
+
+private class CapFeedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"capfeed(${options.get("url")})"
+  override def schema(): StructType = CapFeedDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new CapFeedScan(o)
+}
+
+private class CapFeedScan(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = CapFeedDataSource.schema
+  override def toBatch: Batch = this
+
+  // planInputPartitions may be invoked more than once per query (e.g.
+  // partition-count probes); the feed must be fetched exactly once.
+  private lazy val partitions: Array[InputPartition] = {
+    val feedUrl = Option(options.get("url"))
+      .getOrElse(throw new IllegalArgumentException("capfeed: 'url' option is required"))
+    val c = CapFeedDataSource.conf(options)
+    // driver-side: one feed fetch + link extraction (mirrors control()'s
+    // prologue, task.ts:606-612)
+    val feed = Http.fetchWithRetry(feedUrl, c.headers, c.timeoutMs, c.retries)
+    val links = FeedLinks.extract(feed)
+    val n = math.max(1, math.min(options.getInt("numPartitions", 4), links.size))
+    links.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (_, ls) => CapFeedPartition(ls.map(_._1), c): InputPartition }
+      .toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CapFeedReaderFactory
+}
+
+private case class CapFeedPartition(urls: Seq[String], conf: CapFeedDataSource.Conf)
+    extends InputPartition
+
+private class CapFeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CapFeedPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.urls.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!it.hasNext) false
+        else {
+          val url = it.next()
+          val xml = Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
+          current = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(url), UTF8String.fromString(xml)))
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

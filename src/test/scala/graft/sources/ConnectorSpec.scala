@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cap.CapPipeline
+
+/** DSv2 connector tests against a real in-JVM HTTP server: feed
+  * planning, partition-parallel alert fetch, retry/backoff parity, and
+  * the FeatureCollection sink envelope.
+  */
+class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("connector-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val posts = new ConcurrentLinkedQueue[String]()
+  private val flakyHits = new AtomicInteger(0)
+  private val alertFiles = Seq(
+    "metservice-polygon.xml", "metservice-multipolygon.xml", "geonet-circle.xml",
+    "nema-nogeometry.xml", "unknown-codes.xml")
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val feed = alertFiles.zipWithIndex.map { case (f, i) =>
+      s"<item><link>$base/cap/$f</link></item>"
+    }.mkString("<rss><channel>", "", "</channel></rss>")
+    server.createContext("/feed", (ex: HttpExchange) => respond(ex, 200, feed))
+    server.createContext("/cap/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/cap/")
+      val p = Paths.get("fixtures/cap", name)
+      if (Files.exists(p)) respond(ex, 200, Files.readString(p))
+      else respond(ex, 404, "not found")
+    })
+    // fails twice, then succeeds — exercises retry w/ backoff
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      if (flakyHits.incrementAndGet() <= 2) respond(ex, 503, "unavailable")
+      else respond(ex, 200, "<rss><channel><item><link>" + base +
+        "/cap/metservice-polygon.xml</link></item></channel></rss>")
+    })
+    server.createContext("/ingest", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      posts.add(body)
+      respond(ex, 200, "ok")
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("capfeed: plans one partition slice per link group and fetches all alerts") {
+    val df = spark.read.format("capfeed")
+      .option("url", s"$base/feed")
+      .option("numPartitions", 2)
+      .option("timeout", 5000)
+      .load()
+    assert(df.rdd.getNumPartitions == 2, "link slices must become input partitions")
+    val rows = df.collect()
+    assert(rows.length == alertFiles.length)
+    val urls = rows.map(_.getString(0)).toSet
+    assert(urls == alertFiles.map(f => s"$base/cap/$f").toSet)
+    rows.foreach(r => assert(r.getString(1).contains("<alert")))
+  }
+
+  test("capfeed: retries with backoff on 5xx and then succeeds (reference parity)") {
+    flakyHits.set(0)
+    val t0 = System.nanoTime()
+    val df = spark.read.format("capfeed")
+      .option("url", s"$base/flaky")
+      .option("timeout", 5000)
+      .option("retries", 2)
+      .load()
+    val n = df.count()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(n == 1)
+    assert(flakyHits.get() == 3, "two failures + one success")
+    // linear backoff 1000*(attempt+1): 1000 + 2000 = 3000 ms minimum
+    assert(elapsedMs >= 3000, s"backoff not applied: ${elapsedMs}ms")
+  }
+
+  test("capfeed: exhausted retries surface the HTTP error") {
+    flakyHits.set(-1000) // stays 5xx for all attempts
+    val ex = intercept[Exception] {
+      spark.read.format("capfeed")
+        .option("url", s"$base/flaky")
+        .option("timeout", 1000)
+        .option("retries", 0)
+        .load().count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("HTTP 503"))))
+  }
+
+  test("end-to-end: capfeed → parse → features → cloudtak FeatureCollection POSTs") {
+    posts.clear()
+    import spark.implicits._
+    val xml = spark.read.format("capfeed")
+      .option("url", s"$base/feed")
+      .option("numPartitions", 2)
+      .load()
+      .select("xml").as[String]
+    val feats = CapPipeline.toFeatures(CapPipeline.filterActive(
+      CapPipeline.parseAlerts(xml), java.time.Instant.parse("2024-06-01T00:00:00Z")))
+    val expected = feats.collect().map(_.id).toSet
+    assert(expected.nonEmpty)
+
+    feats.select("json").write.format("cloudtak")
+      .option("url", s"$base/ingest")
+      .option("timeout", 5000)
+      .mode("append")
+      .save()
+
+    val bodies = posts.asScala.toSeq
+    assert(bodies.nonEmpty && bodies.size <= 4, "one POST per non-empty partition")
+    bodies.foreach { b =>
+      assert(b.startsWith("""{"type":"FeatureCollection","features":["""))
+      assert(b.endsWith("]}"))
+    }
+    // every feature id arrives exactly once across the partition POSTs
+    val idRe = """"id":"([^"]+)"""".r
+    val got = bodies.flatMap(b => idRe.findAllMatchIn(b).map(_.group(1)))
+    assert(got.toSet == expected)
+    assert(got.length == expected.size)
+  }
+}
