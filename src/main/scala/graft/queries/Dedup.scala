@@ -17,6 +17,16 @@ import graft.sources.Tables
   * 16,10)`, DuckDB nibble-fold via `list_reduce` — so signatures,
   * buckets, and therefore candidate sets are bit-identical in the
   * oracle. Thresholds are applied to un-rounded doubles on both sides.
+  *
+  * Scale note on plan shape: the shingle/band subtrees appear several
+  * times per query (self-join sides + Jaccard verification), and at
+  * this SF AQE broadcasts the small sides, so `.explain` shows the
+  * explode recomputed per reference. At cluster scale the self-join
+  * stays sort-merge and Spark's ReusedExchange collapses the identical
+  * shuffle subplans; in a long-running pipeline the shingle relation
+  * would additionally be `persist()`ed (or written bucketed by doc_id)
+  * across the candidate/verify stages — an orchestration concern, not
+  * a query-shape one, so the builders stay side-effect-free here.
   */
 object Dedup {
 
