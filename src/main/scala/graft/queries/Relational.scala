@@ -428,6 +428,53 @@ object Relational {
       countDistinct(col("l_suppkey")).as("exact_supps"),
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
 
+  // -------------------------------------------------------------------
+  // B17: sessionization — split each user's event timeline into
+  // sessions at >30-minute gaps: lag → gap flag → running sum (the
+  // session id) → per-session stats. Two window passes over ONE
+  // shuffle on user_id; the standard log-sessionization shape that
+  // scales to any corpus where one user's timeline fits a partition
+  // group. Exact integer/none-float outputs.
+  // -------------------------------------------------------------------
+  def b17Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wAll))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  val b17Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM g)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -445,5 +492,6 @@ object Relational {
     ("b13_rollup", b13Rollup _, b13Sql),
     ("b14_semi_anti", b14SemiAnti _, b14Sql),
     ("b15_asof_join", b15AsofJoin _, b15Sql),
-    ("b16_approx_distinct", b16ApproxDistinct _, ""))
+    ("b16_approx_distinct", b16ApproxDistinct _, ""),
+    ("b17_sessionize", b17Sessionize _, b17Sql))
 }

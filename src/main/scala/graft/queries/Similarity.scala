@@ -234,8 +234,40 @@ object Similarity {
       |       MAX(sim) AS max_sim
       |FROM sims""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S3: per-label embedding norm statistics — the sanity profile every
+  // embedding corpus gets before indexing (degenerate/zero vectors,
+  // norm drift between labels). Per-row norms are IEEE-exact left-to-
+  // right folds; label averages ride the decimal accumulator.
+  // -------------------------------------------------------------------
+  def s3NormStats(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+    val norm = round(sqrt(dot(col("e"), col("e"))), 6)
+    emb.select(col("label"), norm.as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("norm").cast(DecimalType(30, 12))) / count(lit(1)), 6)
+          .cast("double").as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val s3Sql: String =
+    """WITH ex AS (SELECT vec_id, label, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, label, CAST(ROUND(SQRT(SUM(x*x)), 6) AS DOUBLE) AS norm
+      |          FROM ex GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       CAST(ROUND(SUM(CAST(norm AS DECIMAL(30,12)))/COUNT(*), 6) AS DOUBLE) AS avg_norm,
+      |       MIN(norm) AS min_norm, MAX(norm) AS max_norm
+      |FROM norms GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
+    ("s3_norm_stats", s3NormStats _, s3Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql))
 }

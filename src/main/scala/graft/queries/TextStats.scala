@@ -223,9 +223,40 @@ object TextStats {
       |WHERE CAST(c AS DOUBLE)/LEAST(ca.n, cb.n) >= 0.5
       |ORDER BY da, db""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T5: vocabulary construction — corpus top-50 tokens by frequency
+  // (ties → token asc) with ranks and coverage share. The first step of
+  // any tokenizer build; one explode + one shuffle + TakeOrdered.
+  // Coverage is per-row double division (IEEE-exact).
+  // -------------------------------------------------------------------
+  def t5Vocab(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .select(col("tok"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rank") <= 50)
+      .select("rank", "tok", "cnt", "share")
+      .orderBy("rank")
+  }
+
+  val t5Sql: String =
+    """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |t AS (SELECT COUNT(*) AS total FROM toks),
+      |r AS (SELECT tok, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+      |             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      |      FROM c CROSS JOIN t QUALIFY rank <= 50)
+      |SELECT rank, tok, cnt, share FROM r ORDER BY rank""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
     ("t3_token_stats", t3TokenStats _, t3Sql),
-    ("t4_fingerprint", t4Fingerprint _, t4Sql))
+    ("t4_fingerprint", t4Fingerprint _, t4Sql),
+    ("t5_vocab", t5Vocab _, t5Sql))
 }
