@@ -475,6 +475,32 @@ object Relational {
       |FROM sess GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B18: percentiles — exact interpolated quantiles of l_extendedprice
+  // per return flag. Spark `percentile` and DuckDB `quantile_cont` use
+  // the same linear interpolation on the sorted values, so rounded
+  // results hash-match. The 100 TB path swaps in approx_percentile
+  // (t-digest) exactly like B16 swaps HLL for exact distinct.
+  // -------------------------------------------------------------------
+  def b18Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+
+  val b18Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS DOUBLE) AS p25,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS p50,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS DOUBLE) AS p90,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS DOUBLE) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -493,5 +519,6 @@ object Relational {
     ("b14_semi_anti", b14SemiAnti _, b14Sql),
     ("b15_asof_join", b15AsofJoin _, b15Sql),
     ("b16_approx_distinct", b16ApproxDistinct _, ""),
-    ("b17_sessionize", b17Sessionize _, b17Sql))
+    ("b17_sessionize", b17Sessionize _, b17Sql),
+    ("b18_percentiles", b18Percentiles _, b18Sql))
 }
