@@ -36,6 +36,11 @@ final case class CapAlert(
   * CoT GeoJSON Feature in reference key order; the sibling columns make
   * the result queryable without JSON re-parsing.
   */
+/** F2 quarantine row: an alert whose fan-out threw, with the error —
+  * the engine's side-channel replacing the reference's log-and-drop
+  * (task.ts:876-878). */
+final case class QuarantinedAlert(identifier: String, error: String)
+
 final case class CotFeature(
     id: String,
     geomType: String,

@@ -187,6 +187,31 @@ object CapPipeline {
     alerts.flatMap(a => Try(Features.alertToFeatures(a)).getOrElse(Seq.empty))
   }
 
+  /** F2 with a quarantine side-channel — the engine's improvement over
+    * the reference, which only console-logs and drops (task.ts:876-878):
+    * alerts whose fan-out throws (e.g. an unparseable `sent` making
+    * `toISOString` fail, matching the reference's per-alert catch) come
+    * back as (identifier, error) rows instead of vanishing. Both
+    * outputs are narrow flatMaps over the same input; at scale the
+    * caller persists `alerts` across the two scans (or fuses them into
+    * one pass with a tagged union) — kept separate here so each output
+    * stays an independent lazily-planned Dataset.
+    */
+  def toFeaturesWithQuarantine(alerts: Dataset[CapAlert])
+      : (Dataset[CotFeature], Dataset[QuarantinedAlert]) = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    val quarantined = alerts.flatMap { a =>
+      Try(Features.alertToFeatures(a)) match {
+        case scala.util.Failure(e) =>
+          Some(QuarantinedAlert(a.identifier,
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        case _ => None
+      }
+    }
+    (toFeatures(alerts), quarantined)
+  }
+
   /** End-to-end over a directory of CAP alert XML files (one alert per
     * file, read whole-file so documents aren't line-split). */
   def run(spark: SparkSession, xmlDir: String, asOf: Instant): Dataset[CotFeature] = {

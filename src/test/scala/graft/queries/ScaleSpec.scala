@@ -27,10 +27,25 @@ class ScaleSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** saveAsTable location survives session/catalog mismatches across
+    * suite runs — drop both the catalog entry and the directory. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     // the co-location recipe for a repeatedly-joined 100 TB fact table:
     // bucket both sides on the join key at write time, then every
     // subsequent join is exchange-free.
+    resetTable("li_bucketed")
+    resetTable("ord_bucketed")
     Tables.lineitem(spark, sf).write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
