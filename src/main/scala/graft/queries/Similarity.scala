@@ -265,9 +265,42 @@ object Similarity {
       |       MIN(norm) AS min_norm, MAX(norm) AS max_norm
       |FROM norms GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------------
+  // D6: cross-modal consistency — MinHash near-dup TEXT pairs joined
+  // with the cosine of the same documents' EMBEDDINGS (doc_id ≡
+  // vec_id where both exist). The standard audit before near-dup
+  // filtering a multimodal corpus: text-duplicates whose embeddings
+  // disagree flag an embedding-pipeline defect. Composes the Dedup and
+  // Similarity surfaces in one plan (inner join drops pairs without an
+  // embedding, deterministic).
+  // -------------------------------------------------------------------
+  def d6CrossModal(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.d2MinhashLsh(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    pairs
+      .join(e.select(col("vec_id").as("da"), col("e").as("ea")), "da")
+      .join(e.select(col("vec_id").as("db"), col("e").as("eb")), "db")
+      .select(col("da"), col("db"), col("jacc"),
+        cosine(col("ea"), col("eb")).as("emb_cos"))
+      .orderBy("da", "db")
+  }
+
+  val d6Sql: String =
+    s"""WITH pairs AS (${Dedup.d2Sql}),
+      |ex2 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |        FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cos AS (
+      |  SELECT p.da, p.db, p.jacc,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS emb_cos
+      |  FROM pairs p JOIN ex2 a ON a.vec_id = p.da JOIN ex2 b ON b.vec_id = p.db AND b.d = a.d
+      |  GROUP BY 1, 2, 3)
+      |SELECT da, db, jacc, emb_cos FROM cos ORDER BY da, db""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
     ("s3_norm_stats", s3NormStats _, s3Sql),
-    ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql))
+    ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
+    ("d6_crossmodal", d6CrossModal _, d6Sql))
 }
