@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -501,6 +501,28 @@ object Relational {
       |       CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS DOUBLE) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B19: schema-on-read JSON — from_json with an explicit struct schema
+  // over events.props (B9 covers the regexp path; this is the typed
+  // path Catalyst can prune into). Codegen-friendly: no UDF, the JSON
+  // parse sits inside the WholeStageCodegen span.
+  // -------------------------------------------------------------------
+  def b19FromJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p.k")).as("sum_k"),
+        sum(when(col("p.k").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("event_type")
+
+  val b19Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -520,5 +542,6 @@ object Relational {
     ("b15_asof_join", b15AsofJoin _, b15Sql),
     ("b16_approx_distinct", b16ApproxDistinct _, ""),
     ("b17_sessionize", b17Sessionize _, b17Sql),
-    ("b18_percentiles", b18Percentiles _, b18Sql))
+    ("b18_percentiles", b18Percentiles _, b18Sql),
+    ("b19_from_json", b19FromJson _, b19Sql))
 }
