@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
@@ -56,6 +57,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_re_tokens") >= nWs)
     val ttr = r.getAs[Double]("ttr")
     assert(ttr > 0.0 && ttr <= 1.0)
+  }
+
+  test("t5: vocabulary is dense-ranked, frequency-sorted, and counts are exact") {
+    val rows = TextStats.t5Vocab(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ranks = rows.map(_.getAs[Int]("rank"))
+    assert(ranks.sameElements(1 to rows.length))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sameElements(cnts.sortBy(-_)), "counts must be non-increasing")
+    // spot-check the top token's count against a direct aggregation
+    val top = rows.head
+    val direct = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .filter(col("tok") === top.getAs[String]("tok")).count()
+    assert(direct == top.getAs[Long]("cnt"))
   }
 
   test("t4: winnowing pairs are ordered, bounded, and consistent with MinHash near-dups") {
