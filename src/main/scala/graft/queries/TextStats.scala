@@ -232,8 +232,11 @@ object TextStats {
   def t5Vocab(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // total derived from the (vocab-sized) counts, not a second pass
+    // over the exploded tokens
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
       .crossJoin(total)
       .select(col("tok"), col("cnt"),
         round(col("cnt") / col("total"), 6).as("share"))
@@ -247,7 +250,7 @@ object TextStats {
   val t5Sql: String =
     """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
       |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-      |t AS (SELECT COUNT(*) AS total FROM toks),
+      |t AS (SELECT SUM(cnt) AS total FROM c),
       |r AS (SELECT tok, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
       |             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
       |      FROM c CROSS JOIN t QUALIFY rank <= 50)
