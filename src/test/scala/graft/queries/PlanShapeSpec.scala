@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape contracts the docs claim — asserted so a regression in
+  * filter pushdown, column pruning, broadcast selection, or top-k
+  * planning fails the build rather than silently costing a full scan
+  * at 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-shape-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("b1: filters reach the parquet scan and the schema is pruned") {
+    val p = plan("b1_scan_filter")
+    // (the PushedFilters list is truncated in toString — assert the
+    // prefix that proves both filter columns reached the scan)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), GreaterThanOrEqual(l_shipdate"),
+      s"filters not pushed to the scan:\n$p")
+    // projection needs only 3 columns; schema must not include e.g. l_comment
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("b3: dimension tables join via broadcast, not shuffle") {
+    val p = plan("b3_multi_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("b6: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("b6_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("b2: aggregation is partial (map-side) before the exchange") {
+    val p = plan("b2_hash_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      s"final agg must shuffle on the group keys:\n$p")
+  }
+}
