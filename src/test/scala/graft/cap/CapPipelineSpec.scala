@@ -147,4 +147,22 @@ class CapPipelineSpec extends AnyFunSuite {
     val want = new String(java.nio.file.Files.readAllBytes(goldenPath))
     assert(got == want)
   }
+
+  test("golden: full fixture corpus FeatureCollection (regression lock)") {
+    // Locks the byte-exact output for EVERY fixture (circle, multi-
+    // polygon, partial failure, scalar param, multi-info, bad cert, …).
+    // The metservice golden above was hand-derived from task.ts; this
+    // one was generated from the verified implementation and guards
+    // against regressions, not independently re-derived.
+    val goldenPath = java.nio.file.Paths.get("fixtures/golden/all-fixtures.json")
+    val fs = features.keys.toSeq.sorted.map(features)
+    val got = Features.featureCollectionJson(fs)
+    if (!java.nio.file.Files.exists(goldenPath)) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, got)
+      info(s"golden written: $goldenPath (first run)")
+    }
+    val want = new String(java.nio.file.Files.readAllBytes(goldenPath))
+    assert(got == want)
+  }
 }
