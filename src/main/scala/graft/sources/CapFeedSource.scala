@@ -43,12 +43,14 @@ object CapFeedDataSource {
     StructField("url", StringType, nullable = false),
     StructField("xml", StringType, nullable = false)))
 
-  case class Conf(headers: Map[String, String], timeoutMs: Long, retries: Int)
+  case class Conf(headers: Map[String, String], timeoutMs: Long, retries: Int,
+      failFast: Boolean = false)
 
   def conf(options: CaseInsensitiveStringMap): Conf = Conf(
     Http.parseHeaders(options.getOrDefault("headers", "")),
     options.getLong("timeout", 30000L),
-    options.getInt("retries", 2))
+    options.getInt("retries", 2),
+    options.getBoolean("failFast", false))
 }
 
 private class CapFeedTable(options: CaseInsensitiveStringMap)
@@ -98,15 +100,25 @@ private class CapFeedReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val it = p.urls.iterator
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (!it.hasNext) false
-        else {
+      // Reference parity: each alert fetch sits inside the per-alert
+      // try/catch (task.ts:626-878) — a dead link is logged and skipped
+      // after retries, it does not fail the run. failFast=true opts
+      // into strict propagation instead.
+      override def next(): Boolean = {
+        while (it.hasNext) {
           val url = it.next()
-          val xml = Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
-          current = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(url), UTF8String.fromString(xml)))
-          true
+          try {
+            val xml = Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
+            current = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(url), UTF8String.fromString(xml)))
+            return true
+          } catch {
+            case e: Throwable if !p.conf.failFast =>
+              System.err.println(s"[capfeed] skipping $url: ${e.getMessage}")
+          }
         }
+        false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }

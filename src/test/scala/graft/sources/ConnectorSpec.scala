@@ -118,6 +118,31 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       chain(ex).exists(t => Option(t.getMessage).exists(_.contains("HTTP 503"))))
   }
 
+  test("capfeed: a dead alert link is skipped (reference per-alert isolation), failFast opts out") {
+    // feed with one good and one 404 link
+    server.createContext("/deadfeed", (ex: HttpExchange) => respond(ex, 200,
+      s"<rss><channel><item><link>$base/cap/metservice-polygon.xml</link></item>" +
+        s"<item><link>$base/cap/does-not-exist.xml</link></item></channel></rss>"))
+    val rows = spark.read.format("capfeed")
+      .option("url", s"$base/deadfeed")
+      .option("timeout", 2000)
+      .option("retries", 0)
+      .load().collect()
+    assert(rows.length == 1, "dead link must be skipped, not fail the run")
+    assert(rows(0).getString(0).endsWith("metservice-polygon.xml"))
+
+    val ex = intercept[Exception] {
+      spark.read.format("capfeed")
+        .option("url", s"$base/deadfeed")
+        .option("timeout", 2000)
+        .option("retries", 0)
+        .option("failFast", true)
+        .load().count()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains("HTTP 404"))))
+  }
+
   test("end-to-end: capfeed → parse → features → cloudtak FeatureCollection POSTs") {
     posts.clear()
     import spark.implicits._
