@@ -58,7 +58,7 @@ private class CapFeedTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"capfeed(${options.get("url")})"
   override def schema(): StructType = CapFeedDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new CapFeedScan(o)
 }
@@ -68,6 +68,10 @@ private class CapFeedScan(options: CaseInsensitiveStringMap)
   override def build(): Scan = this
   override def readSchema(): StructType = CapFeedDataSource.schema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CapFeedMicroBatchStream(options)
 
   // planInputPartitions may be invoked more than once per query (e.g.
   // partition-count probes); the feed must be fetched exactly once.
@@ -123,4 +127,78 @@ private class CapFeedReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
   }
+}
+
+/** Streaming offset = the set of alert URLs already emitted, JSON-
+  * serialized so a restart from checkpoint resumes exactly where the
+  * last run stopped. CAP feeds are small (tens of entries), so the
+  * offset stays cheap; a high-churn feed would swap the URL set for a
+  * (bounded) rolling window + dedup downstream.
+  */
+private case class CapFeedOffset(seen: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    seen.sorted.map(u => "\"" + u.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private object CapFeedOffset {
+  def fromJson(json: String): CapFeedOffset = {
+    // offsets only ever contain strings we serialized above
+    val items = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .toSeq
+    CapFeedOffset(items)
+  }
+}
+
+/** `spark.readStream.format("capfeed")` — the reference's scheduled
+  * whole-feed re-fetch (task.ts:66) as a real incremental source: each
+  * micro-batch polls the feed once, and only links not covered by the
+  * previous offset become input partitions. With Trigger.AvailableNow
+  * this is exactly one poll; with a processing-time trigger it is the
+  * Lambda schedule without the redundant re-emission of old alerts.
+  */
+private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  private val feedUrl = Option(options.get("url"))
+    .getOrElse(throw new IllegalArgumentException("capfeed: 'url' option is required"))
+  private val c = CapFeedDataSource.conf(options)
+  private val numPartitions = options.getInt("numPartitions", 4)
+
+  @volatile private var committed: Seq[String] = Seq.empty
+
+  override def initialOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = CapFeedOffset(Seq.empty)
+
+  override def latestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val feed = Http.fetchWithRetry(feedUrl, c.headers, c.timeoutMs, c.retries)
+    CapFeedOffset((committed ++ FeedLinks.extract(feed)).distinct)
+  }
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[CapFeedOffset].seen.toSet
+    val fresh = end.asInstanceOf[CapFeedOffset].seen.filterNot(seen)
+    if (fresh.isEmpty) return Array.empty
+    val n = math.max(1, math.min(numPartitions, fresh.size))
+    fresh.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (_, ls) => CapFeedPartition(ls.map(_._1), c): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CapFeedReaderFactory
+
+  override def deserializeOffset(json: String):
+      org.apache.spark.sql.connector.read.streaming.Offset = CapFeedOffset.fromJson(json)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
+    committed = end.asInstanceOf[CapFeedOffset].seen
+
+  override def stop(): Unit = ()
 }

@@ -143,6 +143,43 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(t => Option(t.getMessage).exists(_.contains("HTTP 404"))))
   }
 
+  test("capfeed streaming: AvailableNow polls once; checkpoint restart emits only new links") {
+    val streamAlerts = new java.util.concurrent.atomic.AtomicReference(
+      Seq("metservice-polygon.xml", "geonet-circle.xml"))
+    server.createContext("/streamfeed", (ex: HttpExchange) => respond(ex, 200,
+      streamAlerts.get().map(f => s"<item><link>$base/cap/$f</link></item>")
+        .mkString("<rss><channel>", "", "</channel></rss>")))
+    val ckpt = java.nio.file.Files.createTempDirectory("capfeed-ckpt").toString
+
+    def runBatch(): Set[String] = {
+      val got = new ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("capfeed")
+        .option("url", s"$base/streamfeed")
+        .option("timeout", 5000)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getString(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+      got.asScala.toSet
+    }
+
+    val first = runBatch()
+    assert(first == streamAlerts.get().map(f => s"$base/cap/$f").toSet)
+
+    // feed gains one alert; a restarted stream on the same checkpoint
+    // must emit ONLY the new link (offset replay, no re-emission)
+    streamAlerts.set(streamAlerts.get() :+ "nema-nogeometry.xml")
+    val second = runBatch()
+    assert(second == Set(s"$base/cap/nema-nogeometry.xml"),
+      s"restart must emit only the new alert, got $second")
+  }
+
   test("end-to-end: capfeed → parse → features → cloudtak FeatureCollection POSTs") {
     posts.clear()
     import spark.implicits._
