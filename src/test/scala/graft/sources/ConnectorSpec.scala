@@ -180,6 +180,40 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restart must emit only the new alert, got $second")
   }
 
+  test("streaming end-to-end: capfeed stream → parse → fan-out → cloudtak per batch") {
+    posts.clear()
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("capfeed-e2e-ckpt").toString
+    val q = spark.readStream.format("capfeed")
+      .option("url", s"$base/feed")
+      .option("timeout", 5000)
+      .load()
+      .select("xml").as[String]
+      .transform(xml => CapPipeline.toFeatures(CapPipeline.filterActive(
+        CapPipeline.parseAlerts(xml), java.time.Instant.parse("2024-06-01T00:00:00Z"))))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.cap.CotFeature], _: Long) =>
+        batch.select("json").write.format("cloudtak")
+          .option("url", s"$base/ingest").option("timeout", 5000)
+          .mode("append").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val idRe = """"id":"([^"]+)"""".r
+    val got = posts.asScala.toSeq.flatMap(b => idRe.findAllMatchIn(b).map(_.group(1))).toSet
+    val expected = {
+      val xml = spark.read.format("capfeed").option("url", s"$base/feed").load()
+        .select("xml").as[String]
+      CapPipeline.toFeatures(CapPipeline.filterActive(CapPipeline.parseAlerts(xml),
+        java.time.Instant.parse("2024-06-01T00:00:00Z"))).collect().map(_.id).toSet
+    }
+    assert(got == expected && got.nonEmpty,
+      s"streamed features must equal batch features: got=$got expected=$expected")
+  }
+
   test("end-to-end: capfeed → parse → features → cloudtak FeatureCollection POSTs") {
     posts.clear()
     import spark.implicits._
