@@ -33,7 +33,11 @@ case class MediaFrame(asset_id: Long, frame_idx: Int, frame_hash: Long)
   *
   * The binary corpus is derived deterministically from `documents`
   * (UTF-8 text bytes as stand-in payloads, kind = doc_id mod 3), which
-  * keeps the whole path DuckDB-oracle-checkable byte for byte.
+  * keeps the whole path DuckDB-oracle-checkable byte for byte. NOTE:
+  * the oracle SQL iterates CHARACTERS (string_split/unicode) while
+  * this side iterates BYTES — equivalent only because the synthetic
+  * corpus is pure ASCII (verified); a non-ASCII corpus would need a
+  * blob-based oracle, not a code change here.
   *
   * Scale: every operator here is a narrow map/flatMap — partition
   * count and placement are preserved end-to-end (asserted in the
@@ -111,8 +115,12 @@ object Multimodal {
   def sampleFrames(ds: Dataset[MediaAsset]): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.filter(_.kind == "video").flatMap { a =>
-      val nFrames = math.min(MaxFrames,
-        math.max(0, (a.payload.length - FrameLen) / FrameStride + 1))
+      // guard len < FrameLen explicitly: Java int division truncates
+      // toward zero, so (len-16)/64 + 1 would be 1 for 0..15-byte
+      // payloads and the frame read would run past the end
+      val nFrames =
+        if (a.payload.length < FrameLen) 0
+        else math.min(MaxFrames, (a.payload.length - FrameLen) / FrameStride + 1)
       (0 until nFrames).iterator.map { k =>
         var h = 0L
         var i = k * FrameStride

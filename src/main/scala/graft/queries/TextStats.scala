@@ -236,13 +236,17 @@ object TextStats {
     // total derived from the (vocab-sized) counts, not a second pass
     // over the exploded tokens
     val total = counts.agg(sum(col("cnt")).as("total"))
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps, no single-partition global sort of the whole vocabulary);
+    // the rank window then runs over only the 50 surviving rows
     counts
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(50)
       .crossJoin(total)
       .select(col("tok"), col("cnt"),
         round(col("cnt") / col("total"), 6).as("share"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok").asc)))
-      .filter(col("rank") <= 50)
       .select("rank", "tok", "cnt", "share")
       .orderBy("rank")
   }

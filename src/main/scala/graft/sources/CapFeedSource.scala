@@ -117,7 +117,9 @@ private class CapFeedReaderFactory extends PartitionReaderFactory {
               UTF8String.fromString(url), UTF8String.fromString(xml)))
             return true
           } catch {
-            case e: Throwable if !p.conf.failFast =>
+            // NonFatal only — cancellation interrupts and VM errors
+            // must fail the task, not read as "skipped URL"
+            case scala.util.control.NonFatal(e) if !p.conf.failFast =>
               System.err.println(s"[capfeed] skipping $url: ${e.getMessage}")
           }
         }
@@ -168,7 +170,17 @@ private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
   private val c = CapFeedDataSource.conf(options)
   private val numPartitions = options.getInt("numPartitions", 4)
 
-  @volatile private var committed: Seq[String] = Seq.empty
+  // Monotone accumulator of every URL known to any offset this stream
+  // has touched. Folding deserialized (checkpointed) offsets in is what
+  // keeps offsets GROWING across restarts and transiently-truncated
+  // feed reads — a URL that leaves the feed and later reappears must
+  // not be re-emitted as new.
+  @volatile private var known: Set[String] = Set.empty
+
+  private def absorb(o: CapFeedOffset): CapFeedOffset = {
+    known = known ++ o.seen
+    o
+  }
 
   override def initialOffset():
       org.apache.spark.sql.connector.read.streaming.Offset = CapFeedOffset(Seq.empty)
@@ -176,14 +188,14 @@ private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset = {
     val feed = Http.fetchWithRetry(feedUrl, c.headers, c.timeoutMs, c.retries)
-    CapFeedOffset((committed ++ FeedLinks.extract(feed)).distinct)
+    absorb(CapFeedOffset((known ++ FeedLinks.extract(feed)).toSeq))
   }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[CapFeedOffset].seen.toSet
-    val fresh = end.asInstanceOf[CapFeedOffset].seen.filterNot(seen)
+    val seen = absorb(start.asInstanceOf[CapFeedOffset]).seen.toSet
+    val fresh = end.asInstanceOf[CapFeedOffset].seen.filterNot(seen).sorted
     if (fresh.isEmpty) return Array.empty
     val n = math.max(1, math.min(numPartitions, fresh.size))
     fresh.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
@@ -195,10 +207,11 @@ private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
     new CapFeedReaderFactory
 
   override def deserializeOffset(json: String):
-      org.apache.spark.sql.connector.read.streaming.Offset = CapFeedOffset.fromJson(json)
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    absorb(CapFeedOffset.fromJson(json))
 
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
-    committed = end.asInstanceOf[CapFeedOffset].seen
+    absorb(end.asInstanceOf[CapFeedOffset])
 
   override def stop(): Unit = ()
 }

@@ -28,7 +28,9 @@ object Http {
       try {
         return fetchOnce(url, headers, timeoutMs, method, body)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an interrupt (task kill) or VM error must
+        // propagate immediately, not sleep through the backoff
+        case scala.util.control.NonFatal(e) =>
           if (attempt == retries) throw e
           sleep(1000L * (attempt + 1))
           attempt += 1

@@ -58,4 +58,14 @@ class JsonSpec extends AnyFunSuite {
     assert(num(Double.PositiveInfinity) == "null")
     assert(num(Double.NegativeInfinity) == "null")
   }
+
+  test("shortest round-trip digits where JDK 17 Double.toString is not shortest") {
+    // JDK-4511638: Double.toString(1e23) = "9.999999999999999E22" on
+    // JDK < 19, but JS renders the shortest round-trip "1e+23".
+    assert(num(1.0e23) == "1e+23")
+    assert(num(Double.MinPositiveValue) == "5e-324") // JS, not Java's 4.9e-324
+    assert(num(0.3) == "0.3")
+    assert(num(0.1 + 0.2) == "0.30000000000000004") // classic 17-digit case
+    assert(num(1.7976931348623157e308) == "1.7976931348623157e+308")
+  }
 }

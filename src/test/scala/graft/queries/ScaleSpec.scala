@@ -96,11 +96,12 @@ class ScaleSpec extends AnyFunSuite {
     // radically different parallelism. Sample one query per family.
     val names = Seq("b2_hash_agg", "d2_minhash_lsh", "t1_lang_id", "s1_ann_lsh",
       "m1_media_features")
-    val all = SampleRunner.run(spark, sf, names, "32") // current conf
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val wide = SampleRunner.run(spark, sf, names, "32")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
       val serial = SampleRunner.run(spark, sf, names, "1")
-      assert(all == serial, "results must not depend on partitioning")
+      assert(wide == serial, "results must not depend on partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 }
