@@ -36,11 +36,6 @@ final case class CapAlert(
   * CoT GeoJSON Feature in reference key order; the sibling columns make
   * the result queryable without JSON re-parsing.
   */
-/** F2 quarantine row: an alert whose fan-out threw, with the error —
-  * the engine's side-channel replacing the reference's log-and-drop
-  * (task.ts:876-878). */
-final case class QuarantinedAlert(identifier: String, error: String)
-
 final case class CotFeature(
     id: String,
     geomType: String,
@@ -49,3 +44,8 @@ final case class CotFeature(
     icon: Option[String],
     remarks: String,
     json: String)
+
+/** F2 quarantine row: an alert whose fan-out threw, with the error —
+  * the engine's side-channel replacing the reference's log-and-drop
+  * (task.ts:876-878). */
+final case class QuarantinedAlert(identifier: String, error: String)

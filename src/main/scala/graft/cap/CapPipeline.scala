@@ -103,7 +103,7 @@ object CapPipeline {
 
     def s(c: Column): Column = coalesce(c, lit(""))
 
-    val a = from_xml(col("xml"), alertSchema, Map.empty[String, String].asJava)
+    val a = from_xml(col("xml"), alertSchema)
     // JS semantics over the repeated-<info> quirk (task.ts:427-453): with
     // exactly one <info>, fields project from it; with several, the
     // reference reads `info.x` off the ARRAY → undefined → '' for every
@@ -128,7 +128,13 @@ object CapPipeline {
         s(col("a.status")).as("status"),
         s(col("a.msgType")).as("msgType"),
         s(col("a.scope")).as("scope"),
-        col("a.info").isNotNull.as("hasInfo"),
+        // P6 `no info` check (task.ts:427-430): fast-xml-parser parses
+        // an EMPTY <info/> as '' (falsy → dropped), but from_xml yields
+        // a single all-null struct — detect it via to_json = "{}" so
+        // empty-info alerts drop here like the reference.
+        (col("a.info").isNotNull &&
+          !(size(col("a.info")) === 1 &&
+            to_json(element_at(col("a.info"), 1)) === "{}")).as("hasInfo"),
         s(info.getField("category")).as("category"),
         s(info.getField("event")).as("event"),
         s(info.getField("urgency")).as("urgency"),
@@ -221,14 +227,5 @@ object CapPipeline {
       .text(xmlDir)
       .as[String]
     toFeatures(filterActive(parseAlerts(xml), asOf))
-  }
-
-  // Spark's Column-based from_xml wants a java map for options.
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
   }
 }

@@ -57,7 +57,7 @@ object Features {
       "responseType" -> str(a.responseType), "onset" -> str(a.onset),
       "expires" -> str(a.expires), "web" -> str(a.web),
       "areaDesc" -> str(a.areaDesc))
-    obj(if (isCenter) base :+ ("isCenter" -> "true") else base)
+    obj(if (isCenter) base :+ ("isCenter" -> bool(true)) else base)
   }
 
   private def remarksText(a: CapAlert, sig: Option[Cert.SignatureMeta]): String = {
@@ -131,7 +131,7 @@ object Features {
         else Nil
       val props = obj(headProps(withIcon = false) ++
         Seq("metadata" -> metadataJson(a, isCenter = false), "remarks" -> str(remarks)) ++
-        linksJson(a, polygonId).toSeq ++ styleFields :+ ("archived" -> "false"))
+        linksJson(a, polygonId).toSeq ++ styleFields :+ ("archived" -> bool(false)))
       CotFeature(polygonId, "Polygon", isCenter = false, callsign, None, remarks,
         featureJson(polygonId, props, polygonGeom(ring)))
     }
@@ -140,7 +140,7 @@ object Features {
       val id = s"$polygonId-center"
       val props = obj(headProps(withIcon = true) ++
         Seq("metadata" -> metadataJson(a, isCenter = true), "remarks" -> str(remarks)) ++
-        linksJson(a, id).toSeq :+ ("archived" -> "false"))
+        linksJson(a, id).toSeq :+ ("archived" -> bool(false)))
       CotFeature(id, "Point", isCenter = true, callsign, Some(icon), remarks,
         featureJson(id, props, pointGeom(centroid)))
     }
@@ -154,7 +154,7 @@ object Features {
         else "{}" // `style: baseStyle` is unconditional on this branch (task.ts:868)
       val props = obj(headProps(withIcon = true) ++
         Seq("metadata" -> metadataJson(a, isCenter = false), "remarks" -> str(remarks)) ++
-        linksJson(a, a.identifier).toSeq ++ Seq("style" -> style, "archived" -> "false"))
+        linksJson(a, a.identifier).toSeq ++ Seq("style" -> style, "archived" -> bool(false)))
       CotFeature(a.identifier, "Point", isCenter = false, callsign, Some(icon), remarks,
         featureJson(a.identifier, props, pointGeom(coords)))
     }

@@ -41,19 +41,24 @@ object Json {
   private def jsDouble(d: Double): String = {
     val neg = d < 0
     val a = math.abs(d)
-    // shortest digit string that round-trips: %.{k-1}e rounds half-even
-    // to k significant digits, which is the candidate closest to `a` —
-    // the same choice ECMA-262 Number::toString makes.
+    // Shortest digit string that round-trips. BigDecimal(a) is the
+    // EXACT binary value; rounding it to k significant digits with
+    // HALF_EVEN yields the k-digit decimal closest to `a`, breaking
+    // exact ties toward even — precisely ECMA-262 Number::toString's
+    // choice. (java.util.Formatter's %e is HALF_UP and would diverge
+    // on exact ties.)
     var k = 1
-    var sci = ""
+    var rounded = java.math.BigDecimal.ZERO
     var done = false
     while (!done && k <= 17) {
-      sci = String.format(java.util.Locale.ROOT, s"%.${k - 1}e", java.lang.Double.valueOf(a))
-      if (sci.toDouble == a) done = true else k += 1
+      rounded = new java.math.BigDecimal(a)
+        .round(new java.math.MathContext(k, java.math.RoundingMode.HALF_EVEN))
+      if (rounded.doubleValue() == a) done = true else k += 1
     }
-    val Array(mant, eStr) = sci.split("[eE]")
-    val exp = eStr.toInt
-    val digits = mant.replace(".", "").reverse.dropWhile(_ == '0').reverse match {
+    val unscaled = rounded.unscaledValue.toString
+    // exponent of the leading digit: precision - scale - 1
+    val exp = rounded.precision - rounded.scale - 1
+    val digits = unscaled.reverse.dropWhile(_ == '0').reverse match {
       case "" => "0"
       case x  => x
     }
@@ -73,6 +78,7 @@ object Json {
     if (neg) "-" + out else out
   }
 
+  /** JSON boolean — used for the `archived`/`isCenter` constants. */
   def bool(b: Boolean): String = if (b) "true" else "false"
 
   /** Object from pre-rendered (key → json-value) pairs, in order. */

@@ -28,10 +28,17 @@ object JsCompat {
     }
   }
 
+  /** JS Date's representable range: ±8.64e15 ms from the epoch
+    * (ECMA-262 time-value clip). Anything outside is Invalid Date. */
+  private val JsMaxAbsMillis = 8640000000000000L
+
   /** JS `new Date(str)` for the ISO-8601 shapes CAP feeds use.
     * Date-only and offset-less date-times are treated as UTC (the
     * reference Lambda runs with TZ=UTC). Returns None for JS
-    * "Invalid Date". */
+    * "Invalid Date" — including dates java.time can parse but that
+    * fall outside JS's ±8.64e15 ms range (year ±275760-ish), which
+    * would otherwise overflow `toEpochMilli` downstream and kill the
+    * whole job on one pathological row. */
   def jsDateParse(s: String): Option[Instant] = {
     val t = s.trim
     if (t.isEmpty) return None
@@ -41,6 +48,10 @@ object JsCompat {
       .orElse(tryParse(Instant.parse(t)))
       .orElse(tryParse(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)))
       .orElse(tryParse(LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC).toInstant))
+      .filter { i =>
+        try math.abs(i.toEpochMilli) <= JsMaxAbsMillis
+        catch { case _: ArithmeticException => false }
+      }
   }
 
   private val isoMillis =

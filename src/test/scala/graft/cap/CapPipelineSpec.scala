@@ -38,7 +38,16 @@ class CapPipelineSpec extends AnyFunSuite {
       "MS-2026-BADCERT",
       "NEMA-2026-MULTI")
     assert(features.keySet == expected)
-    // expired.xml and missing-identifier.xml contribute nothing
+    // expired.xml, missing-identifier.xml, and empty-info.xml
+    // contribute nothing
+  }
+
+  test("P6: an EMPTY <info/> element drops the alert (fast-xml-parser '' falsy parity)") {
+    // from_xml yields [{all-null struct}] for <info/> where the
+    // reference's parser yields '' (falsy → dropped, task.ts:427-430);
+    // without the to_json-based detection this alert would emit a
+    // spurious NZ-center feature.
+    assert(!features.keySet.exists(_.contains("EMPTYINFO")))
   }
 
   test("P4 multi-<info> quirk: array info → all info fields '', NZ-center point") {

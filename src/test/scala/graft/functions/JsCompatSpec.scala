@@ -36,6 +36,15 @@ class JsCompatSpec extends AnyFunSuite {
     assert(jsDateParse("").isEmpty)
   }
 
+  test("jsDateParse: dates outside JS's +-8.64e15 ms range are Invalid Date") {
+    // java.time parses year 999999999 but JS clips at +-275760-09-13;
+    // unguarded this overflows toEpochMilli and kills the whole job.
+    assert(jsDateParse("+999999999-01-01T00:00:00Z").isEmpty)
+    assert(jsDateParse("-999999999-01-01T00:00:00Z").isEmpty)
+    assert(jsDateParse("+275760-09-13T00:00:00Z").nonEmpty) // JS max exact
+    assert(jsDateParse("+275760-09-14T00:00:00Z").isEmpty)  // one day past
+  }
+
   test("toIsoString: JS toISOString millisecond-Z shape (task.ts:670)") {
     assert(toIsoString(Instant.parse("2026-08-11T22:00:00Z")) == "2026-08-11T22:00:00.000Z")
     assert(toIsoString(Instant.parse("2026-08-11T22:00:00.123Z")) == "2026-08-11T22:00:00.123Z")
