@@ -37,7 +37,7 @@ object Cert {
     if (certSection == null || certSection.isEmpty) return None
     try {
       // strip &#13; entities and all whitespace (task.ts:484)
-      val cleanCert = certSection.replace("&#13;", "").replaceAll("\\s", "")
+      val cleanCert = JsCompat.jsWsRemove(certSection.replace("&#13;", ""))
       val bytes = Base64.getDecoder.decode(cleanCert) // atob (task.ts:485)
       // JS atob yields a latin-1 "binary string"; regexes run over it
       val certData = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -46,8 +46,8 @@ object Cert {
       val hex = digest.map(b => f"$b%02X").mkString
       val fingerprint = hex.grouped(2).mkString(":")
 
-      val issuer = cnRe.findFirstMatchIn(certData).map(_.group(1).trim).getOrElse("MetService")
-      val subject = oRe.findFirstMatchIn(certData).map(_.group(1).trim).getOrElse(Defaults.subject)
+      val issuer = cnRe.findFirstMatchIn(certData).map(m => JsCompat.jsTrim(m.group(1))).getOrElse("MetService")
+      val subject = oRe.findFirstMatchIn(certData).map(m => JsCompat.jsTrim(m.group(1))).getOrElse(Defaults.subject)
       // second YYMMDDHHMMSSZ match = notAfter (task.ts:497-499)
       val dates = dateRe.findAllMatchIn(certData).toSeq
       val validUntil =

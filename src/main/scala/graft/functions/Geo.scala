@@ -1,6 +1,6 @@
 package graft.functions
 
-import JsCompat.jsParseFloat
+import JsCompat.{jsParseFloat, jsTrim, jsWsSplit}
 
 /** Geometry scalar functions (SURVEY.md §2.4, reference `task.ts:255-378`).
   * Pure Scala — used directly in the typed fan-out and registrable as UDFs.
@@ -17,10 +17,10 @@ object Geo {
     */
   def parsePolygon(polygonStr: String): Either[String, Array[Array[Double]]] = {
     if (polygonStr == null) return Left("Empty or invalid polygon string")
-    val trimmed = polygonStr.trim
+    val trimmed = jsTrim(polygonStr)
     if (trimmed.isEmpty) return Left("Empty polygon string after trimming")
 
-    val coordPairs = trimmed.split("\\s+")
+    val coordPairs = jsWsSplit(trimmed)
     val points = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val invalid = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -33,7 +33,7 @@ object Geo {
         if (parts.length != 2) invalid += pair
         else {
           val (latStr, lonStr) = (parts(0), parts(1))
-          if (latStr.trim.isEmpty || lonStr.trim.isEmpty) invalid += pair
+          if (jsTrim(latStr).isEmpty || jsTrim(lonStr).isEmpty) invalid += pair
           else {
             val lat = jsParseFloat(latStr)
             val lon = jsParseFloat(lonStr)
@@ -63,7 +63,7 @@ object Geo {
     */
   def parseCircle(circleStr: String): Option[(Array[Double], Double)] = {
     if (circleStr == null) return None
-    val parts = circleStr.trim.split(" ", -1)
+    val parts = jsTrim(circleStr).split(" ", -1)
     if (parts.length >= 2) {
       val latLon = parts(0).split(",", -1)
       if (latLon.length >= 2 && latLon(0).nonEmpty && latLon(1).nonEmpty) {

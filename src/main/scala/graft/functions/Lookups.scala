@@ -135,6 +135,20 @@ object Lookups {
     Seq("marine") -> "marine",
     Seq("waterspout") -> "waterspout")
 
+  // DOCUMENTED DIVERGENCE: in the reference, map lookups are JS object
+  // property reads, so prototype-chain keys ('constructor', 'toString',
+  // ...) are truthy "hits" that leak function source text into output
+  // (task.ts:182, 234). Scala Maps have no prototype chain; such codes
+  // take the documented fallback path instead. This is a deliberate
+  // sanitization, not an oversight.
+  // JS `.toLowerCase().replace(/[\s-]+/g, '')` (task.ts:203-204):
+  // locale-independent lowercase + Unicode-\s removal, precompiled
+  // (replaceAll would recompile the pattern on every row).
+  private val normRe =
+    java.util.regex.Pattern.compile(s"[${JsCompat.JsWsChars}-]+")
+  private def normalize(s: String): String =
+    normRe.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+
   def eventIcon(eventType: String, category: String, severity: String, headline: String): String = {
     if (category == "Health")
       return s"${IconPrefix}Incidents/INC.60.GHS08.HealthHazard.png"
@@ -144,16 +158,16 @@ object Lookups {
     if (eventType == null || eventType.isEmpty)
       return s"$IconPrefix$DefaultIcon"
 
-    val normalized = eventType.toLowerCase.replaceAll("[\\s-]+", "")
+    val normalized = normalize(eventType)
     val headlineNormalized =
-      if (headline != null && headline.nonEmpty) headline.toLowerCase.replaceAll("[\\s-]+", "") else ""
+      if (headline != null && headline.nonEmpty) normalize(headline) else ""
 
     for ((pats, key) <- IconPatterns) {
       if (pats.exists(p => normalized.contains(p) || headlineNormalized.contains(p)))
         return IconPrefix + IconMap.getOrElse(key, DefaultIcon)
     }
 
-    IconMap.get(normalized).orElse(IconMap.get(eventType.toLowerCase)) match {
+    IconMap.get(normalized).orElse(IconMap.get(eventType.toLowerCase(java.util.Locale.ROOT))) match {
       case Some(icon) => return IconPrefix + icon
       case None       =>
     }

@@ -45,6 +45,31 @@ class JsCompatSpec extends AnyFunSuite {
     assert(jsDateParse("+275760-09-14T00:00:00Z").isEmpty)  // one day past
   }
 
+  test("jsDateParse: JS-only shapes — bare year, year-month, 24:00 rollover") {
+    assert(jsDateParse("2027") == jsDateParse("2027-01-01T00:00:00Z"))
+    assert(jsDateParse("2027-03") == jsDateParse("2027-03-01T00:00:00Z"))
+    assert(jsDateParse("2025-06-15T24:00:00Z") == jsDateParse("2025-06-16T00:00:00Z"))
+    assert(jsDateParse("2025-06-15T24:00Z") == jsDateParse("2025-06-16T00:00:00Z"))
+    assert(jsDateParse("2025-06-15T24:00:01Z").isEmpty) // 24:xx only valid at exactly 24:00:00
+    assert(jsDateParse("2027-13").isEmpty) // month out of range
+  }
+
+  test("JS whitespace: NBSP and friends count as \\s / trim targets") {
+    assert(jsTrim("\u00a0 x \ufeff") == "x")
+    assert(jsParseFloat("\u00a01.5abc") == 1.5)
+    assert(jsWsSplit("a\u00a0b\u2028c").toSeq == Seq("a", "b", "c"))
+    assert(jsWsRemove("a b\u00a0c\td") == "abcd")
+  }
+
+  test("toIsoString: expanded years match JS (proleptic, 6 digits outside 0000-9999)") {
+    assert(toIsoString(java.time.Instant.parse("+275760-09-13T00:00:00Z"))
+      == "+275760-09-13T00:00:00.000Z")
+    assert(toIsoString(java.time.OffsetDateTime.parse("-000001-06-01T00:00:00Z").toInstant)
+      == "-000001-06-01T00:00:00.000Z")
+    assert(toIsoString(java.time.Instant.parse("0000-01-01T00:00:00Z"))
+      == "0000-01-01T00:00:00.000Z")
+  }
+
   test("toIsoString: JS toISOString millisecond-Z shape (task.ts:670)") {
     assert(toIsoString(Instant.parse("2026-08-11T22:00:00Z")) == "2026-08-11T22:00:00.000Z")
     assert(toIsoString(Instant.parse("2026-08-11T22:00:00.123Z")) == "2026-08-11T22:00:00.123Z")
