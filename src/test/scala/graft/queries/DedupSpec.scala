@@ -56,21 +56,66 @@ class DedupSpec extends AnyFunSuite {
     assert(truth.nonEmpty, "corpus should contain injected near-dups")
   }
 
-  test("d3: simhash pairs have hamming <= 3 and are plausible near-dups") {
+  test("d3: simhash banding is COMPLETE for hamming <= 3 (pigeonhole) and matches brute force") {
+    // 4 bands of 8 bits: <=3 differing bits leave >=1 band untouched,
+    // so the band join cannot miss a qualifying pair — verify against
+    // the all-pairs ground truth over the full signatures.
     val rows = Dedup.d3Simhash(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getInt(2) >= 0 && r.getInt(2) <= 3)
       assert(r.getLong(0) < r.getLong(1))
     }
+    // brute-force ground truth: recompute the signatures with the same
+    // definition and do the all-pairs hamming join (affordable at sf0.001)
+    val docs = Tables.documents(spark, sf)
+    val th = docs.select(col("doc_id"), explode(
+        when(size(split(col("text"), " ")) >= 3,
+          transform(sequence(lit(0), size(split(col("text"), " ")) - 3),
+            i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val truth = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.sim ^ b.sim)").as("hd"))
+      .filter(col("hd") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"banding must be lossless: got=$got truth=$truth")
   }
 
-  test("d4: blocked n-gram jaccard values within threshold bounds") {
+  test("d4: length-band blocking is lossless vs brute-force 5-gram Jaccard ground truth") {
     val rows = Dedup.d4NgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val j = r.getDouble(2)
       assert(j >= 0.5 && j <= 1.0, s"jacc out of range: $j")
     }
+
+    val docs = Tables.documents(spark, sf)
+    val ng = docs.select(col("doc_id"), explode(array_distinct(
+        when(length(col("text")) >= 5,
+          transform(sequence(lit(1), length(col("text")) - 4),
+            i => col("text").substr(i, lit(5))))
+          .otherwise(array().cast("array<string>")))).as("ng"))
+    val counts = ng.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ng.as("x").join(ng.as("y"),
+        col("x.ng") === col("y.ng") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val truth = inter
+      .join(counts.as("ca"), col("ca.doc_id") === col("da"))
+      .join(counts.as("cb"), col("cb.doc_id") === col("db"))
+      .filter(col("c") / (col("ca.n") + col("cb.n") - col("c")) >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"blocking dropped true pairs: missing=${truth.diff(got)}")
   }
 }
