@@ -74,10 +74,12 @@ object CapPipeline {
   // P1-P3: feed link extraction — regexp_extract_all for both RSS
   // (<link>text</link>) and Atom (<link href="...">) shapes, with the
   // reference's {1,1000} ReDoS length caps (task.ts:563, 572), then
-  // the /cap/-or-alert predicate and distinct.
+  // the /cap/-or-alert predicate and distinct. Patterns are shared
+  // with the capfeed connector's driver-side planner (FeedLinks) so
+  // the two paths cannot drift apart.
   // ---------------------------------------------------------------
-  private val rssLinkRe = "<link>([^<]{1,1000})</link>"
-  private val atomLinkRe = "<link[^>]+href=[\"']([^\"']{1,1000})[\"'][^>]*>"
+  private val rssLinkRe = graft.sources.FeedLinks.RssLinkPattern
+  private val atomLinkRe = graft.sources.FeedLinks.AtomLinkPattern
 
   def parseFeedLinks(feeds: Dataset[String]): Dataset[String] = {
     val spark = feeds.sparkSession

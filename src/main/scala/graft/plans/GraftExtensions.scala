@@ -26,8 +26,16 @@ import graft.functions.CentroidAgg
   * [0,0] for rings with < 3 points.
   */
 object PolygonCentroidKernel {
+  /** Returns null for malformed rings (null points, points with < 2
+    * coordinates) — the input type allows them (`containsNull`) and a
+    * SQL-surface function must not NPE the whole query on one row. */
   def compute(ring: ArrayData): ArrayData = {
     val n = ring.numElements()
+    var v = 0
+    while (v < n) {
+      if (ring.isNullAt(v) || ring.getArray(v).numElements() < 2) return null
+      v += 1
+    }
     if (n < 3) return new GenericArrayData(Array(0.0, 0.0))
     var area = 0.0
     var cx = 0.0
@@ -70,6 +78,10 @@ case class PolygonCentroid(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // the kernel returns null for malformed rings even when the child is
+  // non-nullable
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) =>
@@ -83,7 +95,10 @@ case class PolygonCentroid(child: Expression) extends UnaryExpression {
     PolygonCentroidKernel.compute(ring.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.PolygonCentroidKernel.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.PolygonCentroidKernel.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): PolygonCentroid =
     copy(child = newChild)
@@ -106,6 +121,25 @@ case class AlertToFeatures(child: Expression)
 
   override def elementSchema: StructType =
     ExpressionEncoder[CotFeature]().schema
+
+  /** The deserializer binds POSITIONALLY, so a struct whose fields are
+    * reordered (e.g. alphabetized) would silently swap values into the
+    * wrong CapAlert fields — reject any field-name/arity mismatch at
+    * analysis time instead. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected = ExpressionEncoder[CapAlert]().schema.fieldNames.toSeq
+    child.dataType match {
+      case s: StructType if s.fieldNames.toSeq == expected =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case s: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"alert_to_features expects struct fields ${expected.mkString("(", ", ", ")")} " +
+            s"in order, got ${s.fieldNames.mkString("(", ", ", ")")}")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"alert_to_features expects a struct, got ${other.catalogString}")
+    }
+  }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val row = child.eval(input).asInstanceOf[InternalRow]

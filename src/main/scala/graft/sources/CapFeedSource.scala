@@ -51,6 +51,16 @@ object CapFeedDataSource {
     options.getLong("timeout", 30000L),
     options.getInt("retries", 2),
     options.getBoolean("failFast", false))
+
+  /** Round-robin link slices → input partitions (shared by the batch
+    * scan and the micro-batch stream). */
+  def slice(links: Seq[String], numPartitions: Int, c: Conf): Array[InputPartition] = {
+    if (links.isEmpty) return Array.empty
+    val n = math.max(1, math.min(numPartitions, links.size))
+    links.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map { case (_, ls) => CapFeedPartition(ls.map(_._1), c): InputPartition }
+      .toArray
+  }
 }
 
 private class CapFeedTable(options: CaseInsensitiveStringMap)
@@ -82,11 +92,7 @@ private class CapFeedScan(options: CaseInsensitiveStringMap)
     // driver-side: one feed fetch + link extraction (mirrors control()'s
     // prologue, task.ts:606-612)
     val feed = Http.fetchWithRetry(feedUrl, c.headers, c.timeoutMs, c.retries)
-    val links = FeedLinks.extract(feed)
-    val n = math.max(1, math.min(options.getInt("numPartitions", 4), links.size))
-    links.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
-      .map { case (_, ls) => CapFeedPartition(ls.map(_._1), c): InputPartition }
-      .toArray
+    CapFeedDataSource.slice(FeedLinks.extract(feed), options.getInt("numPartitions", 4), c)
   }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
@@ -196,11 +202,7 @@ private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
     val seen = absorb(start.asInstanceOf[CapFeedOffset]).seen.toSet
     val fresh = end.asInstanceOf[CapFeedOffset].seen.filterNot(seen).sorted
-    if (fresh.isEmpty) return Array.empty
-    val n = math.max(1, math.min(numPartitions, fresh.size))
-    fresh.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
-      .map { case (_, ls) => CapFeedPartition(ls.map(_._1), c): InputPartition }
-      .toArray
+    CapFeedDataSource.slice(fresh, numPartitions, c)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

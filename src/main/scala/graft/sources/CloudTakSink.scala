@@ -51,7 +51,12 @@ private class CloudTakTable(writeSchema: StructType, options: CaseInsensitiveStr
     val url = Option(info.options().get("url"))
       .getOrElse(throw new IllegalArgumentException("cloudtak: 'url' option is required"))
     val c = CapFeedDataSource.conf(info.options())
-    new WriteBuilder {
+    // SupportsTruncate backs the advertised TRUNCATE capability:
+    // truncate is a no-op because CloudTAK upserts by feature id, so
+    // overwrite == append semantically. Without this, overwrite mode
+    // would pass analysis and then fail at execution.
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new CloudTakBatchWrite(url, c)
       }

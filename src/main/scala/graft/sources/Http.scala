@@ -23,6 +23,7 @@ object Http {
       timeoutMs: Long, retries: Int,
       method: String = "GET", body: Option[String] = None,
       sleep: Long => Unit = Thread.sleep): String = {
+    val maxRetries = math.max(0, retries) // negative would loop forever
     var attempt = 0
     while (true) {
       try {
@@ -31,7 +32,7 @@ object Http {
         // NonFatal only: an interrupt (task kill) or VM error must
         // propagate immediately, not sleep through the backoff
         case scala.util.control.NonFatal(e) =>
-          if (attempt == retries) throw e
+          if (attempt >= maxRetries) throw e
           sleep(1000L * (attempt + 1))
           attempt += 1
       }
@@ -64,19 +65,29 @@ object Http {
     }.toMap
 }
 
-/** P1-P3 as pure driver-side functions for connector planning — same
-  * regexes and predicate as the declarative `CapPipeline.parseFeedLinks`
-  * (reference task.ts:555-581), order-preserving distinct like JS
-  * `[...new Set(links)]` (task.ts:580).
+/** P1-P3 link extraction (reference task.ts:555-581). The pattern
+  * strings and predicate here are THE canonical definitions — the
+  * declarative `CapPipeline.parseFeedLinks` references these same vals,
+  * so connector planning and the pipeline cannot desynchronize.
+  * `extract` is the pure driver-side form with order-preserving
+  * distinct like JS `[...new Set(links)]` (task.ts:580).
   */
 object FeedLinks {
-  private val RssLink = "<link>([^<]{1,1000})</link>".r
-  private val AtomLink = "<link[^>]+href=[\"']([^\"']{1,1000})[\"'][^>]*>".r
+  /** RSS `<link>text</link>` with the reference's {1,1000} ReDoS cap. */
+  val RssLinkPattern = "<link>([^<]{1,1000})</link>"
+  /** Atom `<link ... href="...">`, same length cap. */
+  val AtomLinkPattern = "<link[^>]+href=[\"']([^\"']{1,1000})[\"'][^>]*>"
+
+  /** P2 predicate: keep links containing `/cap/` or `alert`. */
+  def isCapAlertLink(l: String): Boolean = l.contains("/cap/") || l.contains("alert")
+
+  private val RssLink = RssLinkPattern.r
+  private val AtomLink = AtomLinkPattern.r
 
   def extract(feedText: String): Seq[String] = {
     val all =
       RssLink.findAllMatchIn(feedText).map(_.group(1).trim) ++
       AtomLink.findAllMatchIn(feedText).map(_.group(1).trim)
-    all.filter(l => l.contains("/cap/") || l.contains("alert")).distinct.toSeq
+    all.filter(isCapAlertLink).distinct.toSeq
   }
 }

@@ -25,8 +25,13 @@ object Tables {
   /** Read one table from an sf directory, applying per-table shims. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // runtime-settable SQL conf; must be in place before the scan's
-      // schema is resolved.
+      // Runtime-settable SQL conf; must be in place when the scan's
+      // schema is resolved AND when it executes (both lazy), so it is
+      // deliberately NOT restored afterwards. Session-wide side effect:
+      // any later parquet read of ns-timestamp columns in this session
+      // will also see them as raw longs instead of failing — acceptable
+      // here because events.parquet is the only ns-timestamp input and
+      // every events access goes through this method.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$sfDir/events.parquet")

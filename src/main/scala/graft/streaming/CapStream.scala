@@ -27,23 +27,55 @@ final case class AlertLifecycle(identifier: String, status: String,
   */
 object CapStream {
 
-  /** Streaming source: one CAP XML document per file in `xmlDir`. */
-  def alerts(spark: SparkSession, xmlDir: String): Dataset[CapAlert] = {
+  /** Streaming source: one CAP XML document per file in `xmlDir`.
+    * No maxFilesPerTrigger cap by default: with Trigger.AvailableNow
+    * that means ONE micro-batch over the whole directory, which is what
+    * makes `features` reproduce the batch pipeline exactly (a cap would
+    * split event-time-unordered files across batches and the watermark
+    * in `severityCounts` would then legitimately drop late ones). Pass
+    * `maxFilesPerTrigger > 0` for incremental continuous deployments. */
+  def alerts(spark: SparkSession, xmlDir: String,
+      maxFilesPerTrigger: Int = 0): Dataset[CapAlert] = {
     import spark.implicits._
-    val xml = spark.readStream
-      .option("wholetext", "true")
-      .option("maxFilesPerTrigger", "100")
-      .text(xmlDir)
-      .as[String]
-    CapPipeline.parseAlerts(xml)
+    val reader = spark.readStream.option("wholetext", "true")
+    val capped =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    CapPipeline.parseAlerts(capped.text(xmlDir).as[String])
   }
 
-  /** Features stream: parse → expiry filter → within-stream dedup by
-    * feature id → fan-out. Dedup keys on `identifier` BEFORE the
-    * fan-out so state is one row per alert, not per feature. */
+  /** Features stream with a DETERMINISTIC clock — for tests and
+    * replayable backfills. Dedup keys on `identifier` BEFORE the
+    * fan-out so state is one row per alert, not per feature. Plain
+    * dropDuplicates state grows with distinct alert ids (fine for CAP
+    * feeds: tens of ids; use [[featuresNow]]'s watermarked dedup for
+    * unbounded streams). */
   def features(alerts: Dataset[CapAlert], asOf: Instant): Dataset[CotFeature] =
     CapPipeline.toFeatures(
       CapPipeline.filterActive(alerts, asOf).dropDuplicates("identifier"))
+
+  /** Production streaming variant: per-batch wall clock (the reference
+    * re-evaluates `new Date()` every scheduled run — a frozen asOf
+    * would keep emitting alerts that expired after query start) and
+    * watermarked dedup so state is dropped once `sent` falls behind
+    * the watermark. */
+  def featuresNow(alerts: Dataset[CapAlert]): Dataset[CotFeature] = {
+    import alerts.sparkSession.implicits._
+    val jsExpiresMs = udf((s: String) =>
+      graft.functions.JsCompat.jsDateParse(s).map(_.toEpochMilli))
+    val active = alerts.filter(
+      col("expires") === "" ||
+        coalesce(jsExpiresMs(col("expires")) >=
+          unix_millis(current_timestamp()), lit(true)))
+    CapPipeline.toFeatures(
+      active
+        .withColumn("sent_ts", to_timestamp(col("sent")))
+        .withWatermark("sent_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("identifier")
+        .drop("sent_ts")
+        .as[CapAlert])
+  }
 
   /** Tumbling-window severity counts with a watermark on `sent` — the
     * streaming analog of the batch B11 time-window aggregation. Late
@@ -60,15 +92,22 @@ object CapStream {
   /** Alert lifecycle (Alert → Update* → Cancel) via mapGroupsWithState:
     * per-identifier state accumulates the msgType chain; a Cancel marks
     * the alert cancelled, an Update keeps it active with the latest
-    * sent. Arbitrary stateful processing the reference cannot express. */
+    * sent. Arbitrary stateful processing the reference cannot express.
+    * State holds one row per distinct alert id (CAP feeds: tens); an
+    * unbounded-id deployment would add a state timeout. Ordering and
+    * recency compare PARSED instants, not raw strings — CAP timestamps
+    * mix UTC offsets (`+12:00` vs `Z`), so lexicographic comparison
+    * would pick a wall-clock-later-but-absolute-earlier value. */
   def lifecycle(alerts: Dataset[CapAlert]): Dataset[AlertLifecycle] = {
     import alerts.sparkSession.implicits._
+    def epochMs(s: String): Long =
+      graft.functions.JsCompat.jsDateParse(s).map(_.toEpochMilli).getOrElse(Long.MinValue)
     alerts.groupByKey(_.identifier)
       .mapGroupsWithState[AlertLifecycle, AlertLifecycle](GroupStateTimeout.NoTimeout()) {
         (id, batch, state) =>
           val prior = state.getOption.getOrElse(AlertLifecycle(id, "none", Seq.empty, ""))
-          // deterministic within-batch order: by sent, then msgType
-          val sorted = batch.toSeq.sortBy(a => (a.sent, a.msgType))
+          // deterministic within-batch order: by absolute time, then msgType
+          val sorted = batch.toSeq.sortBy(a => (epochMs(a.sent), a.msgType))
           val next = sorted.foldLeft(prior) { (st, a) =>
             val status = a.msgType match {
               case "Cancel" => "cancelled"
@@ -76,7 +115,8 @@ object CapStream {
               case _ => "active"
             }
             AlertLifecycle(id, status, st.msgTypes :+ a.msgType,
-              if (a.sent > st.lastSent) a.sent else st.lastSent)
+              if (st.lastSent.isEmpty || epochMs(a.sent) > epochMs(st.lastSent)) a.sent
+              else st.lastSent)
           }
           state.update(next)
           next

@@ -69,6 +69,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().length == 100)
   }
 
+  test("polygon_centroid returns null for malformed rings instead of crashing the query") {
+    val r = spark.sql(
+      "SELECT polygon_centroid(array(array(1.0d, 2.0d), CAST(NULL AS ARRAY<DOUBLE>), array(3.0d, 4.0d))) AS c")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    val r2 = spark.sql(
+      "SELECT polygon_centroid(array(array(1.0d), array(2.0d, 3.0d), array(4.0d, 5.0d))) AS c")
+      .collect()(0)
+    assert(r2.isNullAt(0), "a point with < 2 coordinates must yield null")
+  }
+
+  test("alert_to_features rejects a struct with reordered fields at analysis time") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT alert_to_features(named_struct('sender', 'a', 'identifier', 'b'))").collect()
+    }
+    assert(ex.getMessage.contains("alert_to_features expects"),
+      s"wanted analysis-time schema error, got: ${ex.getMessage}")
+  }
+
   test("alert_to_features generator reproduces the typed flatMap fan-out") {
     val asOf = Instant.parse("2024-06-01T00:00:00Z")
     val xml = spark.read.option("wholetext", "true").text("fixtures/cap")

@@ -180,6 +180,16 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restart must emit only the new alert, got $second")
   }
 
+  test("cloudtak: overwrite mode works (truncate is a no-op; CloudTAK upserts by id)") {
+    posts.clear()
+    import spark.implicits._
+    Seq("""{"id":"ow-1"}""").toDF("json").write.format("cloudtak")
+      .option("url", s"$base/ingest").option("timeout", 5000)
+      .mode("overwrite")
+      .save()
+    assert(posts.asScala.exists(_.contains("ow-1")))
+  }
+
   test("streaming end-to-end: capfeed stream → parse → fan-out → cloudtak per batch") {
     posts.clear()
     import spark.implicits._

@@ -52,6 +52,46 @@ class CapStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("featuresNow (wall clock + watermarked dedup) matches the deterministic path on fixtures") {
+    import spark.implicits._
+    val expected = {
+      val xml = spark.read.option("wholetext", "true").text("fixtures/cap").as[String]
+      CapStream.features(CapPipeline.parseAlerts(xml), java.time.Instant.now())
+        .collect().map(_.id).sorted
+    }
+    val q = CapStream.featuresNow(CapStream.alerts(spark, "fixtures/cap"))
+      .writeStream.format("memory").queryName("feat_now")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("feat_now").collect().map(_.getAs[String]("id")).sorted
+    assert(got.sameElements(expected))
+    q.stop()
+  }
+
+  test("lifecycle orders by ABSOLUTE time across mixed UTC offsets, not by string") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CapAlert]
+    val q = CapStream.lifecycle(in.toDS())
+      .writeStream.format("memory").queryName("lifecycle_tz")
+      .outputMode("update")
+      .start()
+    // '2024-05-01T22:00:00+12:00' is 10:00Z — EARLIER than 11:00Z even
+    // though the string compares greater.
+    in.addData(
+      mkAlert("z", "Alert", "2024-05-01T22:00:00+12:00"),
+      mkAlert("z", "Update", "2024-05-01T11:00:00Z"))
+    q.processAllAvailable()
+    val r = spark.table("lifecycle_tz").collect()
+      .map(x => (x.getString(0), x.getSeq[String](2), x.getString(3)))
+      .maxBy(_._2.length)
+    assert(r._2 == Seq("Alert", "Update"), s"wrong order: ${r._2}")
+    assert(r._3 == "2024-05-01T11:00:00Z", s"lastSent must be the absolute-latest: ${r._3}")
+    q.stop()
+  }
+
   test("watermarked tumbling window counts severities per hour") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
