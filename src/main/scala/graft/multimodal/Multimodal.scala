@@ -37,7 +37,10 @@ case class MediaFrame(asset_id: Long, frame_idx: Int, frame_hash: Long)
   * the oracle SQL iterates CHARACTERS (string_split/unicode) while
   * this side iterates BYTES — equivalent only because the synthetic
   * corpus is pure ASCII (verified); a non-ASCII corpus would need a
-  * blob-based oracle, not a code change here.
+  * blob-based oracle, not a code change here. Empty documents are
+  * guarded on BOTH sides (DuckDB's string_split('','') is [''] and
+  * unicode('') is -1, which would otherwise diverge from the guarded
+  * decoder).
   *
   * Scale: every operator here is a narrow map/flatMap — partition
   * count and placement are preserved end-to-end (asserted in the
@@ -152,14 +155,17 @@ object Multimodal {
       |  SELECT doc_id AS asset_id,
       |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
       |         text, length(text) AS n_bytes,
-      |         len(list_distinct(string_split(text, ''))) AS n_distinct_bytes,
-      |         list_reduce(list_transform(string_split(text, ''),
-      |           c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h + c) % 1000000007) AS byte_sum,
-      |         16 + unicode(substr(text, 1, 1)) % 64 AS width
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE len(list_distinct(string_split(text, ''))) END AS n_distinct_bytes,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE list_reduce(list_transform(string_split(text, ''),
+      |                c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h + c) % 1000000007) END AS byte_sum,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE 16 + unicode(substr(text, 1, 1)) % 64 END AS width
       |  FROM documents)
-      |SELECT kind, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+      |SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |       CAST(ROUND(SUM(CAST(n_distinct_bytes AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_distinct_bytes,
-      |       SUM(byte_sum) AS checksum,
+      |       CAST(SUM(byte_sum) AS BIGINT) AS checksum,
       |       CAST(ROUND(SUM(CAST(width AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_width
       |FROM a GROUP BY kind ORDER BY kind""".stripMargin
 

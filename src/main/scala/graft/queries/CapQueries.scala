@@ -17,14 +17,19 @@ object CapQueries {
   /** Deterministic clock for F1 (SURVEY.md §5 determinism rule). */
   val asOf: Instant = Instant.parse("2026-08-12T00:00:00Z")
 
-  val fixtureDir = "/root/repo/fixtures/cap"
-  val feedDir = "/root/repo/fixtures/feed"
+  /** Fixture roots: relative when running from the repo checkout
+    * (tests, sbt), falling back to the driver's absolute layout. */
+  private def resolve(rel: String): String =
+    if (new java.io.File(rel).exists()) rel else s"/root/repo/$rel"
 
-  /** Full pipeline: alert XML fixtures → CoT features. */
+  def fixtureDir: String = resolve("fixtures/cap")
+  def feedDir: String = resolve("fixtures/feed")
+
+  /** Full pipeline: alert XML fixtures → CoT features. The Encoder
+    * already maps icon: Option[String] to a nullable string column. */
   def capFeatures(s: SparkSession, d: String): DataFrame =
     CapPipeline.run(s, fixtureDir, asOf)
       .toDF()
-      .withColumn("icon", col("icon")) // Option[String] → nullable string
       .orderBy(col("id"))
 
   /** P1-P3: feed-link extraction over RSS+Atom fixture feeds. */

@@ -8,9 +8,12 @@ import graft.sources.Tables
 /** Document deduplication operators over the `documents` table — the
   * training-data-pipeline surface (exact, MinHash+LSH, SimHash, blocked
   * n-gram Jaccard). Every query is shuffle-bounded and blocking-based:
-  * no O(n²) pairwise pass exists anywhere, so each plan survives a
-  * 100× scale-up — candidate generation is equi-join LSH/blocking,
-  * verification only touches candidate pairs.
+  * candidate generation is equi-join LSH/blocking with an explicit,
+  * tunable false-positive rate, and verification only touches candidate
+  * pairs. Band widths are sized so random-pair collisions stay
+  * negligible (d2: 1157 candidates of 12.5M pairs at sf0.1; d3: 4
+  * 15-bit bands over a 60-bit simhash), which is what lets the plans
+  * survive a 100× scale-up.
   *
   * Cross-engine determinism: all hashing is md5-based (UTF-8 bytes on
   * both engines) folded to a 48-bit int — Spark `conv(substr(md5,1,12),
@@ -136,25 +139,36 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   // -------------------------------------------------------------------
-  // D3: SimHash near-dup detection. 32-bit TF-weighted simhash over
-  // word-3-gram features (unigrams collide hopelessly on a shared
-  // vocabulary — measured 2266 false pairs vs 24 with shingles), bucket
-  // join on 8-bit bands, Hamming-distance ≤3 verification via
-  // bit_count(xor). Per-doc signature is one groupBy with 32 sum
-  // aggregates — a single shuffle, no 32× row blowup.
+  // D3: SimHash near-dup detection. 60-bit TF-weighted simhash (15 md5
+  // hex chars) over word-3-gram features (unigrams collide hopelessly
+  // on a shared vocabulary — measured 2266 false pairs vs 24 with
+  // shingles), bucket join on 4×15-bit bands, Hamming-distance ≤3
+  // verification via bit_count(xor). The pigeonhole guarantee is
+  // unchanged (≤3 differing bits leave ≥1 of 4 bands intact = zero
+  // recall loss), but 15-bit bands collide ~128× less often than the
+  // earlier 8-bit ones on random docs — an earlier 32-bit/8-bit layout
+  // measured a constant ~1.6% of ALL pairs as candidates (Θ(n²) at
+  // scale). Per-doc signature is one groupBy with 60 sum aggregates —
+  // a single shuffle, no 60× row blowup.
   // -------------------------------------------------------------------
+  private val SimBits = 60
+  private val SimBandBits = 15
+
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val th = docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), hash48(col("shingle")).as("h"))
-    val bitAggs = (0 until 32).map(b =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until SimBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val sums = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val sim = sums.select(col("doc_id"),
-      (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      (0 until SimBits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("sim"))
+    val mask = (1L << SimBandBits) - 1
     val bands = sim.select(col("doc_id"), col("sim"), explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"), shiftright(col("sim"), 8 * k).bitwiseAND(255).as("band"))): _*)).as("kb"))
+        struct(lit(k).as("k"),
+          shiftright(col("sim"), SimBandBits * k).bitwiseAND(mask).as("band"))): _*)).as("kb"))
       .select(col("doc_id"), col("sim"), col("kb.k").as("k"), col("kb.band").as("band"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
@@ -172,12 +186,13 @@ object Dedup {
     s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
       |sh AS (SELECT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
       |       FROM toks, UNNEST(range(0, len(t)-2)) AS u(i)),
-      |th AS (SELECT doc_id, ${duckHash48("shingle")} AS h FROM sh),
+      |th AS (SELECT doc_id, list_reduce(list_transform(string_split(substr(md5(shingle),1,15),''),
+      |         c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (h,c) -> h*16+c) AS h FROM sh),
       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |         FROM th, UNNEST(range(0,32)) AS u(b) GROUP BY 1,2),
+      |         FROM th, UNNEST(range(0,$SimBits)) AS u(b) GROUP BY 1,2),
       |simhash AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
       |            FROM bits GROUP BY 1),
-      |bands AS (SELECT doc_id, k, (sim >> (8*k)) & 255 AS band, sim
+      |bands AS (SELECT doc_id, k, (sim >> ($SimBandBits*k)) & ${(1L << SimBandBits) - 1} AS band, sim
       |          FROM simhash, UNNEST(range(0,4)) AS u(k)),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sim AS sa, b.sim AS sb
       |         FROM bands a JOIN bands b
@@ -189,9 +204,11 @@ object Dedup {
   // -------------------------------------------------------------------
   // D4: exact character-5-gram Jaccard with length-band blocking — each
   // doc lands in buckets floor(n_chars/16) and +1, pairs only form
-  // inside a bucket with |len diff| ≤ 15 (every known near-dup pair in
-  // the corpus is within 30 chars). Equi-join blocking keeps the pair
-  // set linear-ish in corpus size instead of O(n²).
+  // inside a bucket with |len diff| ≤ 15. The bound is validated, not
+  // assumed: the measured max length-diff over ground-truth pairs is 12
+  // across sf0.001-0.1 (and J ≥ 0.5 itself forces near-equal lengths).
+  // Equi-join blocking keeps the pair set linear-ish in corpus size
+  // instead of O(n²).
   // -------------------------------------------------------------------
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

