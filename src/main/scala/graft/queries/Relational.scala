@@ -160,7 +160,7 @@ object Relational {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rn"))
@@ -372,8 +372,8 @@ object Relational {
   val b14Sql: String =
     """WITH oc AS (SELECT DISTINCT o_custkey FROM orders)
       |SELECT n_name,
-      |       SUM(CASE WHEN oc.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_with_orders,
-      |       SUM(CASE WHEN oc.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_without_orders
+      |       CAST(SUM(CASE WHEN oc.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      |       CAST(SUM(CASE WHEN oc.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
       |FROM customer JOIN nation ON n_nationkey = c_nationkey
       |LEFT JOIN oc ON oc.o_custkey = c_custkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -466,12 +466,12 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
       |  SELECT user_id, event_id, ts, event_type,
-      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
       |  FROM g)
       |SELECT user_id, sess_id, COUNT(*) AS n_events,
       |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
-      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+      |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
       |FROM sess GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
@@ -519,8 +519,8 @@ object Relational {
 
   val b19Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-      |       SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** name → (builder, oracle SQL) */

@@ -106,7 +106,7 @@ object Similarity {
       .join(e, "vec_id")
       .select(col("qid"), col("vec_id"), cosine(col("e"), col("qv")).as("sim"))
     sims.withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
       .filter(col("rank") <= 5)
       .select("qid", "vec_id", "sim", "rank")
       .orderBy("qid", "rank")
@@ -243,9 +243,9 @@ object Similarity {
       |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
       |  GROUP BY 1, 2)
       |SELECT COUNT(*) AS n_cand_pairs,
-      |       SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS n_ge95,
-      |       SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS n_ge50,
-      |       SUM(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS n_ge45,
+      |       CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge95,
+      |       CAST(SUM(CASE WHEN sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50,
+      |       CAST(SUM(CASE WHEN sim >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge45,
       |       MAX(sim) AS max_sim
       |FROM sims""".stripMargin
 

@@ -159,7 +159,7 @@ object TextStats {
     s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
       |a AS (SELECT COUNT(*) AS n_ws_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens FROM toks),
       |b AS (SELECT COUNT(*) AS n_docs,
-      |             SUM(len(regexp_extract_all(text, '$tokPat'))) AS n_re_tokens
+      |             CAST(SUM(len(regexp_extract_all(text, '$tokPat'))) AS BIGINT) AS n_re_tokens
       |      FROM documents)
       |SELECT n_docs, n_ws_tokens, n_distinct_tokens, n_re_tokens,
       |       ROUND(CAST(n_ws_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens_per_doc,
@@ -246,7 +246,7 @@ object TextStats {
       .select(col("tok"), col("cnt"),
         round(col("cnt") / col("total"), 6).as("share"))
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok").asc)))
+        Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
       .select("rank", "tok", "cnt", "share")
       .orderBy("rank")
   }

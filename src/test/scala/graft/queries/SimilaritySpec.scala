@@ -28,7 +28,7 @@ class SimilaritySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Brute-force top-5 per query (qid < 10), same rounding/tie rules. */
-  private lazy val truth: Map[(Long, Int), Long] = {
+  private lazy val truth: Map[(Long, Long), Long] = {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -42,16 +42,16 @@ class SimilaritySpec extends AnyFunSuite {
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
       .filter(col("rank") <= 5)
-      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("vec_id"))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank").toLong) -> r.getAs[Long]("vec_id"))
       .toMap
   }
 
   private def checkShape(rows: Array[org.apache.spark.sql.Row]): Unit = {
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
-      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
       assert(ranks.sameElements(1 to ranks.length), "ranks must be 1..k dense")
-      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
       assert(sims.sameElements(sims.sortBy(-_)), "sims must be non-increasing in rank")
     }
   }

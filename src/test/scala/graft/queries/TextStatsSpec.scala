@@ -62,7 +62,7 @@ class TextStatsSpec extends AnyFunSuite {
   test("t5: vocabulary is dense-ranked, frequency-sorted, and counts are exact") {
     val rows = TextStats.t5Vocab(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
-    val ranks = rows.map(_.getAs[Int]("rank"))
+    val ranks = rows.map(_.getAs[Long]("rank"))
     assert(ranks.sameElements(1 to rows.length))
     val cnts = rows.map(_.getAs[Long]("cnt"))
     assert(cnts.sameElements(cnts.sortBy(-_)), "counts must be non-increasing")
