@@ -523,6 +523,149 @@ object Relational {
       |       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B20: CUBE aggregation — all four grouping sets of (returnflag,
+  // linestatus) in one Expand + one shuffle, same plan shape as B13's
+  // rollup. NULLS FIRST pinned on both engines.
+  // -------------------------------------------------------------------
+  def b20Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val b20Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B21: range (band) join — every lineitem matched to its quantity
+  // band via an inequality predicate. The band table is 5 rows, so the
+  // right plan is a BroadcastNestedLoopJoin: each row tests ≤5
+  // intervals, no shuffle of the fact side at any scale. (For two
+  // large range sides the scale path is interval bucketing — overlap a
+  // bucket key on both sides and equi-join on it — but a dim this
+  // small must broadcast.)
+  // -------------------------------------------------------------------
+  def b21RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1L, 0.0, 10.0), (2L, 10.0, 20.0), (3L, 20.0, 30.0),
+      (4L, 30.0, 40.0), (5L, 40.0, 51.0)).toDF("band_id", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  val b21Sql: String =
+    """SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |JOIN (VALUES (1, 0.0, 10.0), (2, 10.0, 20.0), (3, 20.0, 30.0),
+      |             (4, 30.0, 40.0), (5, 40.0, 51.0)) AS b(band_id, lo, hi)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B22: pivot — daily event counts, one column per event type. The
+  // value list is pinned (never inferred) so the schema is static and
+  // the plan is a single hash aggregate with conditional counts — no
+  // extra pass to discover distinct values, which at 100 TB would be a
+  // full scan before the real one.
+  // -------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def b22Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy("day_epoch")
+
+  val b22Sql: String =
+    """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B23: unpivot (melt) — wide per-flag aggregates back to long
+  // (metric, value) rows. Unpivot is a narrow Expand: no shuffle
+  // beyond the aggregation that produced the wide row.
+  // -------------------------------------------------------------------
+  def b23Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"))
+      .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price"), col("disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  val b23Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS qty,
+      |         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS price,
+      |         CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(30,6))), 2) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'price', price FROM w
+      |UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B24: salted skew join — lineitem joined to a per-returnflag dim on
+  // a 3-value (maximally skewed) key. The salt spreads each hot key
+  // over 16 shuffle partitions: big side gets salt = orderkey mod 16,
+  // the dim is exploded ×16, and the join key becomes (flag, salt).
+  // The result is provably identical to the unsalted join (the oracle
+  // IS the unsalted join). A dim this small would normally broadcast —
+  // the SHUFFLE_HASH hint forces the shuffle path so the salting is
+  // actually exercised; the pattern is for skewed mid-size build sides
+  // that exceed the broadcast threshold.
+  // -------------------------------------------------------------------
+  def b24SkewJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val salts = 16
+    val dim = Seq(("A", 1.1), ("N", 2.2), ("R", 3.3)).toDF("flag", "weight")
+      .withColumn("dsalt", explode(sequence(lit(0L), lit(salts - 1L))))
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts.toLong)))
+      .join(dim.hint("SHUFFLE_HASH"),
+        col("l_returnflag") === col("flag") && col("salt") === col("dsalt"))
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_quantity") * col("weight")).as("wsum"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val b24Sql: String =
+    """SELECT l_returnflag,
+      |       CAST(ROUND(SUM(CAST(l_quantity * weight AS DECIMAL(30,6))), 2) AS DOUBLE) AS wsum,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |JOIN (VALUES ('A', 1.1), ('N', 2.2), ('R', 3.3)) AS d(flag, weight)
+      |  ON l_returnflag = flag
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -543,5 +686,10 @@ object Relational {
     ("b16_approx_distinct", b16ApproxDistinct _, ""),
     ("b17_sessionize", b17Sessionize _, b17Sql),
     ("b18_percentiles", b18Percentiles _, b18Sql),
-    ("b19_from_json", b19FromJson _, b19Sql))
+    ("b19_from_json", b19FromJson _, b19Sql),
+    ("b20_cube", b20Cube _, b20Sql),
+    ("b21_range_join", b21RangeJoin _, b21Sql),
+    ("b22_pivot", b22Pivot _, b22Sql),
+    ("b23_unpivot", b23Unpivot _, b23Sql),
+    ("b24_skew_join", b24SkewJoin _, b24Sql))
 }

@@ -251,6 +251,51 @@ object TextStats {
       .orderBy("rank")
   }
 
+  // -------------------------------------------------------------------
+  // T6: deterministic train/val/test split — every document lands in a
+  // bucket 0..99 by a content-independent stable hash of its id
+  // (md5 of the decimal string, folded to 48 bits, mod 100), split
+  // 80/10/10. Hash-based assignment is the scale-correct way to split:
+  // no global sort, no sampling pass, reproducible across runs and
+  // engines, and stable under corpus growth (a doc's split never
+  // changes when other docs are added). One narrow projection + one
+  // shuffle on the 3-value split key.
+  // -------------------------------------------------------------------
+  def t6Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(100L))
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("split")
+  }
+
+  val t6Sql: String = {
+    val h = "list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)),1,12),''), " +
+      "c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c)"
+    s"""WITH b AS (SELECT doc_id, n_chars, $h % 100 AS bucket FROM documents),
+      |sp AS (SELECT doc_id, n_chars,
+      |              CASE WHEN bucket < 80 THEN 'train'
+      |                   WHEN bucket < 90 THEN 'val'
+      |                   ELSE 'test' END AS split
+      |       FROM b)
+      |SELECT split, COUNT(*) AS n_docs,
+      |       CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_chars,
+      |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val t5Sql: String =
     """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
       |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
@@ -265,5 +310,6 @@ object TextStats {
     ("t2_quality", t2Quality _, t2Sql),
     ("t3_token_stats", t3TokenStats _, t3Sql),
     ("t4_fingerprint", t4Fingerprint _, t4Sql),
-    ("t5_vocab", t5Vocab _, t5Sql))
+    ("t5_vocab", t5Vocab _, t5Sql),
+    ("t6_split", t6Split _, t6Sql))
 }

@@ -52,4 +52,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_returnflag"),
       s"final agg must shuffle on the group keys:\n$p")
   }
+
+  test("b21: the 5-row band table joins via broadcast nested loop, no fact shuffle") {
+    val p = plan("b21_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join against a tiny dim must broadcast:\n$p")
+  }
+
+  test("b24: the salted join actually takes the shuffle-hash path") {
+    val p = plan("b24_skew_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint must force the shuffle path (salting is exercised):\n$p")
+  }
+
+  test("b22: pinned pivot values plan a single scan (no distinct-discovery pass)") {
+    val p = plan("b22_pivot")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pivot must not rescan to discover values:\n$p")
+  }
 }

@@ -68,4 +68,61 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(close(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")))
     assert(close(r.getAs[Long]("exact_supps"), r.getAs[Long]("approx_supps")))
   }
+
+  test("b20: cube contains all four grouping sets and they agree on the total") {
+    val rows = Relational.b20Cube(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = grand(0).getAs[Long]("n")
+    // each one-dimension slice must sum back to the grand total
+    val byFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val byStatus = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(byFlag.map(_.getAs[Long]("n")).sum == total)
+    assert(byStatus.map(_.getAs[Long]("n")).sum == total)
+    assert(leaves.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("b21: quantity bands partition lineitem exactly (no drops, no double-counts)") {
+    val rows = Relational.b21RangeJoin(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "band intervals must cover every row exactly once")
+    assert(rows.map(_.getAs[Long]("band_id")).toSeq == rows.map(_.getAs[Long]("band_id")).toSeq.sorted)
+  }
+
+  test("b22: pivoted daily counts sum to the per-day event totals") {
+    val rows = Relational.b22Pivot(spark, sf).collect()
+    val expected = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day")).count().collect()
+      .map(_.getAs[Long]("count")).sorted.toSeq
+    val got = rows.map(r =>
+      Seq("click", "error", "purchase", "signup", "view").map(c => r.getAs[Long](c)).sum)
+      .sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("b23: unpivot emits exactly one (flag, metric) row per wide cell") {
+    val rows = Relational.b23Unpivot(spark, sf).collect()
+    val flags = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
+    assert(rows.length == flags * 3)
+    assert(rows.map(_.getAs[String]("metric")).distinct.sorted.toSeq == Seq("disc", "price", "qty"))
+  }
+
+  test("b24: salted shuffle join result is identical to the plain broadcast join") {
+    import spark.implicits._
+    val salted = Relational.b24SkewJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("wsum"), r.getAs[Long]("n")))
+    val dim = Seq(("A", 1.1), ("N", 2.2), ("R", 3.3)).toDF("flag", "weight")
+    val plain = Tables.lineitem(spark, sf)
+      .join(broadcast(dim), col("l_returnflag") === col("flag"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum((col("l_quantity") * col("weight"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6))), 2).cast("double").as("wsum"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("wsum"), r.getAs[Long]("n")))
+    assert(salted.toSeq == plain.toSeq)
+  }
 }

@@ -92,4 +92,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(strong.subsetOf(fpPairs),
       s"missing winnowing pairs for strong near-dups: ${strong.diff(fpPairs)}")
   }
+
+  test("t6: hash split partitions the corpus 80/10/10 and is stable across runs") {
+    val rows = TextStats.t6Split(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val byName = rows.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(byName.values.sum == total, "splits must partition the corpus")
+    assert(byName.keySet == Set("train", "val", "test"))
+    // md5-uniform buckets: generous bounds at this corpus size
+    val trainShare = byName("train").toDouble / total
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share off: $trainShare")
+    // determinism: identical result on re-run (no RNG, no time)
+    val again = TextStats.t6Split(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(again == byName)
+  }
 }
