@@ -666,6 +666,63 @@ object Relational {
       |  ON l_returnflag = flag
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B25: window frames — 4-row moving average of event value per user,
+  // then the per-user peak. The frame sum rides the DECIMAL(30,6)
+  // accumulator because windowed double-sums are evaluation-order-
+  // dependent across engines (DuckDB's segment tree vs Spark's running
+  // accumulator); decimal addition is associative so both agree
+  // bit-exactly. One shuffle on user_id for both the window and the
+  // final aggregate.
+  // -------------------------------------------------------------------
+  def b25MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .withColumn("mavg",
+        sum(col("value").cast(DecimalType(30, 6))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(
+        round(max(col("mavg")), 6).cast("double").as("peak_mavg"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val b25Sql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) / COUNT(*) OVER w AS mavg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, CAST(ROUND(MAX(mavg), 6) AS DOUBLE) AS peak_mavg,
+      |       COUNT(*) AS n_events
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B26: INTERSECT — nations present on both the customer and supplier
+  // side (B8 covers EXCEPT). Spark plans a left-semi over distinct
+  // inputs; both sides are key-only projections so the shuffle carries
+  // one bigint column.
+  // -------------------------------------------------------------------
+  def b26Intersect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.intersect(su)
+      .join(broadcast(Tables.nation(s, d)), col("nationkey") === col("n_nationkey"))
+      .select(col("nationkey"), col("n_name"))
+      .orderBy("nationkey")
+  }
+
+  val b26Sql: String =
+    """WITH both_sides AS (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier)
+      |SELECT nationkey, n_name
+      |FROM both_sides JOIN nation ON nationkey = n_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -691,5 +748,7 @@ object Relational {
     ("b21_range_join", b21RangeJoin _, b21Sql),
     ("b22_pivot", b22Pivot _, b22Sql),
     ("b23_unpivot", b23Unpivot _, b23Sql),
-    ("b24_skew_join", b24SkewJoin _, b24Sql))
+    ("b24_skew_join", b24SkewJoin _, b24Sql),
+    ("b25_moving_avg", b25MovingAvg _, b25Sql),
+    ("b26_intersect", b26Intersect _, b26Sql))
 }

@@ -109,6 +109,29 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("metric")).distinct.sorted.toSeq == Seq("disc", "price", "qty"))
   }
 
+  test("b25: the peak moving average is bounded by the user's max event value") {
+    val peaks = Relational.b25MovingAvg(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("peak_mavg")).toMap
+    val maxes = Tables.events(spark, sf).groupBy("user_id")
+      .agg(max(col("value")).as("mx"), min(col("value")).as("mn")).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Double]("mn"), r.getAs[Double]("mx"))).toMap
+    assert(peaks.keySet == maxes.keySet)
+    peaks.foreach { case (u, p) =>
+      val (mn, mx) = maxes(u)
+      assert(p >= mn - 1e-6 && p <= mx + 1e-6, s"user $u peak $p outside [$mn,$mx]")
+    }
+  }
+
+  test("b26: intersect equals the set-intersection of the two key sets") {
+    val got = Relational.b26Intersect(spark, sf).collect()
+      .map(_.getAs[Number]("nationkey").longValue).toSet
+    val c = Tables.customer(spark, sf).select("c_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val su = Tables.supplier(spark, sf).select("s_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(got == c.intersect(su))
+  }
+
   test("b24: salted shuffle join result is identical to the plain broadcast join") {
     import spark.implicits._
     val salted = Relational.b24SkewJoin(spark, sf).collect()
