@@ -118,8 +118,11 @@ object Dedup {
     verifyJaccard(cand, sh, "shingle")
   }
 
-  val d2Sql: String =
-    s"""WITH $duckShingleSql,
+  /** Shared DuckDB CTE chain: shingles → minhash → bands → verified
+    * near-dup pairs at Jaccard ≥ 0.5 (ends with a `pairs` CTE). Used
+    * by both d2 (pair listing) and d7 (cluster closure). */
+  private val duckPairsSql: String =
+    s"""$duckShingleSql,
       |shh AS (SELECT doc_id, ${duckHash48("shingle")} % $P AS h1,
       |        list_reduce(list_transform(string_split(substr(md5(shingle),13,12),''),
       |          c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c) % $P AS h2 FROM sh),
@@ -132,11 +135,14 @@ object Dedup {
       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT da, db, count(*) AS c FROM cand
       |          JOIN sh x ON x.doc_id=da JOIN sh y ON y.doc_id=db AND y.shingle=x.shingle
-      |          GROUP BY 1,2)
-      |SELECT da, db, ROUND(CAST(c AS DOUBLE)/(ca.n+cb.n-c), 6) AS jacc
-      |FROM inter JOIN counts ca ON ca.doc_id=da JOIN counts cb ON cb.doc_id=db
-      |WHERE CAST(c AS DOUBLE)/(ca.n+cb.n-c) >= 0.5
-      |ORDER BY da, db""".stripMargin
+      |          GROUP BY 1,2),
+      |pairs AS (SELECT da, db, ROUND(CAST(c AS DOUBLE)/(ca.n+cb.n-c), 6) AS jacc
+      |          FROM inter JOIN counts ca ON ca.doc_id=da JOIN counts cb ON cb.doc_id=db
+      |          WHERE CAST(c AS DOUBLE)/(ca.n+cb.n-c) >= 0.5)""".stripMargin
+
+  val d2Sql: String =
+    s"""WITH $duckPairsSql
+      |SELECT da, db, jacc FROM pairs ORDER BY da, db""".stripMargin
 
   // -------------------------------------------------------------------
   // D3: SimHash near-dup detection. 60-bit TF-weighted simhash (15 md5
@@ -260,9 +266,69 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  // -------------------------------------------------------------------
+  // D7: duplicate-cluster canonicalization — the step after pair
+  // detection that training pipelines actually need: group transitive
+  // near-dups into clusters and keep one representative (the min
+  // doc_id). Connected components by min-label propagation over the
+  // verified pair graph: every doc starts labeled with itself, each
+  // round pulls the smallest label over any incident edge, fixpoint =
+  // min doc_id of the component. Rounds needed = component diameter;
+  // near-dup clusters are near-cliques (diameter ≤ 2-3) because LSH
+  // emits most intra-cluster pairs directly, and the iteration cap is
+  // a safety net, checked. Each round is one distributed join + min
+  // aggregate on the PAIR GRAPH only (graph ≪ corpus — docs with no
+  // near-dup never enter), with localCheckpoint cutting the iterative
+  // lineage. At adversarial diameters the same loop upgrades to the
+  // alternating large-star/small-star rounds (O(log n)); semantics
+  // unchanged. Oracle: recursive-CTE transitive closure.
+  // -------------------------------------------------------------------
+  def d7DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2MinhashLsh(s, d).select(col("da"), col("db"))
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val pulled = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("label"))
+      val next = labels.union(pulled)
+        .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    assert(converged, s"label propagation did not converge in $iter rounds")
+    labels.groupBy(col("label").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("doc_id")).as("max_doc_id"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy("cluster_id")
+  }
+
+  val d7Sql: String =
+    s"""WITH RECURSIVE $duckPairsSql,
+      |edges AS (SELECT da AS src, db AS dst FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS label
+      |        FROM reach GROUP BY src)
+      |SELECT label AS cluster_id, COUNT(*) AS n_docs,
+      |       MAX(doc_id) AS max_doc_id,
+      |       COUNT(*) - 1 AS n_removed
+      |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("d1_exact_dedup", d1ExactDedup _, d1Sql),
     ("d2_minhash_lsh", d2MinhashLsh _, d2Sql),
     ("d3_simhash", d3Simhash _, d3Sql),
-    ("d4_ngram_jaccard", d4NgramJaccard _, d4Sql))
+    ("d4_ngram_jaccard", d4NgramJaccard _, d4Sql),
+    ("d7_dup_clusters", d7DupClusters _, d7Sql))
 }

@@ -118,4 +118,29 @@ class DedupSpec extends AnyFunSuite {
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth, s"blocking dropped true pairs: missing=${truth.diff(got)}")
   }
+
+  test("d7: clusters are the connected components of the verified pair graph") {
+    val pairs = Dedup.d2MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.d7DupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed")))
+
+    // union-find ground truth on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.groupBy(find).map { case (root, ms) =>
+      val all = ms.toSet + root
+      (all.min, all.size.toLong)
+    }.toSet
+    assert(clusters.map(c => (c._1, c._2)).toSet == truth)
+    // representative is the cluster id itself; n_removed counts the rest
+    clusters.foreach { case (_, n, removed) => assert(removed == n - 1 && n >= 2) }
+  }
 }
