@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+
+/** Streaming mode for the relational/events surface — the same hourly
+  * tumbling-window aggregation as B11, runnable over either the batch
+  * `Tables.events` DataFrame or an incremental file stream of the same
+  * parquet. One definition of the aggregation serves both paths, which
+  * is the unification argument the CAP side makes in [[CapStream]]
+  * extended to the analytics surface: at 100 TB a backfill (batch) and
+  * the live tail (stream) MUST agree, so they share the operator.
+  *
+  * Scale notes: the stream shuffles once per micro-batch on the window
+  * key; the 2-hour watermark bounds the aggregation state (late events
+  * beyond it are dropped in append mode); the decimal accumulator keeps
+  * the windowed double-sum identical across partitionings, micro-batch
+  * boundaries, and engines.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events.parquet: `ts` arrives as raw
+    * nanosecond longs (the footer declares timestamp[ns], which Spark 4
+    * only admits via the nanosAsLong legacy conf — same shim as
+    * `Tables.events`, applied to the streaming reader). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming view of the events table (nanos shim applied). */
+  def readEvents(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory; the glob filter
+    // narrows the listing to the events table inside the sf dir
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
+    * and the exact-decimal value sum per event-time hour. Produces the
+    * same rows as `Relational.b11TimeWindow` on the same input. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(30, 6))), 2).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("n_events"),
+        col("sum_value"))
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Relational
+
+/** Batch/stream unification for the analytics surface: the streaming
+  * hourly aggregation over events.parquet must produce exactly the
+  * batch B11 result — same windows, same counts, same decimal sums.
+  */
+class EventStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("event-stream-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly aggregation equals the batch b11 result") {
+    val q = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
+      .writeStream
+      .format("memory")
+      .queryName("ev_hourly")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ev_hourly").collect()
+      .map(r => (r.getAs[Long]("hour_epoch"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .sortBy(_._1).toSeq
+    val want = Relational.b11TimeWindow(spark, sf).collect()
+      .map(r => (r.getAs[Long]("hour_epoch"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .sortBy(_._1).toSeq
+    assert(want.nonEmpty)
+    assert(got == want, "stream and batch disagree on the hourly windows")
+  }
+}
