@@ -723,6 +723,37 @@ object Relational {
       |FROM both_sides JOIN nation ON nationkey = n_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B27: the remaining window-rank family — dense_rank, percent_rank,
+  // ntile — top-3 customers per nation by account balance. percent_rank
+  // is (rank-1)/(n-1): per-row double division, IEEE-exact on both
+  // engines; ranks and ntile are integers; the order key is total
+  // (acctbal desc, custkey) so every rank is deterministic. Same
+  // single-shuffle shape as B5.
+  // -------------------------------------------------------------------
+  def b27RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("prank", round(percent_rank().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("drank") <= 3)
+      .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+        col("drank"), col("prank"), col("quartile"))
+      .orderBy("nationkey", "drank", "c_custkey")
+  }
+
+  val b27Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |       ROUND(percent_rank() OVER w, 6) AS prank,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+      |QUALIFY dense_rank() OVER w <= 3
+      |ORDER BY nationkey, drank, c_custkey""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -750,5 +781,6 @@ object Relational {
     ("b23_unpivot", b23Unpivot _, b23Sql),
     ("b24_skew_join", b24SkewJoin _, b24Sql),
     ("b25_moving_avg", b25MovingAvg _, b25Sql),
-    ("b26_intersect", b26Intersect _, b26Sql))
+    ("b26_intersect", b26Intersect _, b26Sql),
+    ("b27_rank_family", b27RankFamily _, b27Sql))
 }

@@ -132,6 +132,22 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got == c.intersect(su))
   }
 
+  test("b27: rank family is internally consistent per nation") {
+    val rows = Relational.b27RankFamily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("nationkey")).foreach { case (_, rs) =>
+      val dranks = rs.map(_.getAs[Long]("drank"))
+      assert(dranks.min == 1 && dranks.max <= 3)
+      rs.foreach { r =>
+        val p = r.getAs[Double]("prank")
+        assert(p >= 0.0 && p <= 1.0)
+        val q = r.getAs[Long]("quartile")
+        assert(q >= 1 && q <= 4)
+        // top-3 by balance sits in the first quartile for any partition >= 12 rows
+      }
+    }
+  }
+
   test("b24: salted shuffle join result is identical to the plain broadcast join") {
     import spark.implicits._
     val salted = Relational.b24SkewJoin(spark, sf).collect()
