@@ -283,18 +283,31 @@ object Dedup {
   // alternating large-star/small-star rounds (O(log n)); semantics
   // unchanged. Oracle: recursive-CTE transitive closure.
   // -------------------------------------------------------------------
-  def d7DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2MinhashLsh(s, d).select(col("da"), col("db"))
-    val edges = pairs.union(pairs.select(col("db"), col("da")))
-      .toDF("src", "dst").localCheckpoint()
+  /** Distributed connected components over an undirected pair list
+    * (columns `da`, `db`): returns (doc_id, label) where label = min
+    * doc_id of the component. Each round takes, per vertex, the min of
+    * its own label, its neighbors' labels (edge pull), and its label's
+    * label (pointer jump) — the pointer jump is what makes a chain
+    * converge in O(log diameter) rounds instead of diameter rounds, so
+    * the 25-round cap covers components of ~2^25 diameter, far past
+    * any real near-dup graph. Each round is two distributed joins + a
+    * min-aggregate on the pair graph only; localCheckpoint cuts the
+    * iterative lineage. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db"), col("da")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
     var iter = 0
-    var converged = false
-    while (!converged && iter < 20) {
-      val pulled = edges.join(labels, edges("dst") === labels("doc_id"))
+    var converged = labels.isEmpty
+    while (!converged && iter < 25) {
+      val viaEdge = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
-      val next = labels.union(pulled)
+      val viaJump = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"))
+      val next = labels.union(viaEdge).union(viaJump)
         .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
       converged = next.as("n").join(labels.as("o"), "doc_id")
         .filter(col("n.label") =!= col("o.label")).isEmpty
@@ -302,13 +315,17 @@ object Dedup {
       iter += 1
     }
     assert(converged, s"label propagation did not converge in $iter rounds")
-    labels.groupBy(col("label").as("cluster_id"))
+    labels
+  }
+
+  def d7DupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(d2MinhashLsh(s, d).select(col("da"), col("db")))
+      .groupBy(col("label").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         max(col("doc_id")).as("max_doc_id"),
         (count(lit(1)) - 1).as("n_removed"))
       .orderBy("cluster_id")
-  }
 
   val d7Sql: String =
     s"""WITH RECURSIVE $duckPairsSql,

@@ -143,4 +143,37 @@ class DedupSpec extends AnyFunSuite {
     // representative is the cluster id itself; n_removed counts the rest
     clusters.foreach { case (_, n, removed) => assert(removed == n - 1 && n >= 2) }
   }
+
+  test("connectedComponents matches union-find on adversarial graphs (chain, rings, random)") {
+    import spark.implicits._
+    def truthOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    def check(pairs: Seq[(Long, Long)], name: String): Unit = {
+      val got = Dedup.connectedComponents(pairs.toDF("da", "db")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+      assert(got == truthOf(pairs), s"$name: components differ")
+    }
+    // 120-node chain: diameter 119 — pure edge-pull propagation would
+    // need 119 rounds; the pointer jump must close it within the cap
+    check((0L until 119L).map(i => (i, i + 1)), "chain-120")
+    // two rings joined by one bridge, labels descending against the walk
+    val ring1 = (0L until 30L).map(i => (i, (i + 1) % 30))
+    val ring2 = (100L until 130L).map(i => (i, 100L + (i - 99L) % 30))
+    check(ring1 ++ ring2 :+ (29L -> 115L), "bridged-rings")
+    // deterministic pseudo-random sparse graph
+    val rnd = new scala.util.Random(42)
+    val rand = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    check(rand, "random-80")
+  }
 }
