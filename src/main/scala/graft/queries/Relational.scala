@@ -754,6 +754,35 @@ object Relational {
       |QUALIFY dense_rank() OVER w <= 3
       |ORDER BY nationkey, drank, c_custkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B28: map functions — per-user event-type histogram built as a real
+  // MapType column (collect_list → sort_array → map_from_entries, the
+  // sort making the map's entry order deterministic), then read back
+  // with element_at. The oracle sees only the scalar lookups, so the
+  // comparison is on semantics, not map serialization. Two shuffles
+  // ((user,type) then user) with partial aggregation on both.
+  // -------------------------------------------------------------------
+  def b28MapFuncs(s: SparkSession, d: String): DataFrame = {
+    val perType = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    perType
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("c"))))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        size(col("m")).cast("long").as("n_types"))
+      .orderBy("user_id")
+  }
+
+  val b28Sql: String =
+    """SELECT user_id,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |       COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -782,5 +811,6 @@ object Relational {
     ("b24_skew_join", b24SkewJoin _, b24Sql),
     ("b25_moving_avg", b25MovingAvg _, b25Sql),
     ("b26_intersect", b26Intersect _, b26Sql),
-    ("b27_rank_family", b27RankFamily _, b27Sql))
+    ("b27_rank_family", b27RankFamily _, b27Sql),
+    ("b28_map_funcs", b28MapFuncs _, b28Sql))
 }
