@@ -176,18 +176,25 @@ object TextStats {
   // 8-char fold is O(8n) portable SQL; the O(n) true-rolling variant is
   // a custom-Expression optimization, not a semantics change.
   // -------------------------------------------------------------------
-  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(length(col("text")) >= 11)
-    val pos = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"),
+  /** Distinct winnowing fingerprints (poly-hash 8-grams, window-4 min)
+    * per document — shared by T4 (intra-corpus pairs) and T7
+    * (cross-split contamination). Input needs doc_id + text. */
+  private def winnowFps(docs: DataFrame): DataFrame = {
+    val eligible = docs.filter(length(col("text")) >= 11)
+    val pos = eligible.select(col("doc_id"), col("text"), length(col("text")).as("len"),
       explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
     val kh = pos.select(col("doc_id"), col("len"), col("i"),
       aggregate(sequence(col("i"), col("i") + 7), lit(0L),
         (h, j) => (h * 257 + ascii(col("text").substr(j, lit(1)))) % P).as("h"))
-    val fps = kh
+    kh
       .withColumn("fp", min(col("h")).over(
         Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
       .filter(col("i") <= col("len") - 10)
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFps(Tables.documents(s, d))
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = fps.as("x").join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
@@ -202,8 +209,10 @@ object TextStats {
       .orderBy("da", "db")
   }
 
-  val t4Sql: String =
-    s"""WITH pos AS (SELECT doc_id, text, length(text) AS len, CAST(i AS INT) AS i
+  /** Shared DuckDB CTE chain ending in `fps(doc_id, fp)` — the
+    * winnowing fingerprints used by both t4 and t7 oracles. */
+  private val duckFpsSql: String =
+    s"""pos AS (SELECT doc_id, text, length(text) AS len, CAST(i AS INT) AS i
       |             FROM documents, UNNEST(range(1, length(text)-6)) AS u(i)
       |             WHERE length(text) >= 11),
       |kh AS (SELECT doc_id, len, i,
@@ -213,7 +222,10 @@ object TextStats {
       |win AS (SELECT doc_id, i, len,
       |          MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       |        FROM kh),
-      |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= len - 10),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= len - 10)""".stripMargin
+
+  val t4Sql: String =
+    s"""WITH $duckFpsSql,
       |counts AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
       |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
       |          FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
@@ -261,16 +273,19 @@ object TextStats {
   // changes when other docs are added). One narrow projection + one
   // shuffle on the 3-value split key.
   // -------------------------------------------------------------------
+  /** The stable 0..99 bucket and 80/10/10 split assignment shared by
+    * T6 (split summary) and T7 (contamination scan). */
+  private def bucketCol: org.apache.spark.sql.Column = pmod(
+    conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
+    lit(100L))
+
+  private def splitCol: org.apache.spark.sql.Column =
+    when(bucketCol < 80, "train").when(bucketCol < 90, "val").otherwise("test")
+
   def t6Split(s: SparkSession, d: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
-      lit(100L))
     Tables.documents(s, d)
-      .withColumn("bucket", bucket)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitCol)
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -281,20 +296,66 @@ object TextStats {
       .orderBy("split")
   }
 
-  val t6Sql: String = {
-    val h = "list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)),1,12),''), " +
+  /** DuckDB rendering of the doc_id bucket hash (md5 fold, = Spark's
+    * conv(substr(md5,1,12),16,10)). */
+  private val duckDocHash: String =
+    "list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)),1,12),''), " +
       "c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c)"
-    s"""WITH b AS (SELECT doc_id, n_chars, $h % 100 AS bucket FROM documents),
+
+  /** DuckDB CTE `sp(doc_id, n_chars, split)` — the t6 split assignment. */
+  private val duckSplitSql: String =
+    s"""b AS (SELECT doc_id, n_chars, $duckDocHash % 100 AS bucket FROM documents),
       |sp AS (SELECT doc_id, n_chars,
       |              CASE WHEN bucket < 80 THEN 'train'
       |                   WHEN bucket < 90 THEN 'val'
       |                   ELSE 'test' END AS split
-      |       FROM b)
+      |       FROM b)""".stripMargin
+
+  val t6Sql: String =
+    s"""WITH $duckSplitSql
       |SELECT split, COUNT(*) AS n_docs,
       |       CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_chars,
       |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T7: train/test contamination scan — test-split documents that share
+  // a winnowing fingerprint (t4 machinery: any common substring ≥ 11
+  // chars leaves a shared fingerprint) with any train-split document.
+  // THE eval-integrity check for a training corpus. Matching is an
+  // equi-join on fingerprint between the two split projections — never
+  // a cross join — and the split assignment is the same stable hash as
+  // T6, so the scan is reproducible on any engine or partitioning.
+  // -------------------------------------------------------------------
+  def t7Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val splits = docs.select(col("doc_id"), splitCol.as("split"))
+    val fpSplit = winnowFps(docs).join(splits, "doc_id")
+    val train = fpSplit.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_doc"))
+    val test = fpSplit.filter(col("split") === "test")
+      .select(col("fp"), col("doc_id").as("test_doc"))
+    test.join(train, "fp")
+      .groupBy(col("test_doc").as("test_doc_id"))
+      .agg(
+        countDistinct(col("fp")).as("n_shared_fps"),
+        countDistinct(col("train_doc")).as("n_train_docs"),
+        min(col("train_doc")).as("first_train_doc"))
+      .orderBy("test_doc_id")
   }
+
+  val t7Sql: String =
+    s"""WITH $duckFpsSql,
+      |$duckSplitSql,
+      |fs AS (SELECT f.doc_id, f.fp, s.split FROM fps f JOIN sp s ON s.doc_id = f.doc_id),
+      |tr AS (SELECT fp, doc_id AS train_doc FROM fs WHERE split = 'train'),
+      |te AS (SELECT fp, doc_id AS test_doc FROM fs WHERE split = 'test')
+      |SELECT te.test_doc AS test_doc_id,
+      |       COUNT(DISTINCT te.fp) AS n_shared_fps,
+      |       COUNT(DISTINCT train_doc) AS n_train_docs,
+      |       MIN(train_doc) AS first_train_doc
+      |FROM te JOIN tr ON tr.fp = te.fp
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val t5Sql: String =
     """WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
@@ -311,5 +372,6 @@ object TextStats {
     ("t3_token_stats", t3TokenStats _, t3Sql),
     ("t4_fingerprint", t4Fingerprint _, t4Sql),
     ("t5_vocab", t5Vocab _, t5Sql),
-    ("t6_split", t6Split _, t6Sql))
+    ("t6_split", t6Split _, t6Sql),
+    ("t7_contamination", t7Contamination _, t7Sql))
 }

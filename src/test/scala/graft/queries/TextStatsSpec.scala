@@ -93,6 +93,32 @@ class TextStatsSpec extends AnyFunSuite {
       s"missing winnowing pairs for strong near-dups: ${strong.diff(fpPairs)}")
   }
 
+  test("t7: contaminated test docs include every cross-split t4 near-dup pair") {
+    val rows = TextStats.t7Contamination(spark, sf).collect()
+    val flagged = rows.map(_.getAs[Long]("test_doc_id")).toSet
+    // split assignment replicated driver-side
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def bucket(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val split = docs.map(id => id ->
+      (if (bucket(id) < 80) "train" else if (bucket(id) < 90) "val" else "test")).toMap
+    // every flagged doc really is in the test split
+    flagged.foreach(idd => assert(split(idd) == "test", s"$idd not a test doc"))
+    // t4 pairs have fingerprint overlap >= 0.5, so any train/test pair
+    // must be flagged
+    val t4pairs = TextStats.t4Fingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    t4pairs.foreach { case (a, b) =>
+      if (split(a) == "train" && split(b) == "test") assert(flagged(b), s"missed $b (pair $a)")
+      if (split(b) == "train" && split(a) == "test") assert(flagged(a), s"missed $a (pair $b)")
+    }
+  }
+
   test("t6: hash split partitions the corpus 80/10/10 and is stable across runs") {
     val rows = TextStats.t6Split(spark, sf).collect()
     val total = graft.sources.Tables.documents(spark, sf).count()
