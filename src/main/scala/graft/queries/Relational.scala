@@ -436,7 +436,9 @@ object Relational {
   // scales to any corpus where one user's timeline fits a partition
   // group. Exact integer/none-float outputs.
   // -------------------------------------------------------------------
-  def b17Sessionize(s: SparkSession, d: String): DataFrame = {
+  /** Events with a 30-minute-gap session id per user — one shuffle on
+    * user_id; shared by B17 (session stats) and B29 (funnel). */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wAll = Window.partitionBy("user_id")
       .orderBy("ts", "event_id")
@@ -448,13 +450,16 @@ object Relational {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
           .otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(wAll))
+  }
+
+  def b17Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
       .groupBy(col("user_id"), col("sess_id"))
       .agg(
         count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"))
       .orderBy("user_id", "sess_id")
-  }
 
   val b17Sql: String =
     """WITH g AS (
@@ -783,6 +788,60 @@ object Relational {
       |       COUNT(DISTINCT event_type) AS n_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B29: ordered funnel over sessions — view → click (at or after the
+  // first view) → purchase (at or after that click), counted per
+  // session. Stage timestamps resolve by successive min-aggregate +
+  // equi-join on (user, session): each stage is one hash aggregate and
+  // one join on the already-shuffled session key, no per-event
+  // self-join. Ties (same-timestamp stages) count, matching the >=
+  // semantics on both engines.
+  // -------------------------------------------------------------------
+  def b29Funnel(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionized(s, d).select("user_id", "sess_id", "ts", "event_type")
+    val key = Seq("user_id", "sess_id")
+    val views = sess.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_view"))
+    val clicks = sess.filter(col("event_type") === "click")
+      .join(views, key)
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_click"))
+    val purchases = sess.filter(col("event_type") === "purchase")
+      .join(clicks, key)
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_purchase"))
+    sess.select(key.map(col): _*).distinct().agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(views.agg(count(lit(1)).as("n_view")))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  val b29Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM g),
+      |views AS (SELECT user_id, sess_id, MIN(ts) AS t_view FROM sess
+      |          WHERE event_type = 'view' GROUP BY 1, 2),
+      |clicks AS (SELECT s.user_id, s.sess_id, MIN(s.ts) AS t_click
+      |           FROM sess s JOIN views v ON v.user_id = s.user_id AND v.sess_id = s.sess_id
+      |           WHERE s.event_type = 'click' AND s.ts >= v.t_view GROUP BY 1, 2),
+      |purchases AS (SELECT s.user_id, s.sess_id, MIN(s.ts) AS t_purchase
+      |              FROM sess s JOIN clicks c ON c.user_id = s.user_id AND c.sess_id = s.sess_id
+      |              WHERE s.event_type = 'purchase' AND s.ts >= c.t_click GROUP BY 1, 2)
+      |SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, sess_id FROM sess) q) AS n_sessions,
+      |       (SELECT COUNT(*) FROM views) AS n_view,
+      |       (SELECT COUNT(*) FROM clicks) AS n_view_click,
+      |       (SELECT COUNT(*) FROM purchases) AS n_full_funnel""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -812,5 +871,6 @@ object Relational {
     ("b25_moving_avg", b25MovingAvg _, b25Sql),
     ("b26_intersect", b26Intersect _, b26Sql),
     ("b27_rank_family", b27RankFamily _, b27Sql),
-    ("b28_map_funcs", b28MapFuncs _, b28Sql))
+    ("b28_map_funcs", b28MapFuncs _, b28Sql),
+    ("b29_funnel", b29Funnel _, b29Sql))
 }

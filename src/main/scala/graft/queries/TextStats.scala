@@ -366,6 +366,37 @@ object TextStats {
       |      FROM c CROSS JOIN t QUALIFY rank <= 50)
       |SELECT rank, tok, cnt, share FROM r ORDER BY rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T8: domain-mixing weights — per-source sampling shares ∝
+  // sqrt(total chars), the sublinear reweighting used to keep large
+  // domains from swamping a training mix. sqrt (not pow) because IEEE
+  // requires sqrt to be correctly rounded — bit-identical on every
+  // engine — while pow may differ in the last ulp; the per-source
+  // weight is rounded to a DECIMAL(30,6) so the normalizing sum is
+  // exact and associative. One tiny aggregation: sources ≪ corpus.
+  // -------------------------------------------------------------------
+  def t8MixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w", round(sqrt(col("n_chars")), 6).cast(DecimalType(30, 6)))
+    val total = per.agg(sum(col("w")).as("tw"))
+    per.crossJoin(total)
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("w").cast("double") / col("tw").cast("double"), 6).as("share"))
+      .orderBy("source")
+  }
+
+  val t8Sql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |         CAST(ROUND(SQRT(SUM(n_chars)), 6) AS DECIMAL(30,6)) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT SUM(w) AS tw FROM per)
+      |SELECT source, n_docs, n_chars,
+      |       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share
+      |FROM per CROSS JOIN t ORDER BY source""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -373,5 +404,6 @@ object TextStats {
     ("t4_fingerprint", t4Fingerprint _, t4Sql),
     ("t5_vocab", t5Vocab _, t5Sql),
     ("t6_split", t6Split _, t6Sql),
-    ("t7_contamination", t7Contamination _, t7Sql))
+    ("t7_contamination", t7Contamination _, t7Sql),
+    ("t8_mix_weights", t8MixWeights _, t8Sql))
 }

@@ -132,6 +132,14 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got == c.intersect(su))
   }
 
+  test("b29: funnel stages are monotonically non-increasing") {
+    val r = Relational.b29Funnel(spark, sf).collect()(0)
+    val (n, v, vc, full) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_view_click"), r.getAs[Long]("n_full_funnel"))
+    assert(n >= v && v >= vc && vc >= full && full >= 0)
+    assert(v > 0, "no sessions with views at all — funnel vacuous")
+  }
+
   test("b27: rank family is internally consistent per nation") {
     val rows = Relational.b27RankFamily(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -119,6 +119,14 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t8: mixing shares are positive and sum to 1 within rounding") {
+    val rows = TextStats.t8MixWeights(spark, sf).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(_.getAs[Double]("share"))
+    shares.foreach(sh => assert(sh > 0 && sh < 1))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum to ${shares.sum}")
+  }
+
   test("t6: hash split partitions the corpus 80/10/10 and is stable across runs") {
     val rows = TextStats.t6Split(spark, sf).collect()
     val total = graft.sources.Tables.documents(spark, sf).count()
