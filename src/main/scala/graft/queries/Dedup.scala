@@ -35,12 +35,14 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** Portable 48-bit hash: first 12 hex chars of md5 as an integer. */
-  private def hash48(c: Column): Column =
+  /** Portable 48-bit hash: first 12 hex chars of md5 as an integer.
+    * Shared with TextStats (t6/t7 split bucketing) — the Spark and
+    * DuckDB renderings below are ONE invariant; keep them paired. */
+  private[queries] def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   /** DuckDB rendering of hash48 (no conv() there — fold hex nibbles). */
-  private def duckHash48(x: String): String =
+  private[queries] def duckHash48(x: String): String =
     s"list_reduce(list_transform(string_split(substr(md5($x),1,12),''), " +
       s"c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c)"
 
@@ -299,9 +301,14 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
+    // O(log diameter) rounds; 40 covers components of ~2^40 diameter.
+    // An explicit throw (NOT Predef.assert, which -Xdisable-assertions
+    // compiles away) guards the cap: wrong clusters must never ship
+    // silently.
+    val maxRounds = 40
     var iter = 0
     var converged = labels.isEmpty
-    while (!converged && iter < 25) {
+    while (!converged && iter < maxRounds) {
       val viaEdge = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
       val viaJump = labels.as("a")
@@ -314,7 +321,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    assert(converged, s"label propagation did not converge in $iter rounds")
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $maxRounds rounds")
     labels
   }
 

@@ -270,10 +270,18 @@ object Relational {
   // -------------------------------------------------------------------
   def b11TimeWindow(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      // window() (not date_trunc) so the bucket boundary is an absolute
+      // epoch-aligned instant: date_trunc truncates in the SESSION time
+      // zone and would only match the oracle (and the streaming twin in
+      // EventStream.hourlyAgg) when the session is pinned UTC; window()
+      // matches in any zone, including non-whole-hour offsets like
+      // Pacific/Chatham (+12:45).
+      .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"),
+        col("n_events"), col("sum_value"))
       .orderBy(col("hour_epoch"))
 
   val b11Sql: String =

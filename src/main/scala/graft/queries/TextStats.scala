@@ -274,10 +274,10 @@ object TextStats {
   // shuffle on the 3-value split key.
   // -------------------------------------------------------------------
   /** The stable 0..99 bucket and 80/10/10 split assignment shared by
-    * T6 (split summary) and T7 (contamination scan). */
-  private def bucketCol: org.apache.spark.sql.Column = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
-    lit(100L))
+    * T6 (split summary) and T7 (contamination scan); the hash is
+    * Dedup.hash48 so there is exactly one Spark/DuckDB fold invariant. */
+  private def bucketCol: org.apache.spark.sql.Column =
+    pmod(Dedup.hash48(col("doc_id").cast("string")), lit(100L))
 
   private def splitCol: org.apache.spark.sql.Column =
     when(bucketCol < 80, "train").when(bucketCol < 90, "val").otherwise("test")
@@ -296,11 +296,9 @@ object TextStats {
       .orderBy("split")
   }
 
-  /** DuckDB rendering of the doc_id bucket hash (md5 fold, = Spark's
-    * conv(substr(md5,1,12),16,10)). */
-  private val duckDocHash: String =
-    "list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)),1,12),''), " +
-      "c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c)"
+  /** DuckDB rendering of the doc_id bucket hash — same single
+    * invariant as bucketCol, rendered by Dedup.duckHash48. */
+  private val duckDocHash: String = Dedup.duckHash48("CAST(doc_id AS VARCHAR)")
 
   /** DuckDB CTE `sp(doc_id, n_chars, split)` — the t6 split assignment. */
   private val duckSplitSql: String =

@@ -30,7 +30,8 @@ class EventStreamSpec extends AnyFunSuite {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000), "stream did not finish within 120s")
+    finally q.stop()
 
     val got = spark.table("ev_hourly").collect()
       .map(r => (r.getAs[Long]("hour_epoch"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
