@@ -70,4 +70,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"pivot must not rescan to discover values:\n$p")
   }
+
+  test("candidate generation never plans an all-pairs join") {
+    // the dedup/fingerprint/contamination pipelines claim equi-join
+    // LSH/blocking candidate generation — an all-pairs (cartesian or
+    // non-broadcast nested-loop) join anywhere in those plans would be
+    // the O(n²) plan that dies at scale. (b12/s1/s2 intentionally
+    // broadcast a tiny build side via crossJoin and are excluded.)
+    for (q <- Seq("d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+        "d7_dup_clusters", "t4_fingerprint", "t7_contamination")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+  }
 }
