@@ -104,6 +104,99 @@ case class PolygonCentroid(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JVM kernel for [[WinnowFingerprints]] — winnowing document
+  * fingerprints (poly-hash over char-8-grams, window-4 minimum,
+  * distinct) in one O(n) pass with a TRUE rolling hash, replacing the
+  * O(8n) per-position refold of the declarative pipeline. Semantics
+  * are bit-identical to the SQL formulation in TextStats.t4/t7 and
+  * their DuckDB oracles:
+  *   h(i)  = fold_{j=0..7} (h*257 + codepoint(text[i+j])) mod 1e9+7
+  *   fp(i) = min(h(i)..h(i+3))  for i in [0, len-11]
+  *   out   = sorted distinct fp
+  * Codepoints (not UTF-16 chars, not bytes) because Spark's ascii()
+  * and DuckDB's unicode() both yield codepoints.
+  */
+object WinnowKernel {
+  private val P = 1000000007L
+  private val B = 257L
+  /** B^7 mod P, the coefficient of the outgoing character. */
+  private val POW7: Long = {
+    var r = 1L
+    var i = 0
+    while (i < 7) { r = r * B % P; i += 1 }
+    r
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < 11) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = n - 7
+    val khs = new Array[Long](nGrams)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h * B + cps(j)) % P; j += 1 }
+    khs(0) = h
+    var i = 1
+    while (i < nGrams) {
+      // remove cps(i-1), shift, add cps(i+7): stays in [0, P)
+      h = ((h + P - cps(i - 1) * POW7 % P) % P * B + cps(i + 7)) % P
+      khs(i) = h
+      i += 1
+    }
+    val nFps = n - 10
+    val fps = new Array[Long](nFps)
+    var k = 0
+    while (k < nFps) {
+      var m = khs(k)
+      if (khs(k + 1) < m) m = khs(k + 1)
+      if (khs(k + 2) < m) m = khs(k + 2)
+      if (khs(k + 3) < m) m = khs(k + 3)
+      fps(k) = m
+      k += 1
+    }
+    java.util.Arrays.sort(fps)
+    var w = 0
+    var r = 0
+    while (r < nFps) {
+      if (w == 0 || fps(r) != fps(w - 1)) { fps(w) = fps(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(fps, w))
+  }
+}
+
+/** `winnow_fps(text)` — the winnowing fingerprint set as a native
+  * codegen expression. The declarative version explodes one row per
+  * character position before hashing (8× refold per position, a
+  * position×row blowup through the shuffle); this computes the whole
+  * distinct fingerprint set in one pass inside WholeStageCodegen and
+  * only then explodes, so the per-position intermediate never
+  * materializes.
+  */
+case class WinnowFingerprints(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps expects string, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(text: Any): Any =
+    WinnowKernel.compute(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WinnowKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** `alert_to_features(struct(<CapAlert columns>))` — the X2 fan-out
   * (task.ts:644-875) as a custom Catalyst [[Generator]] (UDTF analog,
   * SURVEY §2.6): one alert row generates 0..2N feature rows directly in
@@ -169,6 +262,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("alert_to_features"),
       new ExpressionInfo(classOf[AlertToFeatures].getName, "alert_to_features"),
       (exprs: Seq[Expression]) => AlertToFeatures(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head)))
   }
 }
 
@@ -181,6 +278,8 @@ object GraftFunctions {
       "polygon_centroid", exprs => PolygonCentroid(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "alert_to_features", exprs => AlertToFeatures(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "winnow_fps", exprs => WinnowFingerprints(exprs.head), "scala_udf")
     spark.udf.register("centroid_agg", udaf(CentroidAgg))
   }
 }

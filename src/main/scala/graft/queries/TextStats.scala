@@ -178,19 +178,16 @@ object TextStats {
   // -------------------------------------------------------------------
   /** Distinct winnowing fingerprints (poly-hash 8-grams, window-4 min)
     * per document — shared by T4 (intra-corpus pairs) and T7
-    * (cross-split contamination). Input needs doc_id + text. */
+    * (cross-split contamination). Computed by the native O(n)
+    * rolling-hash expression [[graft.plans.WinnowFingerprints]]
+    * (bit-identical to the declarative per-position formulation the
+    * DuckDB oracle still uses — the unchanged oracle hashes ARE the
+    * equivalence proof): one codegen pass per document, no
+    * position×row explode through the shuffle. */
   private def winnowFps(docs: DataFrame): DataFrame = {
-    val eligible = docs.filter(length(col("text")) >= 11)
-    val pos = eligible.select(col("doc_id"), col("text"), length(col("text")).as("len"),
-      explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
-    val kh = pos.select(col("doc_id"), col("len"), col("i"),
-      aggregate(sequence(col("i"), col("i") + 7), lit(0L),
-        (h, j) => (h * 257 + ascii(col("text").substr(j, lit(1)))) % P).as("h"))
-    kh
-      .withColumn("fp", min(col("h")).over(
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
-      .filter(col("i") <= col("len") - 10)
-      .select(col("doc_id"), col("fp")).distinct()
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.filter(length(col("text")) >= 11)
+      .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
   }
 
   def t4Fingerprint(s: SparkSession, d: String): DataFrame = {

@@ -80,6 +80,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r2.isNullAt(0), "a point with < 2 coordinates must yield null")
   }
 
+  test("winnow_fps equals the declarative per-position formulation on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(length(col("text")) >= 11)
+    // the original O(8n) pipeline: explode positions, refold each
+    // 8-gram, window-4 min, distinct
+    val P = 1000000007L
+    val pos = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"),
+      explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+    val kh = pos.select(col("doc_id"), col("len"), col("i"),
+      aggregate(sequence(col("i"), col("i") + 7), lit(0L),
+        (h, j) => (h * 257 + ascii(col("text").substr(j, lit(1)))) % P).as("h"))
+    val declarative = kh
+      .withColumn("fp", min(col("h")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
+      .filter(col("i") <= col("len") - 10)
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = docs
+      .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
+  test("winnow_fps short strings and codegen residency") {
+    val empty = spark.sql("SELECT winnow_fps('short') AS f").collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty, "strings under 11 chars have no fingerprint")
+    val df = spark.range(50).selectExpr(
+      "winnow_fps(concat('abcdefghijklm-', CAST(id AS STRING))) AS f")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"project fell out of codegen:\n$plan")
+    assert(df.collect().forall(_.getSeq[Long](0).nonEmpty))
+  }
+
   test("alert_to_features rejects a struct with reordered fields at analysis time") {
     val ex = intercept[Exception] {
       spark.sql("SELECT alert_to_features(named_struct('sender', 'a', 'identifier', 'b'))").collect()
