@@ -799,29 +799,33 @@ object Relational {
   // -------------------------------------------------------------------
   // B29: ordered funnel over sessions — view → click (at or after the
   // first view) → purchase (at or after that click), counted per
-  // session. Stage timestamps resolve by successive min-aggregate +
-  // equi-join on (user, session): each stage is one hash aggregate and
-  // one join on the already-shuffled session key, no per-event
-  // self-join. Ties (same-timestamp stages) count, matching the >=
-  // semantics on both engines.
+  // session. Stage timestamps are stacked window-mins over the session
+  // partition (each conditioned on the previous stage's time), so the
+  // whole funnel is ONE scan of events and two shuffles (user_id for
+  // sessionization, then the session key) — a first formulation that
+  // joined per-stage aggregates back to the event stream planned 4
+  // separate scans of the fact table, which is 4× the I/O at 100 TB.
+  // Ties (same-timestamp stages) count, matching >= on both engines.
   // -------------------------------------------------------------------
   def b29Funnel(s: SparkSession, d: String): DataFrame = {
-    val sess = sessionized(s, d).select("user_id", "sess_id", "ts", "event_type")
-    val key = Seq("user_id", "sess_id")
-    val views = sess.filter(col("event_type") === "view")
-      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_view"))
-    val clicks = sess.filter(col("event_type") === "click")
-      .join(views, key)
-      .filter(col("ts") >= col("t_view"))
-      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_click"))
-    val purchases = sess.filter(col("event_type") === "purchase")
-      .join(clicks, key)
-      .filter(col("ts") >= col("t_click"))
-      .groupBy(key.map(col): _*).agg(min(col("ts")).as("t_purchase"))
-    sess.select(key.map(col): _*).distinct().agg(count(lit(1)).as("n_sessions"))
-      .crossJoin(views.agg(count(lit(1)).as("n_view")))
-      .crossJoin(clicks.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(purchases.agg(count(lit(1)).as("n_full_funnel")))
+    val wS = Window.partitionBy("user_id", "sess_id")
+    sessionized(s, d).select("user_id", "sess_id", "ts", "event_type")
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wS))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+          col("ts"))).over(wS))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+          col("ts"))).over(wS))
+      .groupBy("user_id", "sess_id")
+      .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purchase")).as("tp"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_view_click"),
+        count(col("tp")).as("n_full_funnel"))
   }
 
   val b29Sql: String =

@@ -71,6 +71,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"pivot must not rescan to discover values:\n$p")
   }
 
+  test("b29: the whole funnel reads events exactly once") {
+    val p = plan("b29_funnel")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"funnel must not rescan the fact table per stage:\n$p")
+  }
+
   test("candidate generation never plans an all-pairs join") {
     // the dedup/fingerprint/contamination pipelines claim equi-join
     // LSH/blocking candidate generation — an all-pairs (cartesian or
