@@ -95,7 +95,7 @@ class ScaleSpec extends AnyFunSuite {
     // determinism recipe's load-bearing claim: results identical under
     // radically different parallelism. Sample one query per family.
     val names = Seq("b2_hash_agg", "d2_minhash_lsh", "t1_lang_id", "s1_ann_lsh",
-      "m1_media_features")
+      "m1_media_features", "b29_funnel", "d7_dup_clusters", "t8_mix_weights")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val wide = SampleRunner.run(spark, sf, names, "32")
