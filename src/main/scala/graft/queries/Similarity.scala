@@ -98,8 +98,8 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
-  /** Exact re-rank of (qid, vec_id) candidates → top-5 per query. */
-  private def rerank(emb: DataFrame, cand: DataFrame): DataFrame = {
+  /** Exact re-rank of (qid, vec_id) candidates → top-k per query. */
+  private def rerank(emb: DataFrame, cand: DataFrame, k: Int = 5): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("e").as("qv")), "qid")
@@ -107,21 +107,23 @@ object Similarity {
       .select(col("qid"), col("vec_id"), cosine(col("e"), col("qv")).as("sim"))
     sims.withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("qid", "vec_id", "sim", "rank")
       .orderBy("qid", "rank")
   }
 
-  private val duckRerank =
-    """sims AS (
+  private def duckRerankK(k: Int) =
+    s"""sims AS (
       |  SELECT c.qid, c.vec_id,
       |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
       |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
       |  GROUP BY 1, 2),
       |ranked AS (SELECT qid, vec_id, sim,
       |                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
-      |           FROM sims QUALIFY rank <= 5)
+      |           FROM sims QUALIFY rank <= $k)
       |SELECT qid, vec_id, sim, rank FROM ranked ORDER BY qid, rank""".stripMargin
+
+  private val duckRerank = duckRerankK(5)
 
   // -------------------------------------------------------------------
   // S1: SRP-LSH top-5 for queries vec_id < 10. Bucket equi-join on
@@ -312,10 +314,42 @@ object Similarity {
       |  GROUP BY 1, 2, 3)
       |SELECT da, db, jacc, emb_cos FROM cos ORDER BY da, db""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S4: bulk kNN graph — approximate top-3 neighbors for EVERY vector
+  // (not just a query set), the all-pairs ANN pattern behind
+  // embedding-level corpus dedup and diversity sampling. Candidates
+  // come from a band self-join with 8-bit bands (2 bands from 16
+  // planes): a random pair collides with probability ≈ 2·2^-8 ≈ 0.8%,
+  // so the candidate set is ~0.8% of the n² pair space — the self-join
+  // shuffles on (band, bval) and the re-rank touches candidates only.
+  // Vectors whose buckets contain no other vector simply emit no rows
+  // (an empty neighborhood is a valid kNN-graph answer for a pruning
+  // index; the spec measures coverage).
+  // -------------------------------------------------------------------
+  def s4KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val b = bands(s, emb, 16, 8)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    rerank(emb, cand, k = 3)
+  }
+
+  val s4Sql: String =
+    s"""WITH ${duckPlanes(16)},
+      |${duckBands(8)},
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
+      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      |         WHERE a.vec_id <> b.vec_id),
+      |${duckRerankK(3)}""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
     ("s3_norm_stats", s3NormStats _, s3Sql),
+    ("s4_knn_graph", s4KnnGraph _, s4Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql))
 }

@@ -62,6 +62,19 @@ class SimilaritySpec extends AnyFunSuite {
     truthPairs.count(found).toDouble / truthPairs.size
   }
 
+  test("s4: kNN graph is well-formed, covers most vectors, and respects k=3") {
+    val rows = Similarity.s4KnnGraph(spark, sf).collect()
+    checkShape(rows)
+    rows.foreach(r => assert(r.getAs[Long]("rank") <= 3))
+    // no self-edges
+    rows.foreach(r => assert(r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    // with 2 bands × 8 bits over this corpus most vectors should find
+    // at least one bucket-mate
+    val total = Tables.embeddings(spark, sf).count()
+    val covered = rows.map(_.getAs[Long]("qid")).distinct.length
+    assert(covered >= total / 2, s"kNN graph covers only $covered of $total vectors")
+  }
+
   test("s1: LSH top-k is well-formed and recalls part of the true top-5") {
     val rows = Similarity.s1AnnLsh(spark, sf).collect()
     checkShape(rows)
