@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -36,7 +37,7 @@ object PolygonCentroidKernel {
       if (ring.isNullAt(v) || ring.getArray(v).numElements() < 2) return null
       v += 1
     }
-    if (n < 3) return new GenericArrayData(Array(0.0, 0.0))
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array(0.0, 0.0))
     var area = 0.0
     var cx = 0.0
     var cy = 0.0
@@ -61,9 +62,9 @@ object PolygonCentroidKernel {
         x += p.getDouble(0); y += p.getDouble(1)
         j += 1
       }
-      new GenericArrayData(Array(x / n, y / n))
+      UnsafeArrayData.fromPrimitiveArray(Array(x / n, y / n))
     } else {
-      new GenericArrayData(Array(cx / (6 * area), cy / (6 * area)))
+      UnsafeArrayData.fromPrimitiveArray(Array(cx / (6 * area), cy / (6 * area)))
     }
   }
 }
@@ -130,7 +131,7 @@ object WinnowKernel {
   def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length
-    if (n < 11) return new GenericArrayData(Array.emptyLongArray)
+    if (n < 11) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val nGrams = n - 7
     val khs = new Array[Long](nGrams)
     var h = 0L
@@ -162,7 +163,9 @@ object WinnowKernel {
       if (w == 0 || fps(r) != fps(w - 1)) { fps(w) = fps(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(fps, w))
+    // fromPrimitiveArray keeps the longs unboxed (GenericArrayData would
+    // wrap them in Array[Any], one java.lang.Long per fingerprint)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(fps, w))
   }
 }
 
@@ -272,6 +275,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Registration for an already-built session (tests, REPL) plus the
   * UDAF, which goes through the udf registry rather than extensions. */
 object GraftFunctions {
+
+  /** Idempotent, cheap registration of just `winnow_fps` — called from
+    * query builders, which must not re-derive the UDAF encoders or
+    * rebind every function on every DataFrame construction. */
+  def ensureWinnow(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("winnow_fps")))
+      registry.createOrReplaceTempFunction(
+        "winnow_fps", exprs => WinnowFingerprints(exprs.head), "scala_udf")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(

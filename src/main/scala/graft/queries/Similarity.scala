@@ -319,17 +319,26 @@ object Similarity {
   // (not just a query set), the all-pairs ANN pattern behind
   // embedding-level corpus dedup and diversity sampling. Candidates
   // come from a band self-join with 8-bit bands (2 bands from 16
-  // planes): a random pair collides with probability ≈ 2·2^-8 ≈ 0.8%,
-  // so the candidate set is ~0.8% of the n² pair space — the self-join
-  // shuffles on (band, bval) and the re-rank touches candidates only.
-  // Vectors whose buckets contain no other vector simply emit no rows
-  // (an empty neighborhood is a valid kNN-graph answer for a pruning
-  // index; the spec measures coverage).
+  // planes) CAPPED at 64 vectors per bucket: buckets above the cap are
+  // dropped entirely (the classic LSH bucket-cap — an overfull bucket
+  // means the band carries no discriminating information for its
+  // members). The cap is what bounds the join: candidates ≤
+  // nBuckets·C² ≤ nBands·n·C = O(n), NOT a constant fraction of the n²
+  // pair space — without it a fixed band width makes the self-join
+  // Θ(n²) at any corpus size. Vectors whose buckets are all empty or
+  // overfull emit no rows (a valid kNN-graph answer for a pruning
+  // index; the spec measures coverage and recall on a query sample).
   // -------------------------------------------------------------------
+  private val S4BucketCap = 64
+
   def s4KnnGraph(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val b = bands(s, emb, 16, 8)
-    val cand = b.as("a").join(b.as("b"),
+    val small = b.groupBy("band", "bval")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= S4BucketCap)
+      .select("band", "bval")
+    val bounded = b.join(small, Seq("band", "bval"))
+    val cand = bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
@@ -340,8 +349,12 @@ object Similarity {
   val s4Sql: String =
     s"""WITH ${duckPlanes(16)},
       |${duckBands(8)},
+      |small AS (SELECT band, bval FROM bands GROUP BY band, bval
+      |          HAVING COUNT(*) <= $S4BucketCap),
+      |bounded AS (SELECT b.vec_id, b.band, b.bval
+      |            FROM bands b JOIN small USING (band, bval)),
       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
-      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      |         FROM bounded a JOIN bounded b ON a.band = b.band AND a.bval = b.bval
       |         WHERE a.vec_id <> b.vec_id),
       |${duckRerankK(3)}""".stripMargin
 

@@ -185,7 +185,7 @@ object TextStats {
     * equivalence proof): one codegen pass per document, no
     * position×row explode through the shuffle. */
   private def winnowFps(docs: DataFrame): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
+    graft.plans.GraftFunctions.ensureWinnow(docs.sparkSession)
     docs.filter(length(col("text")) >= 11)
       .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
   }

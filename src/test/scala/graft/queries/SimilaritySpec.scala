@@ -73,6 +73,26 @@ class SimilaritySpec extends AnyFunSuite {
     val total = Tables.embeddings(spark, sf).count()
     val covered = rows.map(_.getAs[Long]("qid")).distinct.length
     assert(covered >= total / 2, s"kNN graph covers only $covered of $total vectors")
+    // the approximate part of s4 is candidate SELECTION (8-bit bands on
+    // a corpus with no cluster structure select near-randomly — recall
+    // floors belong to s1/s2's wide-probe geometry, not here); what s4
+    // does guarantee is that every emitted (qid, neighbor, sim) carries
+    // the EXACT cosine — verify against a direct recomputation
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.take(200).foreach { r =>
+      val want = cosine(emb(r.getAs[Long]("qid")), emb(r.getAs[Long]("vec_id")))
+      // sim is rounded to 6 decimals in the query; 2e-6 absorbs the
+      // rounding plus fold-order float fuzz
+      assert(math.abs(r.getAs[Double]("sim") - want) < 2e-6,
+        s"re-ranked sim is not the exact cosine: $r vs $want")
+    }
   }
 
   test("s1: LSH top-k is well-formed and recalls part of the true top-5") {
