@@ -84,7 +84,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the O(n²) plan that dies at scale. (b12/s1/s2 intentionally
     // broadcast a tiny build side via crossJoin and are excluded.)
     for (q <- Seq("d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
-        "d7_dup_clusters", "t4_fingerprint", "t7_contamination")) {
+        "d7_dup_clusters", "t4_fingerprint", "t7_contamination", "s4_knn_graph")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
