@@ -45,14 +45,17 @@ object Similarity {
     emb.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>"))).toDF("vec_id", "d", "x")
 
-  /** nPlanes×64 integer hyperplane weights in [-1000, 1000], md5-derived. */
-  private def planes(s: SparkSession, nPlanes: Int): DataFrame = {
-    val p = s.range(nPlanes).toDF("p")
-    val dd = s.range(64).toDF("d")
-    p.crossJoin(dd).select(col("p"), col("d"),
-      (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
-        .cast("long") % 2001 - 1000).as("w"))
-  }
+  /** nPlanes×64 integer hyperplane weights in [-1000, 1000],
+    * md5-derived. One range + div/mod, not a crossJoin of two ranges —
+    * the crossJoin planned a (tiny but guard-tripping)
+    * BroadcastNestedLoopJoin in every similarity query. */
+  private def planes(s: SparkSession, nPlanes: Int): DataFrame =
+    s.range(nPlanes.toLong * 64).select(
+      expr("id div 64").as("p"),
+      (col("id") % 64).as("d"))
+      .select(col("p"), col("d"),
+        (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
 
   private def duckPlanes(nPlanes: Int) =
     s"""planes AS (SELECT p, d,
