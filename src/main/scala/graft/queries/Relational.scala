@@ -854,6 +854,37 @@ object Relational {
       |       (SELECT COUNT(*) FROM clicks) AS n_view_click,
       |       (SELECT COUNT(*) FROM purchases) AS n_full_funnel""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B30: date arithmetic — order age in whole days against a fixed
+  // reference date, bucketed into 365-day years. Integer day diffs are
+  // engine-exact (B11 covers truncation/windowing; this covers the
+  // datediff/bucketing surface); one scan + one shuffle on the tiny
+  // bucket key.
+  // -------------------------------------------------------------------
+  def b30DateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("age_days",
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date")).cast("long"))
+      .groupBy((col("age_days") / 365).cast("long").as("age_years"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("age_days")).as("min_days"),
+        max(col("age_days")).as("max_days"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("age_years")
+
+  val b30Sql: String =
+    """WITH aged AS (
+      |  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS age_days,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT CAST(age_days // 365 AS BIGINT) AS age_years,
+      |       COUNT(*) AS n_orders,
+      |       MIN(age_days) AS min_days,
+      |       MAX(age_days) AS max_days,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+      |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -884,5 +915,6 @@ object Relational {
     ("b26_intersect", b26Intersect _, b26Sql),
     ("b27_rank_family", b27RankFamily _, b27Sql),
     ("b28_map_funcs", b28MapFuncs _, b28Sql),
-    ("b29_funnel", b29Funnel _, b29Sql))
+    ("b29_funnel", b29Funnel _, b29Sql),
+    ("b30_date_arith", b30DateArith _, b30Sql))
 }
