@@ -44,6 +44,17 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Watermarked stream dedup on event_id (SURVEY §2.9 "dedup across
+    * batches"): duplicates arriving within the 2-hour event-time
+    * watermark are dropped with BOUNDED state —
+    * dropDuplicatesWithinWatermark evicts seen-key state once the
+    * watermark passes it, where a plain dropDuplicates would grow
+    * state forever on an unbounded stream. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
     * and the exact-decimal value sum per event-time hour. Produces the
     * same rows as `Relational.b11TimeWindow` on the same input. */

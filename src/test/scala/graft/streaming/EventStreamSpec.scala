@@ -42,4 +42,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
     assert(got == want, "stream and batch disagree on the hourly windows")
   }
+
+  test("watermarked stream dedup collapses a doubled event stream to the distinct ids") {
+    // feed every event twice (union with itself): within-watermark
+    // duplicates must collapse to exactly one row per event_id
+    val doubled = EventStream.readEvents(spark, sf)
+      .union(EventStream.readEvents(spark, sf))
+    val q = EventStream.dedupedEvents(doubled)
+      .groupBy().count()
+      .writeStream
+      .format("memory")
+      .queryName("ev_dedup")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "dedup stream did not finish within 120s")
+    finally q.stop()
+    val got = spark.table("ev_dedup").collect()(0).getLong(0)
+    val want = graft.sources.Tables.events(spark, sf).count()
+    assert(got == want, s"expected $want distinct events, got $got")
+  }
 }
