@@ -29,7 +29,8 @@ object Bench {
           try {
             val df = fn(spark, sfDir)
             df.collect() // warmup: scan/codegen/broadcast caches
-            val runs = Seq.fill(3) {
+            // median-of-5, matching the BASELINE.md methodology
+            val runs = Seq.fill(5) {
               val t0 = System.nanoTime()
               df.collect()
               (System.nanoTime() - t0) / 1e9
