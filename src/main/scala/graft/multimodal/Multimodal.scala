@@ -186,7 +186,51 @@ object Multimodal {
       |WHERE doc_id % 3 = 2 AND k*$FrameStride + $FrameLen <= length(text)
       |ORDER BY asset_id, frame_idx""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M3: resize pass over the decoded corpus — caps the longest side at
+  // 32 via resizeMeta and reports, per kind, how many assets actually
+  // shrank and the post-resize dimension profile. This puts the resize
+  // operator itself (not just decode/extract) under the DuckDB oracle.
+  // -------------------------------------------------------------------
+  private val ResizeMax = 32
+
+  def m3Resize(s: SparkSession, d: String): DataFrame = {
+    resizeMeta(extractFeatures(assets(s, d)), ResizeMax).toDF()
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(when(greatest(col("width"), col("height")) === ResizeMax, 1L).otherwise(0L))
+          .as("n_capped"),
+        round(sum(col("width").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_width_after"),
+        max(col("height")).as("max_height_after"))
+      .orderBy("kind")
+  }
+
+  val m3Sql: String =
+    s"""WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE 16 + unicode(substr(text, 1, 1)) % 64 END AS w0,
+      |         CASE WHEN length(text) = 0 THEN 0
+      |              ELSE 16 + unicode(substr(text, length(text), 1)) % 64 END AS h0
+      |  FROM documents),
+      |resized AS (
+      |  SELECT asset_id, kind,
+      |         CASE WHEN GREATEST(w0, h0) <= $ResizeMax OR GREATEST(w0, h0) = 0 THEN w0
+      |              ELSE w0 * $ResizeMax // GREATEST(w0, h0) END AS width,
+      |         CASE WHEN GREATEST(w0, h0) <= $ResizeMax OR GREATEST(w0, h0) = 0 THEN h0
+      |              ELSE h0 * $ResizeMax // GREATEST(w0, h0) END AS height
+      |  FROM dims)
+      |SELECT kind, COUNT(*) AS n_assets,
+      |       CAST(SUM(CASE WHEN GREATEST(width, height) = $ResizeMax THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+      |       CAST(ROUND(SUM(CAST(width AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_width_after,
+      |       CAST(MAX(height) AS INT) AS max_height_after
+      |FROM resized GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("m1_media_features", m1MediaFeatures _, m1Sql),
-    ("m2_frame_sample", m2FrameSample _, m2Sql))
+    ("m2_frame_sample", m2FrameSample _, m2Sql),
+    ("m3_resize", m3Resize _, m3Sql))
 }

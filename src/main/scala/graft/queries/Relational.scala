@@ -885,6 +885,35 @@ object Relational {
       |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
       |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B31: scalar string-function depth beyond B9's regex path — key
+  // normalization with replace/upper/lower/lpad/substring, all
+  // codegen-resident and engine-portable. lpad gives the size a
+  // fixed-width key whose lexicographic MIN/MAX equals the numeric
+  // one.
+  // -------------------------------------------------------------------
+  def b31StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        upper(regexp_replace(col("p_brand"), "#", "_")).as("brand_key"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_key"),
+        lower(substring(col("p_type"), 1, 6)).as("type_prefix"))
+      .groupBy("brand_key")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("size_key")).as("min_size_key"),
+        max(col("size_key")).as("max_size_key"),
+        countDistinct(col("type_prefix")).as("n_type_prefixes"))
+      .orderBy("brand_key")
+
+  val b31Sql: String =
+    """SELECT UPPER(REPLACE(p_brand, '#', '_')) AS brand_key,
+      |       COUNT(*) AS n_parts,
+      |       MIN(LPAD(CAST(p_size AS VARCHAR), 3, '0')) AS min_size_key,
+      |       MAX(LPAD(CAST(p_size AS VARCHAR), 3, '0')) AS max_size_key,
+      |       COUNT(DISTINCT LOWER(SUBSTR(p_type, 1, 6))) AS n_type_prefixes
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -916,5 +945,6 @@ object Relational {
     ("b27_rank_family", b27RankFamily _, b27Sql),
     ("b28_map_funcs", b28MapFuncs _, b28Sql),
     ("b29_funnel", b29Funnel _, b29Sql),
-    ("b30_date_arith", b30DateArith _, b30Sql))
+    ("b30_date_arith", b30DateArith _, b30Sql),
+    ("b31_string_funcs", b31StringFuncs _, b31Sql))
 }
