@@ -106,46 +106,59 @@ case class PolygonCentroid(child: Expression) extends UnaryExpression {
 }
 
 /** JVM kernel for [[WinnowFingerprints]] — winnowing document
-  * fingerprints (poly-hash over char-8-grams, window-4 minimum,
+  * fingerprints (poly-hash over char-K-grams, window-4 minimum,
   * distinct) in one O(n) pass with a TRUE rolling hash, replacing the
-  * O(8n) per-position refold of the declarative pipeline. Semantics
-  * are bit-identical to the SQL formulation in TextStats.t4/t7 and
-  * their DuckDB oracles:
-  *   h(i)  = fold_{j=0..7} (h*257 + codepoint(text[i+j])) mod 1e9+7
-  *   fp(i) = min(h(i)..h(i+3))  for i in [0, len-11]
+  * O(Kn) per-position refold of the declarative pipeline. Semantics
+  * are bit-identical to the SQL formulation in the TextStats.t4/t7
+  * DuckDB oracles:
+  *   h(i)  = fold_{j=0..K-1} (h*257 + codepoint(text[i+j])) mod 1e9+7
+  *   fp(i) = min(h(i)..h(i+3))  for i in [0, len-(K+3)]
   *   out   = sorted distinct fp
   * Codepoints (not UTF-16 chars, not bytes) because Spark's ascii()
   * and DuckDB's unicode() both yield codepoints.
+  *
+  * K = 25 (MOSS-scale noise threshold, vs the round-3 K = 8): a
+  * fingerprint is only shared by documents with a verbatim common
+  * substring of ≥ K chars (winnowing guarantee: any match of
+  * ≥ K+3 = 28 chars shares a fingerprint). Short grams saturate — on
+  * the sf0.1 corpus 8-gram document frequencies reached 3813 and grew
+  * linearly with corpus size, making every fingerprint boilerplate at
+  * scale; 25-gram df tops out at 14 there and stays flat, so the
+  * t4/t7 fingerprint joins stay near-linear.
   */
 object WinnowKernel {
   private val P = 1000000007L
   private val B = 257L
-  /** B^7 mod P, the coefficient of the outgoing character. */
-  private val POW7: Long = {
+  /** Gram width. */
+  val K = 25
+  /** Winnowing window: min over 4 consecutive gram hashes. */
+  private val W = 4
+  /** B^(K-1) mod P, the coefficient of the outgoing character. */
+  private val POWK: Long = {
     var r = 1L
     var i = 0
-    while (i < 7) { r = r * B % P; i += 1 }
+    while (i < K - 1) { r = r * B % P; i += 1 }
     r
   }
 
   def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val cps = text.toString.codePoints().toArray
     val n = cps.length
-    if (n < 11) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    val nGrams = n - 7
+    if (n < K + W - 1) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val nGrams = n - (K - 1)
     val khs = new Array[Long](nGrams)
     var h = 0L
     var j = 0
-    while (j < 8) { h = (h * B + cps(j)) % P; j += 1 }
+    while (j < K) { h = (h * B + cps(j)) % P; j += 1 }
     khs(0) = h
     var i = 1
     while (i < nGrams) {
-      // remove cps(i-1), shift, add cps(i+7): stays in [0, P)
-      h = ((h + P - cps(i - 1) * POW7 % P) % P * B + cps(i + 7)) % P
+      // remove cps(i-1), shift, add cps(i+K-1): stays in [0, P)
+      h = ((h + P - cps(i - 1) * POWK % P) % P * B + cps(i + K - 1)) % P
       khs(i) = h
       i += 1
     }
-    val nFps = n - 10
+    val nFps = nGrams - (W - 1)
     val fps = new Array[Long](nFps)
     var k = 0
     while (k < nFps) {
@@ -171,7 +184,7 @@ object WinnowKernel {
 
 /** `winnow_fps(text)` — the winnowing fingerprint set as a native
   * codegen expression. The declarative version explodes one row per
-  * character position before hashing (8× refold per position, a
+  * character position before hashing (K× refold per position, a
   * position×row blowup through the shuffle); this computes the whole
   * distinct fingerprint set in one pass inside WholeStageCodegen and
   * only then explodes, so the per-position intermediate never

@@ -29,11 +29,43 @@ import graft.sources.Tables
   * shuffle subplans; in a long-running pipeline the shingle relation
   * would additionally be `persist()`ed (or written bucketed by doc_id)
   * across the candidate/verify stages — an orchestration concern, not
-  * a query-shape one, so the builders stay side-effect-free here.
+  * a query-shape one, so the builders stay side-effect-free here. The
+  * one intentionally stateful exception: [[connectedComponents]]
+  * localCheckpoints its pair input, because the iterative loop would
+  * otherwise replay the whole upstream LSH per round.
+  *
+  * Hot-bucket defense (round 4): every candidate-generating self-join
+  * is bucket-capped ([[BandBucketCap]]/[[D4BucketCap]]) and d2
+  * pre-collapses exact duplicates, so a mass-duplicated page degrades
+  * to a documented drop instead of an O(k²) join; ScaleSpec plants a
+  * 1000-doc cluster and asserts the bound.
   */
 object Dedup {
 
   private val P = 1000000007L
+
+  /** Hot-bucket cap for the d2/d3 LSH band self-joins (same rationale
+    * and value as [[Similarity]]'s s4 kNN cap): a (band, signature)
+    * bucket with more than this many documents carries no
+    * discriminating information — at 100 TB one mass-duplicated page
+    * would otherwise make the self-join quadratic in that bucket.
+    * Dropping the bucket bounds candidates at O(n · nBands · cap);
+    * pairs inside a dropped bucket can still surface through any of
+    * the other bands, and exact duplicates never reach the join at
+    * all (d2 pre-collapses them through the d1 md5 group). Measured
+    * max bucket at sf0.1 is 11, so the cap is invisible at the
+    * correctness SFs. */
+  private[queries] val BandBucketCap = 64
+
+  /** d4's length-band blocking cap. Length buckets are naturally much
+    * fatter than LSH buckets (every doc of similar length lands
+    * together — measured max 370 at sf0.1), so the cap sits at 512:
+    * high enough that the validation corpora keep every bucket, low
+    * enough that a mass-duplicated length band degrades to an explicit
+    * drop instead of an O(k²) join. d4 is the *guarded exact baseline*;
+    * corpora that outgrow its blocking belong on d2/d3/t4, whose
+    * signature buckets stay small. */
+  private[queries] val D4BucketCap = 512
 
   /** Portable 48-bit hash: first 12 hex chars of md5 as an integer.
     * Shared with TextStats (t6/t7 split bucketing) — the Spark and
@@ -56,11 +88,6 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
       .otherwise(array().cast("array<string>"))
   }
-
-  private val duckShingleSql =
-    """toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
-      |       FROM toks, UNNEST(range(0, len(t)-2)) AS u(i))""".stripMargin
 
   // -------------------------------------------------------------------
   // D1: exact deduplication — hash-groupBy on full text. One row of
@@ -97,11 +124,35 @@ object Dedup {
   // near min-wise independent. Double hashing + r=2 bands yields 0
   // misses vs all-pairs ground truth at sf0.001/0.01/0.1, with ≤1157
   // candidates at sf0.1.)
+  //
+  // Scale hardening (both engines, so the oracle moves in lockstep):
+  //  - exact duplicates are PRE-COLLAPSED through the d1 md5 group —
+  //    one representative (min doc_id) per distinct text enters LSH, so
+  //    a k-way duplicated page costs 1 signature, not k² verified
+  //    pairs; member pairs are expanded back afterwards (identical
+  //    texts ⇒ identical shingle sets ⇒ jacc 1.0 intra-group, and the
+  //    representative's verified jacc for cross-group pairs — a
+  //    lossless rewrite, checked against all-pairs ground truth in
+  //    DedupSpec);
+  //  - band buckets wider than BandBucketCap are dropped before the
+  //    self-join (see the cap's scaladoc).
   // -------------------------------------------------------------------
-  def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"),
+  /** One representative (min doc_id) per distinct text — d1's md5
+    * group as the LSH front door. `first(text)` is deterministic here:
+    * all texts within a group are byte-identical. */
+  private def d2Reps(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+
+  /** Distinct word-3-gram shingles of the representatives. */
+  private def repShingles(docs: DataFrame): DataFrame =
+    d2Reps(docs).select(col("doc_id"),
       explode(array_distinct(shingles(col("text")))).as("shingle"))
+
+  /** Candidate representative pairs from the capped band self-join —
+    * exposed for ScaleSpec's planted-cluster bound. */
+  private[queries] def d2Candidates(docs: DataFrame): DataFrame = {
+    val sh = repShingles(docs)
     val shh = sh.select(col("doc_id"),
       (hash48(col("shingle")) % P).as("h1"),
       (conv(substring(md5(col("shingle")), 13, 12), 16, 10).cast("long") % P).as("h2"))
@@ -112,19 +163,58 @@ object Dedup {
         struct(lit(t).as("band"),
           concat_ws(",", (0 until 2).map(j => col(s"mh${2 * t + j}")): _*).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val keep = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BandBucketCap).select("band", "sig")
+    val capped = bands.join(keep, Seq("band", "sig"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, sh, "shingle")
   }
 
-  /** Shared DuckDB CTE chain: shingles → minhash → bands → verified
-    * near-dup pairs at Jaccard ≥ 0.5 (ends with a `pairs` CTE). Used
-    * by both d2 (pair listing) and d7 (cluster closure). */
+  /** Full d2 over an arbitrary documents relation: collapse → LSH →
+    * verify → expand. */
+  private[queries] def d2Pairs(docs: DataFrame): DataFrame = {
+    val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
+      (size(split(col("text"), " ")) >= 3).as("shingled"))
+    val reps = d2Reps(docs)
+    val sh = repShingles(docs)
+    val repPairs = verifyJaccard(d2Candidates(docs), sh, "shingle")
+    val memRep = members.join(reps.select(col("th"), col("doc_id").as("rep")), "th")
+      .select(col("doc_id"), col("rep"))
+    // cross-group expansion: every member pair inherits the verified
+    // representative jacc (identical texts ⇒ identical shingle sets)
+    val cross = repPairs
+      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")), "da")
+      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")), "db")
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("jacc"))
+    // intra-group expansion: exact duplicates pair at jacc 1.0 — but
+    // only when the text actually shingles (< 3 tokens ⇒ empty shingle
+    // set ⇒ no Jaccard pair in the uncollapsed formulation either)
+    val intra = members.as("x").join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.shingled"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(1.0).as("jacc"))
+    cross.union(intra).orderBy("da", "db")
+  }
+
+  def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    d2Pairs(Tables.documents(s, d))
+
+  /** Shared DuckDB CTE chain mirroring [[d2Pairs]] exactly: exact-dup
+    * collapse → shingles → minhash → capped bands → verified rep pairs
+    * → member expansion (ends with a `pairs` CTE). Used by both d2
+    * (pair listing) and d7 (cluster closure). */
   private val duckPairsSql: String =
-    s"""$duckShingleSql,
+    s"""mem AS (SELECT doc_id, md5(text) AS th,
+      |            len(string_split(text,' ')) >= 3 AS shingled FROM documents),
+      |reps AS (SELECT md5(text) AS th, min(doc_id) AS doc_id, any_value(text) AS text
+      |         FROM documents GROUP BY 1),
+      |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM reps),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
+      |       FROM toks, UNNEST(range(0, len(t)-2)) AS u(i)),
       |shh AS (SELECT doc_id, ${duckHash48("shingle")} % $P AS h1,
       |        list_reduce(list_transform(string_split(substr(md5(shingle),13,12),''),
       |          c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c) % $P AS h2 FROM sh),
@@ -132,15 +222,25 @@ object Dedup {
       |       FROM shh, UNNEST(range(0,16)) AS u(j) GROUP BY 1,2),
       |bands AS (SELECT doc_id, j//2 AS band, array_to_string(list(mh ORDER BY j), ',') AS sig
       |          FROM mh GROUP BY 1,2),
-      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
-      |         JOIN bands b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id),
+      |bkeep AS (SELECT band, sig FROM bands GROUP BY band, sig
+      |          HAVING count(*) <= $BandBucketCap),
+      |bandsk AS (SELECT b.* FROM bands b JOIN bkeep USING (band, sig)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bandsk a
+      |         JOIN bandsk b ON a.band=b.band AND a.sig=b.sig AND a.doc_id<b.doc_id),
       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (SELECT da, db, count(*) AS c FROM cand
       |          JOIN sh x ON x.doc_id=da JOIN sh y ON y.doc_id=db AND y.shingle=x.shingle
       |          GROUP BY 1,2),
-      |pairs AS (SELECT da, db, ROUND(CAST(c AS DOUBLE)/(ca.n+cb.n-c), 6) AS jacc
+      |rpairs AS (SELECT da, db, ROUND(CAST(c AS DOUBLE)/(ca.n+cb.n-c), 6) AS jacc
       |          FROM inter JOIN counts ca ON ca.doc_id=da JOIN counts cb ON cb.doc_id=db
-      |          WHERE CAST(c AS DOUBLE)/(ca.n+cb.n-c) >= 0.5)""".stripMargin
+      |          WHERE CAST(c AS DOUBLE)/(ca.n+cb.n-c) >= 0.5),
+      |memrep AS (SELECT m.doc_id, r.doc_id AS rep FROM mem m JOIN reps r USING (th)),
+      |pairs AS (
+      |  SELECT LEAST(ma.doc_id, mb.doc_id) AS da, GREATEST(ma.doc_id, mb.doc_id) AS db, p.jacc
+      |  FROM rpairs p JOIN memrep ma ON ma.rep = p.da JOIN memrep mb ON mb.rep = p.db
+      |  UNION ALL
+      |  SELECT x.doc_id, y.doc_id, CAST(1.0 AS DOUBLE)
+      |  FROM mem x JOIN mem y ON x.th = y.th AND x.doc_id < y.doc_id AND x.shingled)""".stripMargin
 
   val d2Sql: String =
     s"""WITH $duckPairsSql
@@ -162,8 +262,12 @@ object Dedup {
   private val SimBits = 60
   private val SimBandBits = 15
 
-  def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** Capped band self-join candidates (da, db, sa, sb) — exposed for
+    * ScaleSpec's planted-cluster bound. The bucket cap is the only
+    * defense d3 has against a mass-duplicated page (no pre-collapse
+    * here: d3 is the near-but-not-exact detector; exact duplicates are
+    * d1/d2's job and enter a pipeline before simhash). */
+  private[queries] def d3Candidates(docs: DataFrame): DataFrame = {
     val th = docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
@@ -178,17 +282,23 @@ object Dedup {
         struct(lit(k).as("k"),
           shiftright(col("sim"), SimBandBits * k).bitwiseAND(mask).as("band"))): _*)).as("kb"))
       .select(col("doc_id"), col("sim"), col("kb.k").as("k"), col("kb.band").as("band"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val keep = bands.groupBy("k", "band").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= BandBucketCap).select("k", "band")
+    val capped = bands.join(keep, Seq("k", "band"))
+    capped.as("a").join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.sim").as("sa"), col("b.sim").as("sb"))
       .distinct()
-    cand.select(col("da"), col("db"),
+  }
+
+  def d3Simhash(s: SparkSession, d: String): DataFrame =
+    d3Candidates(Tables.documents(s, d))
+      .select(col("da"), col("db"),
         expr("bit_count(sa ^ sb)").cast("int").as("hd"))
       .filter(col("hd") <= 3)
       .orderBy(col("da"), col("db"))
-  }
 
   val d3Sql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -202,8 +312,11 @@ object Dedup {
       |            FROM bits GROUP BY 1),
       |bands AS (SELECT doc_id, k, (sim >> ($SimBandBits*k)) & ${(1L << SimBandBits) - 1} AS band, sim
       |          FROM simhash, UNNEST(range(0,4)) AS u(k)),
+      |bkeep AS (SELECT k, band FROM bands GROUP BY k, band
+      |          HAVING count(*) <= $BandBucketCap),
+      |bandsk AS (SELECT b.* FROM bands b JOIN bkeep USING (k, band)),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sim AS sa, b.sim AS sb
-      |         FROM bands a JOIN bands b
+      |         FROM bandsk a JOIN bandsk b
       |         ON a.k=b.k AND a.band=b.band AND a.doc_id<b.doc_id)
       |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hd
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
@@ -218,6 +331,20 @@ object Dedup {
   // Equi-join blocking keeps the pair set linear-ish in corpus size
   // instead of O(n²).
   // -------------------------------------------------------------------
+  /** Capped length-band candidates — exposed for ScaleSpec. */
+  private[queries] def d4Candidates(docs: DataFrame): DataFrame = {
+    val emit = docs.select(col("doc_id"), col("n_chars"),
+        explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)).as("bucket"))
+    val keep = emit.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D4BucketCap).select("bucket")
+    val capped = emit.join(keep, Seq("bucket"))
+    capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= 15)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val ng = docs.select(col("doc_id"), explode(array_distinct(
@@ -225,14 +352,7 @@ object Dedup {
           transform(sequence(lit(1), length(col("text")) - 4),
             i => col("text").substr(i, lit(5))))
           .otherwise(array().cast("array<string>")))).as("ng"))
-    val emit = docs.select(col("doc_id"), col("n_chars"),
-        explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)).as("bucket"))
-    val cand = emit.as("a").join(emit.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.n_chars") - col("b.n_chars")) <= 15)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    verifyJaccard(cand, ng, "ng")
+    verifyJaccard(d4Candidates(docs), ng, "ng").orderBy(col("da"), col("db"))
   }
 
   val d4Sql: String =
@@ -241,7 +361,9 @@ object Dedup {
       |counts AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY 1),
       |emit AS (SELECT doc_id, n_chars, (n_chars//16) + k AS bucket
       |         FROM documents, UNNEST(range(0,2)) AS u(k)),
-      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM emit a JOIN emit b
+      |bkeep AS (SELECT bucket FROM emit GROUP BY bucket HAVING count(*) <= $D4BucketCap),
+      |emitk AS (SELECT e.* FROM emit e JOIN bkeep USING (bucket)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM emitk a JOIN emitk b
       |         ON a.bucket=b.bucket AND a.doc_id<b.doc_id AND abs(a.n_chars-b.n_chars)<=15),
       |inter AS (SELECT da, db, count(*) AS c FROM cand
       |          JOIN ng x ON x.doc_id=da JOIN ng y ON y.doc_id=db AND y.ng=x.ng
@@ -252,7 +374,8 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   /** Shared candidate-verification: exact Jaccard over shared tokens,
-    * threshold on the raw double, round for output. */
+    * threshold on the raw double, round for output. Unordered — the
+    * callers order (or expand) the final relation. */
   private def verifyJaccard(cand: DataFrame, items: DataFrame, itemCol: String): DataFrame = {
     val counts = items.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -265,7 +388,6 @@ object Dedup {
       .join(counts.as("cb"), col("cb.doc_id") === col("db"))
       .filter(raw >= 0.5)
       .select(col("da"), col("db"), round(raw, 6).as("jacc"))
-      .orderBy(col("da"), col("db"))
   }
 
   // -------------------------------------------------------------------
@@ -291,14 +413,17 @@ object Dedup {
     * its own label, its neighbors' labels (edge pull), and its label's
     * label (pointer jump) — the pointer jump is what makes a chain
     * converge in O(log diameter) rounds instead of diameter rounds, so
-    * the 25-round cap covers components of ~2^25 diameter, far past
+    * the 40-round cap covers components of ~2^40 diameter, far past
     * any real near-dup graph. Each round is two distributed joins + a
     * min-aggregate on the pair graph only; localCheckpoint cuts the
-    * iterative lineage. */
+    * iterative lineage. The PAIRS input is checkpointed first, so an
+    * expensive upstream relation (d7 feeds the whole d2 LSH+verify
+    * subtree in) is evaluated exactly once, not once per derived
+    * branch or per iteration. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db"), col("da")))
-      .localCheckpoint()
+    val p = pairs.select(col("da"), col("db")).localCheckpoint()
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .union(p.select(col("db"), col("da")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
     // O(log diameter) rounds; 40 covers components of ~2^40 diameter.

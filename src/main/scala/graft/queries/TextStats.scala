@@ -168,35 +168,66 @@ object TextStats {
 
   // -------------------------------------------------------------------
   // T4: winnowing document fingerprints (MOSS-style): polynomial
-  // rolling hash (B=257 mod 1e9+7) over char-8-grams, window-4 minimum
-  // (winnowing guarantees any match ≥ 11 chars shares a fingerprint),
-  // distinct fingerprints per doc, then near-dup pairs by overlap
-  // coefficient ≥ 0.5 via an equi-join on fingerprint — candidate
-  // generation is again join-based, never O(n²). The per-position
-  // 8-char fold is O(8n) portable SQL; the O(n) true-rolling variant is
-  // a custom-Expression optimization, not a semantics change.
+  // rolling hash (B=257 mod 1e9+7) over char-25-grams, window-4 minimum
+  // (winnowing guarantees any verbatim match ≥ 28 chars shares a
+  // fingerprint), distinct fingerprints per doc, then near-dup pairs by
+  // overlap coefficient ≥ 0.5 via an equi-join on fingerprint —
+  // candidate generation is join-based, never O(n²). Two hot-key
+  // defenses keep the join near-linear at any corpus size:
+  //  - 25-char grams (round 3 used 8): short grams saturate — their
+  //    document frequency grows linearly with the corpus (measured max
+  //    3813 at sf0.1), so at scale every fingerprint is boilerplate;
+  //    25-gram df tops out at 14 there and stays flat, because a
+  //    shared fingerprint now requires a verbatim 25-char overlap;
+  //  - an explicit document-frequency cap (FpDfCap) on the JOIN side:
+  //    a fingerprint shared by more than FpDfCap documents carries no
+  //    pair-discriminating signal (boilerplate headers, licenses) and
+  //    would contribute O(df²) candidates. It is excluded from
+  //    matching but still counts in the per-doc totals, so overlap
+  //    scores can only drop — boilerplate can't vouch for a pair.
   // -------------------------------------------------------------------
-  /** Distinct winnowing fingerprints (poly-hash 8-grams, window-4 min)
+  /** Document-frequency cap for the t4/t7 fingerprint joins — the
+    * MOSS "ignore matches that appear in too many documents" rule.
+    * Candidates are bounded by sum(df²) over df ≤ cap ≤ n_fps·cap =
+    * O(n·cap). Measured max df at sf0.1 is 14, so the cap is invisible
+    * at the correctness SFs. */
+  private[queries] val FpDfCap = 64
+
+  /** Distinct winnowing fingerprints (poly-hash 25-grams, window-4 min)
     * per document — shared by T4 (intra-corpus pairs) and T7
     * (cross-split contamination). Computed by the native O(n)
     * rolling-hash expression [[graft.plans.WinnowFingerprints]]
     * (bit-identical to the declarative per-position formulation the
-    * DuckDB oracle still uses — the unchanged oracle hashes ARE the
+    * DuckDB oracle uses — the matching oracle hashes ARE the
     * equivalence proof): one codegen pass per document, no
     * position×row explode through the shuffle. */
-  private def winnowFps(docs: DataFrame): DataFrame = {
+  private[queries] def winnowFps(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.ensureWinnow(docs.sparkSession)
-    docs.filter(length(col("text")) >= 11)
+    docs.filter(length(col("text")) >= 28)
       .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+  }
+
+  /** The join-side fingerprint relation: df-capped (see FpDfCap). */
+  private[queries] def cappedFps(fps: DataFrame): DataFrame = {
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FpDfCap).select("fp")
+    fps.join(keep, "fp")
+  }
+
+  /** Capped fingerprint-join candidate pairs with shared-fp counts —
+    * exposed for ScaleSpec's planted-boilerplate bound. */
+  private[queries] def t4Candidates(fps: DataFrame): DataFrame = {
+    val fpj = cappedFps(fps)
+    fpj.as("x").join(fpj.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
   }
 
   def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
     val fps = winnowFps(Tables.documents(s, d))
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = fps.as("x").join(fps.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
+    val inter = t4Candidates(fps)
     val ov = col("c") / least(col("ca.n"), col("cb.n"))
     inter
       .join(counts.as("ca"), col("ca.doc_id") === col("da"))
@@ -206,26 +237,30 @@ object TextStats {
       .orderBy("da", "db")
   }
 
-  /** Shared DuckDB CTE chain ending in `fps(doc_id, fp)` — the
-    * winnowing fingerprints used by both t4 and t7 oracles. */
+  /** Shared DuckDB CTE chain ending in `fps(doc_id, fp)` (all
+    * fingerprints, the denominator side) and `fpj(doc_id, fp)` (the
+    * df-capped join side) — used by both t4 and t7 oracles. K = 25,
+    * window 4; mirrors WinnowKernel. */
   private val duckFpsSql: String =
     s"""pos AS (SELECT doc_id, text, length(text) AS len, CAST(i AS INT) AS i
-      |             FROM documents, UNNEST(range(1, length(text)-6)) AS u(i)
-      |             WHERE length(text) >= 11),
+      |             FROM documents, UNNEST(range(1, length(text)-23)) AS u(i)
+      |             WHERE length(text) >= 28),
       |kh AS (SELECT doc_id, len, i,
-      |         list_reduce(list_transform(range(0,8), j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
+      |         list_reduce(list_transform(range(0,25), j -> CAST(unicode(substr(text, CAST(i+j AS INT), 1)) AS BIGINT)),
       |                     (h,c) -> (h*257+c) % $P) AS h
       |       FROM pos),
       |win AS (SELECT doc_id, i, len,
       |          MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
       |        FROM kh),
-      |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= len - 10)""".stripMargin
+      |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= len - 27),
+      |fkeep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $FpDfCap),
+      |fpj AS (SELECT f.doc_id, f.fp FROM fps f JOIN fkeep USING (fp))""".stripMargin
 
   val t4Sql: String =
     s"""WITH $duckFpsSql,
       |counts AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
       |inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS c
-      |          FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |          FROM fpj x JOIN fpj y ON x.fp = y.fp AND x.doc_id < y.doc_id
       |          GROUP BY 1, 2)
       |SELECT da, db, ROUND(CAST(c AS DOUBLE)/LEAST(ca.n, cb.n), 6) AS overlap
       |FROM inter JOIN counts ca ON ca.doc_id = da JOIN counts cb ON cb.doc_id = db
@@ -315,17 +350,20 @@ object TextStats {
 
   // -------------------------------------------------------------------
   // T7: train/test contamination scan — test-split documents that share
-  // a winnowing fingerprint (t4 machinery: any common substring ≥ 11
-  // chars leaves a shared fingerprint) with any train-split document.
-  // THE eval-integrity check for a training corpus. Matching is an
-  // equi-join on fingerprint between the two split projections — never
-  // a cross join — and the split assignment is the same stable hash as
-  // T6, so the scan is reproducible on any engine or partitioning.
+  // a winnowing fingerprint (t4 machinery: any verbatim common
+  // substring ≥ 28 chars leaves a shared fingerprint) with any
+  // train-split document. THE eval-integrity check for a training
+  // corpus. Matching is an equi-join on fingerprint between the two
+  // split projections — never a cross join — over the df-capped
+  // fingerprint relation (t4's boilerplate rule: a fingerprint in more
+  // than FpDfCap documents indicts nothing), and the split assignment
+  // is the same stable hash as T6, so the scan is reproducible on any
+  // engine or partitioning.
   // -------------------------------------------------------------------
   def t7Contamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val splits = docs.select(col("doc_id"), splitCol.as("split"))
-    val fpSplit = winnowFps(docs).join(splits, "doc_id")
+    val fpSplit = cappedFps(winnowFps(docs)).join(splits, "doc_id")
     val train = fpSplit.filter(col("split") === "train")
       .select(col("fp"), col("doc_id").as("train_doc"))
     val test = fpSplit.filter(col("split") === "test")
@@ -342,7 +380,7 @@ object TextStats {
   val t7Sql: String =
     s"""WITH $duckFpsSql,
       |$duckSplitSql,
-      |fs AS (SELECT f.doc_id, f.fp, s.split FROM fps f JOIN sp s ON s.doc_id = f.doc_id),
+      |fs AS (SELECT f.doc_id, f.fp, s.split FROM fpj f JOIN sp s ON s.doc_id = f.doc_id),
       |tr AS (SELECT fp, doc_id AS train_doc FROM fs WHERE split = 'train'),
       |te AS (SELECT fp, doc_id AS test_doc FROM fs WHERE split = 'test')
       |SELECT te.test_doc AS test_doc_id,

@@ -81,21 +81,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("winnow_fps equals the declarative per-position formulation on the corpus") {
+    val K = graft.plans.WinnowKernel.K
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-      .filter(length(col("text")) >= 11)
-    // the original O(8n) pipeline: explode positions, refold each
-    // 8-gram, window-4 min, distinct
+      .filter(length(col("text")) >= K + 3)
+    // the original O(Kn) pipeline: explode positions, refold each
+    // K-gram, window-4 min, distinct
     val P = 1000000007L
     val pos = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"),
-      explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      explode(sequence(lit(1), length(col("text")) - (K - 1))).as("i"))
     val kh = pos.select(col("doc_id"), col("len"), col("i"),
-      aggregate(sequence(col("i"), col("i") + 7), lit(0L),
+      aggregate(sequence(col("i"), col("i") + (K - 1)), lit(0L),
         (h, j) => (h * 257 + ascii(col("text").substr(j, lit(1)))) % P).as("h"))
     val declarative = kh
       .withColumn("fp", min(col("h")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)))
-      .filter(col("i") <= col("len") - 10)
+      .filter(col("i") <= col("len") - (K + 2))
       .select(col("doc_id"), col("fp")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val native = docs
@@ -106,10 +107,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("winnow_fps short strings and codegen residency") {
-    val empty = spark.sql("SELECT winnow_fps('short') AS f").collect()(0).getSeq[Long](0)
-    assert(empty.isEmpty, "strings under 11 chars have no fingerprint")
+    val K = graft.plans.WinnowKernel.K
+    val under = "x" * (K + 2) // one char short of the K+3 minimum
+    val empty = spark.sql(s"SELECT winnow_fps('$under') AS f").collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty, s"strings under ${K + 3} chars have no fingerprint")
+    val atMin = spark.sql(s"SELECT winnow_fps('${"x" * (K + 3)}') AS f")
+      .collect()(0).getSeq[Long](0)
+    assert(atMin.nonEmpty, "the minimum-length string yields a fingerprint")
+    val pad = "abcdefghijklmnopqrstuvwxyz-" // 27 chars + id digits >= K+3
     val df = spark.range(50).selectExpr(
-      "winnow_fps(concat('abcdefghijklm-', CAST(id AS STRING))) AS f")
+      s"winnow_fps(concat('$pad', CAST(id AS STRING))) AS f")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"project fell out of codegen:\n$plan")
     assert(df.collect().forall(_.getSeq[Long](0).nonEmpty))

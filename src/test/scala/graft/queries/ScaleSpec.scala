@@ -91,6 +91,79 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("planted 1000-doc near-dup cluster: d2 band cap bounds candidates (no O(k²) blowup)") {
+    import spark.implicits._
+    // 1000 near-duplicates (shared 60-token base, unique tail token) —
+    // NOT exact dups, so pre-collapse can't help; the bucket cap must.
+    val base = (1 to 60).map(i => "tok" + i).mkString(" ")
+    val planted = (0 until 1000).map(i => (200000L + i, s"$base tail$i"))
+    val organic = (0 until 200).map(i =>
+      (300000L + i, (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+    val docs = (planted ++ organic).toDF("doc_id", "text")
+    val nCand = Dedup.d2Candidates(docs).count()
+    // uncapped, the cluster's shared band signatures alone would emit
+    // ~k²/2 ≈ 500k candidate pairs; capped buckets keep it O(n·cap)
+    assert(nCand < 100000, s"candidates not bucket-bounded: $nCand")
+  }
+
+  test("1000 exact duplicates enter d2's LSH once and expand to the k² output pairs") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // one representative → nothing to pair in the LSH join
+    assert(Dedup.d2Candidates(docs).count() == 0)
+    // ...but the full pair listing still reports every duplicate pair
+    val pairs = Dedup.d2Pairs(docs)
+    assert(pairs.count() == 1000L * 999 / 2)
+    val r = pairs.filter(col("da") === 0L && col("db") === 1L).collect()
+    assert(r.length == 1 && r(0).getDouble(2) == 1.0)
+  }
+
+  test("d3 band cap drops saturated simhash buckets instead of joining them") {
+    import spark.implicits._
+    // 500 identical texts → identical simhash → 4 buckets of 500 > cap
+    val docs = (0 until 500).map(i => (400000L + i, "shared boilerplate text " +
+      (1 to 40).map(j => "word" + j).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.d3Candidates(docs).count() == 0,
+      "a saturated band bucket must be dropped, not self-joined")
+  }
+
+  test("d4 length-band cap drops a mass-duplicated length band, keeps cool bands") {
+    import spark.implicits._
+    val hot = (0 until 800).map(i => (500000L + i, 100L))
+    val cool = (0 until 40).map(i => (600000L + i, 2000L + i))
+    val docs = (hot ++ cool).toDF("doc_id", "n_chars")
+    val cand = Dedup.d4Candidates(docs).collect()
+    assert(!cand.exists(r => r.getLong(0) < 600000L || r.getLong(1) < 600000L),
+      "the saturated length band must contribute no candidates")
+    assert(cand.nonEmpty, "small length bands must still pair up")
+  }
+
+  test("boilerplate fingerprints are df-capped out of the t4/t7 join") {
+    import spark.implicits._
+    // 500 docs: one long shared boilerplate block + a unique numbered
+    // tail. Every boilerplate 25-gram has df=500 > FpDfCap → excluded
+    // from the join; only the (near-unique) tail grams can match.
+    val boiler = "this exact boilerplate header is shared verbatim by every " +
+      "single document in the planted cluster and runs well past the gram width"
+    val docs = (0 until 500).map(i =>
+      (700000L + i, s"$boiler unique tail content for document number $i"))
+      .toDF("doc_id", "text")
+    val nCand = TextStats.t4Candidates(TextStats.winnowFps(docs)).count()
+    // uncapped, the shared block alone would pair all docs: ~125k pairs
+    assert(nCand < 10000, s"fingerprint join not df-bounded: $nCand")
+  }
+
+  test("d7 reads the checkpointed pair graph, not parquet, in its final plan") {
+    // connectedComponents localCheckpoints the d2 pair relation, so the
+    // expensive LSH+verify subtree runs exactly once per d7 invocation;
+    // the cluster aggregation must plan over the checkpoint, not rescan.
+    val df = Dedup.d7DupClusters(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"d7's final plan must not rescan the documents parquet:\n$plan")
+  }
+
   test("oracled queries are partition-count independent (1 vs 32 shuffle partitions)") {
     // determinism recipe's load-bearing claim: results identical under
     // radically different parallelism. Sample one query per family.

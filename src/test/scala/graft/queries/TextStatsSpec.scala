@@ -84,8 +84,9 @@ class TextStatsSpec extends AnyFunSuite {
       assert(ov >= 0.5 && ov <= 1.0, s"overlap out of range: $ov")
     }
     // high-Jaccard pairs (>=0.9 on 3-gram shingles) must also share
-    // fingerprint windows — winnowing guarantees shared substrings >= 11
-    // chars produce shared fingerprints.
+    // fingerprint windows — winnowing guarantees verbatim shared
+    // substrings >= 28 chars produce shared fingerprints, and near-dup
+    // texts share long verbatim runs.
     val strong = Dedup.d2MinhashLsh(spark, sf).collect()
       .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
     val fpPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
