@@ -21,12 +21,11 @@ object SparkEntry {
   /** All (name, builder, oracleSql) triples; oracleSql "" = no oracle. */
   private def oracled: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Relational.queries ++ Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ CapQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    oracled.map { case (name, fn, _) => name -> fn }.toMap ++
-      CapQueries.queries.toMap
+    oracled.map { case (name, fn, _) => name -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -81,16 +81,27 @@ object CapPipeline {
   private val rssLinkRe = graft.sources.FeedLinks.RssLinkPattern
   private val atomLinkRe = graft.sources.FeedLinks.AtomLinkPattern
 
+  /** Order-preserving dedup, mirroring the reference's
+    * `[...new Set(links)]` (task.ts:580): each link keeps its FIRST
+    * extraction position and the result is ordered by it — RSS matches
+    * before Atom matches within a body, exactly like the reference,
+    * which concatenates the two regex passes before dedup. The
+    * reference processes one feed per invocation, so within-body order
+    * is the reference semantics; across multiple feed bodies (which
+    * have no reference counterpart) ties on position break by link for
+    * a deterministic total order. */
   def parseFeedLinks(feeds: Dataset[String]): Dataset[String] = {
     val spark = feeds.sparkSession
     import spark.implicits._
     feeds.toDF("body")
-      .select(explode(concat(
+      .select(posexplode(concat(
         regexp_extract_all(col("body"), lit(rssLinkRe), lit(1)),
-        regexp_extract_all(col("body"), lit(atomLinkRe), lit(1)))).as("link"))
-      .select(trim(col("link")).as("link"))
+        regexp_extract_all(col("body"), lit(atomLinkRe), lit(1)))).as(Seq("pos", "link")))
+      .select(col("pos"), trim(col("link")).as("link"))
       .filter(col("link").contains("/cap/") || col("link").contains("alert"))
-      .distinct()
+      .groupBy(col("link")).agg(min(col("pos")).as("first_pos"))
+      .orderBy(col("first_pos"), col("link"))
+      .select(col("link"))
       .as[String]
   }
 

@@ -25,21 +25,42 @@ object CapQueries {
   def fixtureDir: String = resolve("fixtures/cap")
   def feedDir: String = resolve("fixtures/feed")
 
-  /** Full pipeline: alert XML fixtures → CoT features. The Encoder
-    * already maps icon: Option[String] to a nullable string column. */
+  /** Full pipeline: alert XML fixtures → CoT features, projected to
+    * (id, json) — `json` is the COMPLETE rendered feature (the
+    * reference's actual output format), so every envelope/metadata/
+    * geometry/style field participates in the oracle hash while the
+    * compare stays engine-portable (two string columns, no nested
+    * types). The typed Dataset surface is [[CapPipeline.run]]. */
   def capFeatures(s: SparkSession, d: String): DataFrame =
     CapPipeline.run(s, fixtureDir, asOf)
       .toDF()
+      .select(col("id"), col("json"))
       .orderBy(col("id"))
 
-  /** P1-P3: feed-link extraction over RSS+Atom fixture feeds. */
+  /** P1-P3: feed-link extraction over RSS+Atom fixture feeds, in the
+    * reference's first-occurrence order (order-preserving dedup). */
   def capFeedLinks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val feeds = s.read.option("wholetext", "true").text(feedDir).as[String]
-    CapPipeline.parseFeedLinks(feeds).toDF("link").orderBy(col("link"))
+    CapPipeline.parseFeedLinks(feeds).toDF("link")
   }
 
-  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    ("cap1_features", capFeatures _),
-    ("cap2_feed_links", capFeedLinks _))
+  /** Golden-file oracles: the driver's DuckDB compare reads a
+    * checked-in expected-output parquet (regenerate with
+    * `runMain graft.GoldenGen` after an INTENDED semantic change).
+    * The goldens are locked to the hand-verified fixture JSON goldens
+    * (fixtures/golden) by CapPipelineSpec/FeaturesSpec — this
+    * turns the XML pipeline's spec coverage into a driver-checkable
+    * rows+schema+hash gate instead of a rows-only smoke check. */
+  private def golden(name: String): String = s"/root/repo/fixtures/golden/$name"
+
+  val cap1Sql: String =
+    s"SELECT id, json FROM '${golden("cap1_features.parquet")}' ORDER BY id"
+
+  val cap2Sql: String =
+    s"SELECT link FROM '${golden("cap2_feed_links.parquet")}'"
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("cap1_features", capFeatures _, cap1Sql),
+    ("cap2_feed_links", capFeedLinks _, cap2Sql))
 }

@@ -425,16 +425,30 @@ object Relational {
 
   // -------------------------------------------------------------------
   // B16: approx_count_distinct (HLL++) next to the exact count — the
-  // scale path for B7-style cardinality at 100 TB. No DuckDB oracle
-  // (sketch internals differ by engine); the driver records a rows-only
-  // check and the spec bounds the relative error.
+  // scale path for B7-style cardinality at 100 TB. Sketch internals
+  // differ by engine, so the RAW estimate can't be oracled; instead the
+  // query emits the exact counts plus the HLL++ error bound as a
+  // boolean (|approx-exact|/exact ≤ 5% at rsd 0.02), which the DuckDB
+  // oracle reproduces as TRUE — the sketch is still computed and still
+  // gated, now by a hash-checkable row.
   // -------------------------------------------------------------------
-  def b16ApproxDistinct(s: SparkSession, d: String): DataFrame =
+  def b16ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    def within(c: String): Column =
+      (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c))) <=
+        countDistinct(col(c)) * lit(0.05))
     Tables.lineitem(s, d).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       countDistinct(col("l_suppkey")).as("exact_supps"),
-      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      within("l_partkey").as("parts_within_5pct"),
+      within("l_suppkey").as("supps_within_5pct"))
+  }
+
+  val b16Sql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |       TRUE AS parts_within_5pct,
+      |       TRUE AS supps_within_5pct
+      |FROM lineitem""".stripMargin
 
   // -------------------------------------------------------------------
   // B17: sessionization — split each user's event timeline into
@@ -931,7 +945,7 @@ object Relational {
     ("b13_rollup", b13Rollup _, b13Sql),
     ("b14_semi_anti", b14SemiAnti _, b14Sql),
     ("b15_asof_join", b15AsofJoin _, b15Sql),
-    ("b16_approx_distinct", b16ApproxDistinct _, ""),
+    ("b16_approx_distinct", b16ApproxDistinct _, b16Sql),
     ("b17_sessionize", b17Sessionize _, b17Sql),
     ("b18_percentiles", b18Percentiles _, b18Sql),
     ("b19_from_json", b19FromJson _, b19Sql),

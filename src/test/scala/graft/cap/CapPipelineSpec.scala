@@ -135,13 +135,22 @@ class CapPipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get("fixtures/feed/rss.xml")))
     val atom = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("fixtures/feed/atom.xml")))
-    val links = CapPipeline.parseFeedLinks(Seq(rss, atom).toDS()).collect().toSet
-    assert(links == Set(
+    // single body: first-occurrence order, exactly [...new Set(links)]
+    // (task.ts:580) — the reference processes one feed per invocation
+    val rssLinks = CapPipeline.parseFeedLinks(Seq(rss).toDS()).collect().toSeq
+    assert(rssLinks == Seq(
       "https://alerts.example.nz/", // 'alert' substring in host keeps it
-      "https://alerts.example.nz/cap/rss/abc123", // deduped
-      "https://alerts.example.nz/cap/rss/def456",
+      "https://alerts.example.nz/cap/rss/abc123", // deduped, first position kept
+      "https://alerts.example.nz/cap/rss/def456"))
+    // multiple bodies: ordered by first extraction position, link as the
+    // deterministic cross-body tiebreak
+    val links = CapPipeline.parseFeedLinks(Seq(rss, atom).toDS()).collect().toSeq
+    assert(links == Seq(
+      "https://alerts.example.nz/",
       "https://api.geonet.org.nz/cap/1.2/GPA1.0/feed/atom1.0/quake",
-      "https://api.geonet.org.nz/cap/1.2/GPA1.0/quake/2026p123456"))
+      "https://alerts.example.nz/cap/rss/abc123",
+      "https://api.geonet.org.nz/cap/1.2/GPA1.0/quake/2026p123456",
+      "https://alerts.example.nz/cap/rss/def456"))
   }
 
   test("golden: metservice-polygon FeatureCollection JSON") {

@@ -61,12 +61,14 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(types(r0.getLong(0))._2 == types(r0.getLong(2))._2)
   }
 
-  test("b16: approx distinct within the configured 2% rsd (generously 10%)") {
+  test("b16: approx distinct within the 5% bound and consistent with direct counts") {
     val r = Relational.b16ApproxDistinct(spark, sf).collect()(0)
-    def close(exact: Long, approx: Long): Boolean =
-      math.abs(approx - exact).toDouble / exact <= 0.10
-    assert(close(r.getAs[Long]("exact_parts"), r.getAs[Long]("approx_parts")))
-    assert(close(r.getAs[Long]("exact_supps"), r.getAs[Long]("approx_supps")))
+    assert(r.getAs[Boolean]("parts_within_5pct"), "HLL++ partkey estimate out of bound")
+    assert(r.getAs[Boolean]("supps_within_5pct"), "HLL++ suppkey estimate out of bound")
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey")), countDistinct(col("l_suppkey"))).collect()(0)
+    assert(r.getAs[Long]("exact_parts") == exact.getLong(0))
+    assert(r.getAs[Long]("exact_supps") == exact.getLong(1))
   }
 
   test("b20: cube contains all four grouping sets and they agree on the total") {
