@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * 1 warmup + 3 timed runs each (median), full `collect()` so projections
+  * 1 warmup + 5 timed runs each (median), full `collect()` so projections
   * are actually computed (a bare `count()` lets Catalyst prune the work).
   * Prints exactly one JSON line for the driver.
   */

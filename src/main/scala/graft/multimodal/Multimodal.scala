@@ -188,9 +188,11 @@ object Multimodal {
 
   // -------------------------------------------------------------------
   // M3: resize pass over the decoded corpus — caps the longest side at
-  // 32 via resizeMeta and reports, per kind, how many assets actually
-  // shrank and the post-resize dimension profile. This puts the resize
-  // operator itself (not just decode/extract) under the DuckDB oracle.
+  // 32 via resizeMeta and reports, per kind, how many assets end at the
+  // cap (n_capped counts longest-side == 32 after resize, which
+  // includes assets that were already exactly 32) and the post-resize
+  // dimension profile. This puts the resize operator itself (not just
+  // decode/extract) under the DuckDB oracle.
   // -------------------------------------------------------------------
   private val ResizeMax = 32
 

@@ -614,10 +614,15 @@ object Relational {
 
   def b22Pivot(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_epoch"))
+      // window() (not date_trunc) for the same reason as B11: the day
+      // boundary is an absolute epoch-aligned instant in any session
+      // time zone, not a truncation in the session zone.
+      .groupBy(window(col("ts"), "1 day").as("w"))
       .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, eventTypes)
+      .select(unix_timestamp(col("w.start")).as("day_epoch") +:
+        eventTypes.map(col): _*)
       .orderBy("day_epoch")
 
   val b22Sql: String =

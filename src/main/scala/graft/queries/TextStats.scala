@@ -282,16 +282,22 @@ object TextStats {
     val total = counts.agg(sum(col("cnt")).as("total"))
     // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     // heaps, no single-partition global sort of the whole vocabulary);
-    // the rank window then runs over only the 50 surviving rows
+    // ranks come from sort_array + posexplode over the 50 survivors —
+    // an aggregate, not a global window, so the bench log stays free of
+    // `WindowExec: No Partition Defined` and a REAL unpartitioned
+    // window elsewhere would still stand out. (-cnt, tok) sorts
+    // ascending = frequency desc with token-asc ties.
     counts
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(50)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("negcnt"), col("tok")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "s")))
       .crossJoin(total)
-      .select(col("tok"), col("cnt"),
-        round(col("cnt") / col("total"), 6).as("share"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
-      .select("rank", "tok", "cnt", "share")
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.tok").as("tok"),
+        (-col("s.negcnt")).as("cnt"),
+        round(-col("s.negcnt") / col("total"), 6).as("share"))
       .orderBy("rank")
   }
 

@@ -43,18 +43,9 @@ object CapFeedDataSource {
     StructField("url", StringType, nullable = false),
     StructField("xml", StringType, nullable = false)))
 
-  case class Conf(headers: Map[String, String], timeoutMs: Long, retries: Int,
-      failFast: Boolean = false)
-
-  def conf(options: CaseInsensitiveStringMap): Conf = Conf(
-    Http.parseHeaders(options.getOrDefault("headers", "")),
-    options.getLong("timeout", 30000L),
-    options.getInt("retries", 2),
-    options.getBoolean("failFast", false))
-
   /** Round-robin link slices → input partitions (shared by the batch
     * scan and the micro-batch stream). */
-  def slice(links: Seq[String], numPartitions: Int, c: Conf): Array[InputPartition] = {
+  def slice(links: Seq[String], numPartitions: Int, c: EtlConfig): Array[InputPartition] = {
     if (links.isEmpty) return Array.empty
     val n = math.max(1, math.min(numPartitions, links.size))
     links.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
@@ -86,12 +77,10 @@ private class CapFeedScan(options: CaseInsensitiveStringMap)
   // planInputPartitions may be invoked more than once per query (e.g.
   // partition-count probes); the feed must be fetched exactly once.
   private lazy val partitions: Array[InputPartition] = {
-    val feedUrl = Option(options.get("url"))
-      .getOrElse(throw new IllegalArgumentException("capfeed: 'url' option is required"))
-    val c = CapFeedDataSource.conf(options)
+    val c = EtlConfig.fromOptions(options, "capfeed")
     // driver-side: one feed fetch + link extraction (mirrors control()'s
     // prologue, task.ts:606-612)
-    val feed = Http.fetchWithRetry(feedUrl, c.headers, c.timeoutMs, c.retries)
+    val feed = Http.fetchWithRetry(c.url, c.headers, c.timeoutMs, c.retries)
     CapFeedDataSource.slice(FeedLinks.extract(feed), options.getInt("numPartitions", 4), c)
   }
 
@@ -101,7 +90,7 @@ private class CapFeedScan(options: CaseInsensitiveStringMap)
     new CapFeedReaderFactory
 }
 
-private case class CapFeedPartition(urls: Seq[String], conf: CapFeedDataSource.Conf)
+private case class CapFeedPartition(urls: Seq[String], conf: EtlConfig)
     extends InputPartition
 
 private class CapFeedReaderFactory extends PartitionReaderFactory {
@@ -171,9 +160,8 @@ private object CapFeedOffset {
 private class CapFeedMicroBatchStream(options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
-  private val feedUrl = Option(options.get("url"))
-    .getOrElse(throw new IllegalArgumentException("capfeed: 'url' option is required"))
-  private val c = CapFeedDataSource.conf(options)
+  private val c = EtlConfig.fromOptions(options, "capfeed")
+  private val feedUrl = c.url
   private val numPartitions = options.getInt("numPartitions", 4)
 
   // Monotone accumulator of every URL known to any offset this stream

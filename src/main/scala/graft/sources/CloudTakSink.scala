@@ -48,9 +48,8 @@ private class CloudTakTable(writeSchema: StructType, options: CaseInsensitiveStr
     require(info.schema().fields.length == 1 &&
       info.schema().fields(0).dataType.typeName == "string",
       s"cloudtak sink expects exactly one STRING column of Feature JSON, got ${info.schema()}")
-    val url = Option(info.options().get("url"))
-      .getOrElse(throw new IllegalArgumentException("cloudtak: 'url' option is required"))
-    val c = CapFeedDataSource.conf(info.options())
+    val c = EtlConfig.fromOptions(info.options(), "cloudtak")
+    val url = c.url
     // SupportsTruncate backs the advertised TRUNCATE capability:
     // truncate is a no-op because CloudTAK upserts by feature id, so
     // overwrite == append semantically. Without this, overwrite mode
@@ -64,7 +63,7 @@ private class CloudTakTable(writeSchema: StructType, options: CaseInsensitiveStr
   }
 }
 
-private class CloudTakBatchWrite(url: String, conf: CapFeedDataSource.Conf)
+private class CloudTakBatchWrite(url: String, conf: EtlConfig)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new CloudTakWriterFactory(url, conf)
@@ -72,7 +71,7 @@ private class CloudTakBatchWrite(url: String, conf: CapFeedDataSource.Conf)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private class CloudTakWriterFactory(url: String, conf: CapFeedDataSource.Conf)
+private class CloudTakWriterFactory(url: String, conf: EtlConfig)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new CloudTakWriter(url, conf)
@@ -80,7 +79,7 @@ private class CloudTakWriterFactory(url: String, conf: CapFeedDataSource.Conf)
 
 private case class CloudTakCommit(nFeatures: Int) extends WriterCommitMessage
 
-private class CloudTakWriter(url: String, conf: CapFeedDataSource.Conf)
+private class CloudTakWriter(url: String, conf: EtlConfig)
     extends DataWriter[InternalRow] {
   private val features = ArrayBuffer.empty[String]
 

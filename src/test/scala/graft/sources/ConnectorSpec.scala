@@ -255,4 +255,32 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == expected)
     assert(got.length == expected.size)
   }
+
+  test("EtlConfig: reference-parity defaults, validation, and published JSON schema") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    def opts(m: Map[String, String]) = new CaseInsensitiveStringMap(m.asJava)
+    // defaults mirror the reference env schema (task.ts:15-22)
+    val c = EtlConfig.fromOptions(opts(Map("url" -> "http://example/feed")), "capfeed")
+    assert(c.timeoutMs == 30000L && c.retries == 2 && c.headers.isEmpty && !c.failFast)
+    val full = EtlConfig.fromOptions(opts(Map(
+      "url" -> "http://example", "headers" -> "A=1;B=2",
+      "timeout" -> "5000", "retries" -> "4", "failFast" -> "true")), "capfeed")
+    assert(full.headers == Map("A" -> "1", "B" -> "2"))
+    assert(full.timeoutMs == 5000L && full.retries == 4 && full.failFast)
+    // malformed configs are rejected with the connector name
+    val e1 = intercept[IllegalArgumentException](
+      EtlConfig.fromOptions(opts(Map.empty), "capfeed"))
+    assert(e1.getMessage.contains("capfeed: 'url' option is required"))
+    val e2 = intercept[IllegalArgumentException](
+      EtlConfig.fromOptions(opts(Map("url" -> "u", "timeout" -> "0")), "cloudtak"))
+    assert(e2.getMessage.contains("timeout"))
+    val e3 = intercept[IllegalArgumentException](
+      EtlConfig.fromOptions(opts(Map("url" -> "u", "retries" -> "-1")), "cloudtak"))
+    assert(e3.getMessage.contains("retries"))
+    // published schema pins url-required and both reference defaults
+    assert(EtlConfig.inputJsonSchema.contains("\"required\":[\"url\"]"))
+    assert(EtlConfig.inputJsonSchema.contains("\"default\":30000"))
+    assert(EtlConfig.inputJsonSchema.contains("\"default\":2"))
+    assert(EtlConfig.emptyJsonSchema == """{"type":"object","properties":{}}""")
+  }
 }
