@@ -262,13 +262,15 @@ object Dedup {
   private val SimBits = 60
   private val SimBandBits = 15
 
-  /** Capped band self-join candidates (da, db, sa, sb) — exposed for
-    * ScaleSpec's planted-cluster bound. The bucket cap is the only
-    * defense d3 has against a mass-duplicated page (no pre-collapse
-    * here: d3 is the near-but-not-exact detector; exact duplicates are
-    * d1/d2's job and enter a pipeline before simhash). */
+  /** Capped band self-join candidates (da, db, sa, sb) over the
+    * exact-dup REPRESENTATIVES (same d1-md5 front door as d2:
+    * byte-identical texts have identical simhashes, so they enter the
+    * signature computation and band join once) — exposed for
+    * ScaleSpec's planted-cluster bound. The bucket cap then defends
+    * against near-identical (not byte-identical) mass duplication. */
   private[queries] def d3Candidates(docs: DataFrame): DataFrame = {
-    val th = docs.select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val th = d2Reps(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
     val bitAggs = (0 until SimBits).map(b =>
@@ -293,15 +295,44 @@ object Dedup {
       .distinct()
   }
 
-  def d3Simhash(s: SparkSession, d: String): DataFrame =
-    d3Candidates(Tables.documents(s, d))
+  /** Full d3 over an arbitrary documents relation: collapse → simhash
+    * band join → hamming verify → expand (the same lossless
+    * collapse/expand scheme as [[d2Pairs]]: identical texts have
+    * identical signatures, so cross-group pairs inherit the
+    * representative hamming distance and intra-group pairs sit at
+    * hd = 0 — with the same ≥3-token guard, since token-free docs have
+    * no signature in the uncollapsed formulation either). */
+  private[queries] def d3Pairs(docs: DataFrame): DataFrame = {
+    val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
+      (size(split(col("text"), " ")) >= 3).as("shingled"))
+    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")), "th")
+      .select(col("doc_id"), col("rep"))
+    val repPairs = d3Candidates(docs)
       .select(col("da"), col("db"),
         expr("bit_count(sa ^ sb)").cast("int").as("hd"))
       .filter(col("hd") <= 3)
-      .orderBy(col("da"), col("db"))
+    val cross = repPairs
+      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")), "da")
+      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")), "db")
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("hd"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.shingled"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(0).cast("int").as("hd"))
+    cross.union(intra).orderBy(col("da"), col("db"))
+  }
+
+  def d3Simhash(s: SparkSession, d: String): DataFrame =
+    d3Pairs(Tables.documents(s, d))
 
   val d3Sql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    s"""WITH mem AS (SELECT doc_id, md5(text) AS th,
+      |            len(string_split(text,' ')) >= 3 AS shingled FROM documents),
+      |reps AS (SELECT md5(text) AS th, min(doc_id) AS doc_id, any_value(text) AS text
+      |         FROM documents GROUP BY 1),
+      |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM reps),
       |sh AS (SELECT doc_id, array_to_string(t[i+1:i+3],' ') AS shingle
       |       FROM toks, UNNEST(range(0, len(t)-2)) AS u(i)),
       |th AS (SELECT doc_id, list_reduce(list_transform(string_split(substr(md5(shingle),1,15),''),
@@ -317,9 +348,16 @@ object Dedup {
       |bandsk AS (SELECT b.* FROM bands b JOIN bkeep USING (k, band)),
       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sim AS sa, b.sim AS sb
       |         FROM bandsk a JOIN bandsk b
-      |         ON a.k=b.k AND a.band=b.band AND a.doc_id<b.doc_id)
-      |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hd
-      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      |         ON a.k=b.k AND a.band=b.band AND a.doc_id<b.doc_id),
+      |rpairs AS (SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hd
+      |           FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+      |memrep AS (SELECT m.doc_id, r.doc_id AS rep FROM mem m JOIN reps r USING (th))
+      |SELECT da, db, hd FROM (
+      |  SELECT LEAST(ma.doc_id, mb.doc_id) AS da, GREATEST(ma.doc_id, mb.doc_id) AS db, p.hd
+      |  FROM rpairs p JOIN memrep ma ON ma.rep = p.da JOIN memrep mb ON mb.rep = p.db
+      |  UNION ALL
+      |  SELECT x.doc_id, y.doc_id, CAST(0 AS INTEGER)
+      |  FROM mem x JOIN mem y ON x.th = y.th AND x.doc_id < y.doc_id AND x.shingled)
       |ORDER BY da, db""".stripMargin
 
   // -------------------------------------------------------------------

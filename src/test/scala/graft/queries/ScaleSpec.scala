@@ -119,13 +119,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getDouble(2) == 1.0)
   }
 
-  test("d3 band cap drops saturated simhash buckets instead of joining them") {
+  test("d3: exact dups collapse before simhash; saturated near-dup buckets drop") {
     import spark.implicits._
-    // 500 identical texts → identical simhash → 4 buckets of 500 > cap
-    val docs = (0 until 500).map(i => (400000L + i, "shared boilerplate text " +
+    // 500 identical texts → ONE representative → nothing to band-join
+    val exact = (0 until 500).map(i => (400000L + i, "shared boilerplate text " +
       (1 to 40).map(j => "word" + j).mkString(" "))).toDF("doc_id", "text")
-    assert(Dedup.d3Candidates(docs).count() == 0,
-      "a saturated band bucket must be dropped, not self-joined")
+    assert(Dedup.d3Candidates(exact).count() == 0,
+      "byte-identical duplicates must collapse to one signature")
+    // ...but the pair listing still reports them all at hd = 0
+    assert(Dedup.d3Pairs(exact).count() == 500L * 499 / 2)
+    // 1000 NEAR-identical texts (unique tail) → distinct reps whose
+    // shared band values saturate the 64-cap → dropped, candidates
+    // bounded instead of ~k²/2 ≈ 500k
+    val base = (1 to 60).map(i => "tok" + i).mkString(" ")
+    val near = (0 until 1000).map(i => (450000L + i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val nCand = Dedup.d3Candidates(near).count()
+    assert(nCand < 100000, s"near-dup cluster candidates not bucket-bounded: $nCand")
   }
 
   test("d4 length-band cap drops a mass-duplicated length band, keeps cool bands") {
