@@ -933,6 +933,66 @@ object Relational {
       |       COUNT(DISTINCT LOWER(SUBSTR(p_type, 1, 6))) AS n_type_prefixes
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B32: correlated scalar subqueries — orders beating 1.5× their own
+  // customer's average order value. Expressed through the SQL front
+  // door on purpose: Catalyst decorrelates both subqueries into
+  // aggregate-then-join (RewriteCorrelatedScalarSubquery), which is
+  // the scale-correct plan — one per-customer aggregate + one equi-
+  // join, no per-row re-execution. The threshold compares
+  // price·count > 1.5·sum in exact DECIMAL so no engine ever divides:
+  // boundary rows cannot flip on floating-point averaging order.
+  // -------------------------------------------------------------------
+  val b32Sql: String =
+    """SELECT o_orderpriority,
+      |       COUNT(*) AS n_above,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(30,6))
+      |        * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |      > 1.5 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(30,6)))
+      |               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def b32CorrSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(b32Sql)
+  }
+
+  // -------------------------------------------------------------------
+  // B33: lateral positional explode — posexplode carries each token's
+  // ordinal through the pipeline (B10 covers value-only explode).
+  // Narrow generate, then one shuffle on the 20-value source key; the
+  // filter lands before the aggregate so only matching tokens shuffle.
+  // Positions are 1-based on both engines (Spark's 0-based pos +1).
+  // -------------------------------------------------------------------
+  def b33Posexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .filter(col("word") === "spark")
+      .select(col("doc_id"), col("source"), (col("pos0") + 1).cast("long").as("pos"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        round(sum(col("pos").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_pos"))
+      .orderBy("source")
+
+  val b33Sql: String =
+    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos, w[i] AS word
+      |        FROM ws, UNNEST(range(1, len(w) + 1)) AS t(i))
+      |SELECT source,
+      |       COUNT(*) AS n_occ,
+      |       COUNT(DISTINCT doc_id) AS n_docs,
+      |       MIN(pos) AS min_pos,
+      |       CAST(ROUND(SUM(CAST(pos AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_pos
+      |FROM pos WHERE word = 'spark'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -965,5 +1025,7 @@ object Relational {
     ("b28_map_funcs", b28MapFuncs _, b28Sql),
     ("b29_funnel", b29Funnel _, b29Sql),
     ("b30_date_arith", b30DateArith _, b30Sql),
-    ("b31_string_funcs", b31StringFuncs _, b31Sql))
+    ("b31_string_funcs", b31StringFuncs _, b31Sql),
+    ("b32_corr_subquery", b32CorrSubquery _, b32Sql),
+    ("b33_posexplode", b33Posexplode _, b33Sql))
 }

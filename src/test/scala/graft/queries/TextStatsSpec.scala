@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, size, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
@@ -141,5 +141,51 @@ class TextStatsSpec extends AnyFunSuite {
     val again = TextStats.t6Split(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
     assert(again == byName)
+  }
+
+  test("t9: repetition accounting is bounded and covers every >=3-word doc") {
+    val rows = TextStats.t9Repetition(spark, sf).collect()
+    val eligible = graft.sources.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == eligible,
+      "every doc with >=3 words gets a repetition score")
+    rows.foreach { r =>
+      val tri = r.getAs[Long]("total_tri")
+      val dup = r.getAs[Long]("total_dup")
+      assert(dup >= 0 && dup <= tri)
+      val frac = r.getAs[Double]("dup_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_doc_dup") <= tri)
+    }
+  }
+
+  test("t9: a planted fully-repetitive doc is flagged") {
+    // 30 copies of the same word -> 28 trigrams, 1 distinct, dup frac ~0.96
+    import spark.implicits._
+    val w = Seq.fill(30)("spam").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("t9-planted").toString
+    graft.sources.Tables.documents(spark, sf)
+      .unionByName(Seq((100000L, w, "en", "srcPLANT", w.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextStats.t9Repetition(spark, dir).collect()
+      .filter(_.getString(0) == "srcPLANT")
+    assert(planted.length == 1)
+    assert(planted(0).getAs[Long]("n_flagged") == 1L)
+    assert(planted(0).getAs[Double]("dup_frac") > 0.9)
+  }
+
+  test("t10: sample is exactly min(15, stratum size), within range, and stable") {
+    val rows = TextStats.t10StratifiedSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_sampled") == math.min(15L, n))
+      assert(r.getAs[Long]("min_sampled_doc") <= r.getAs[Long]("max_sampled_doc"))
+    }
+    val again = TextStats.t10StratifiedSample(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "hash-ranked sample must be deterministic")
   }
 }
