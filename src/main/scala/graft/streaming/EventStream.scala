@@ -55,6 +55,35 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join, batch/stream agnostic: every error
+    * matched to the clicks of the same user in the preceding 30
+    * minutes (the streaming generalization of B15's as-of lookup —
+    * ALL recent clicks, not just the latest). In streaming mode both
+    * sides carry a 2-hour event-time watermark and the join condition
+    * bounds event time on both sides, which is exactly what lets Spark
+    * evict buffered rows: state per side is (watermark + interval)
+    * wide, constant in stream length. In batch mode the same operator
+    * plans a plain equi-join on user_id with the interval as a
+    * residual predicate — one shuffle per side at any scale.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val e = errors.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    e.join(c,
+        col("e_user") === col("c_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("error_id"), col("click_id"), col("e_user").as("user_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
     * and the exact-decimal value sum per event-time hour. Produces the
     * same rows as `Relational.b11TimeWindow` on the same input. */

@@ -62,4 +62,30 @@ class EventStreamSpec extends AnyFunSuite {
     val want = graft.sources.Tables.events(spark, sf).count()
     assert(got == want, s"expected $want distinct events, got $got")
   }
+
+  test("watermarked stream-stream interval join equals the batch join") {
+    val q = EventStream.clickErrorJoin(
+        EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
+      .writeStream
+      .format("memory")
+      .queryName("ev_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "join stream did not finish within 120s")
+    finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("error_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("gap_us"))
+    val got = spark.table("ev_join").collect().map(key).sorted.toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+    val want = EventStream.clickErrorJoin(batch, batch).collect().map(key).sorted.toSeq
+    assert(want.nonEmpty, "batch interval join must match some pairs")
+    assert(got == want, "stream-stream join and batch join disagree")
+    // every matched click precedes its error by at most 30 minutes
+    want.foreach { case (_, _, _, gap) =>
+      assert(gap >= 0 && gap <= 30L * 60 * 1000000)
+    }
+  }
 }
