@@ -938,8 +938,12 @@ object Relational {
   // customer's average order value. Expressed through the SQL front
   // door on purpose: Catalyst decorrelates both subqueries into
   // aggregate-then-join (RewriteCorrelatedScalarSubquery), which is
-  // the scale-correct plan — one per-customer aggregate + one equi-
-  // join, no per-row re-execution. The threshold compares
+  // the scale-correct plan — per-customer aggregates + equi-joins
+  // back to orders, no per-row re-execution. (Each scalar subquery
+  // decorrelates to its own aggregate branch — the COUNT and SUM
+  // branches are not merged — so the table is scanned three times;
+  // the single-scan form is B4's explicit groupBy+join. This query
+  // exists to pin the decorrelation semantics.) The threshold compares
   // price·count > 1.5·sum in exact DECIMAL so no engine ever divides:
   // boundary rows cannot flip on floating-point averaging order.
   // -------------------------------------------------------------------
