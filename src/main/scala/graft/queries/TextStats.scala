@@ -537,6 +537,69 @@ object TextStats {
       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // T11: count-min-sketch heavy hitters — the bounded-state streaming
+  // answer to "top tokens" that T5 answers exactly. The sketch is
+  // d=4 × w=16 integer counters keyed by md5-derived bucket hashes:
+  // counting shuffles on the (j, bucket) key — at most d·w = 64
+  // groups REGARDLESS of vocabulary size, where T5's exact groupBy
+  // state grows with the vocabulary (the reason CMS exists at 100 TB).
+  // Counters are exact integer sums, so unlike most sketches this one
+  // is bit-reproducible in DuckDB and fully hash-oracled. w is
+  // deliberately tiny so the defining CMS property is visible in the
+  // output: collisions overestimate (est_n > exact_n for some tokens)
+  // but NEVER underestimate — gated in-query per row, b16-style.
+  // Production sizing is w ≈ ⌈e/ε⌉ for ε-relative error.
+  // -------------------------------------------------------------------
+  private val CmsD = 4
+  private val CmsW = 16L
+
+  /** The d per-row (j, bucket) assignments for a token column — ONE
+    * hash invariant with the DuckDB rendering in t11Sql. */
+  private def cmsBuckets(tok: org.apache.spark.sql.Column) =
+    array((0 until CmsD).map(j =>
+      struct(lit(j).as("j"),
+        pmod(Dedup.hash48(concat(lit(s"cms${j}_"), tok)), lit(CmsW)).as("b"))): _*)
+
+  def t11CmsTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // sketch side: one narrow explode to d rows per token, then the
+    // constant-width (j, bucket) count — never a vocab-sized shuffle
+    val cms = toks.select(explode(cmsBuckets(col("tok"))).as("h"))
+      .groupBy(col("h.j").as("j"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // ground-truth side (the in-query oracle of the sketch, like b16's
+    // exact countDistinct next to the HLL estimate)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(10)
+    top.select(col("tok"), col("cnt"), explode(cmsBuckets(col("tok"))).as("h"))
+      .join(cms, col("h.j") === col("j") && col("h.b") === col("b"))
+      .groupBy("tok", "cnt")
+      .agg(min(col("c")).as("est"))
+      .select(col("tok"), col("cnt").as("exact_n"), col("est").as("est_n"),
+        (col("est") >= col("cnt")).as("never_underestimates"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+  }
+
+  val t11Sql: String = {
+    def h(x: String) = Dedup.duckHash48(x)
+    s"""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT tok, r.j, ${h("'cms' || CAST(r.j AS VARCHAR) || '_' || tok")} % $CmsW AS b
+      |      FROM toks, UNNEST(range(0, $CmsD)) AS r(j)),
+      |cms AS (SELECT j, b, COUNT(*) AS c FROM h GROUP BY 1, 2),
+      |counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT 10),
+      |tb AS (SELECT t.tok, t.cnt, r.j,
+      |              ${h("'cms' || CAST(r.j AS VARCHAR) || '_' || t.tok")} % $CmsW AS b
+      |       FROM top t, UNNEST(range(0, $CmsD)) AS r(j)),
+      |est AS (SELECT tb.tok, tb.cnt, MIN(c.c) AS est
+      |        FROM tb JOIN cms c ON c.j = tb.j AND c.b = tb.b GROUP BY 1, 2)
+      |SELECT tok, cnt AS exact_n, CAST(est AS BIGINT) AS est_n,
+      |       est >= cnt AS never_underestimates
+      |FROM est ORDER BY exact_n DESC, tok ASC""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -547,5 +610,6 @@ object TextStats {
     ("t7_contamination", t7Contamination _, t7Sql),
     ("t8_mix_weights", t8MixWeights _, t8Sql),
     ("t9_repetition", t9Repetition _, t9Sql),
-    ("t10_stratified_sample", t10StratifiedSample _, t10Sql))
+    ("t10_stratified_sample", t10StratifiedSample _, t10Sql),
+    ("t11_cms_topk", t11CmsTopk _, t11Sql))
 }

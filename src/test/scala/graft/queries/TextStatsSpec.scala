@@ -176,6 +176,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(planted(0).getAs[Double]("dup_frac") > 0.9)
   }
 
+  test("t11: CMS never underestimates, visibly collides at w=16, and the exact side is true") {
+    val rows = TextStats.t11CmsTopk(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Boolean]("never_underestimates")),
+      "count-min must never underestimate")
+    assert(rows.exists(r => r.getAs[Long]("est_n") > r.getAs[Long]("exact_n")),
+      "the deliberately tiny width must produce at least one collision overestimate")
+    val direct = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("exact_n") == direct(r.getString(0)),
+        s"exact side wrong for ${r.getString(0)}"))
+  }
+
   test("t10: sample is exactly min(15, stratum size), within range, and stable") {
     val rows = TextStats.t10StratifiedSample(spark, sf).collect()
     assert(rows.nonEmpty)
