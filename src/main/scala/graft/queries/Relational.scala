@@ -997,6 +997,38 @@ object Relational {
       |FROM pos WHERE word = 'spark'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B34: RANGE window frame — trailing 1-hour per-user running
+  // count/sum, framed by the ORDER-BY VALUE (microseconds), not row
+  // position (B25 is the ROWS-frame path; the two frame types differ
+  // whenever event spacing is irregular, i.e. always in real data).
+  // One shuffle on user_id, frame bounds inclusive on both engines,
+  // peers (equal timestamps) aggregate identically by definition of
+  // RANGE. The decimal accumulator keeps the windowed double-sum
+  // engine- and partitioning-exact.
+  // -------------------------------------------------------------------
+  def b34RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tsus"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsus"))
+      .rangeBetween(-3599999999L, 0L)
+    e.select(col("event_id"), col("user_id"), col("tsus"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value").cast(DecimalType(30, 6))).over(w), 2)
+          .cast("double").as("sum_last_hour"))
+      .orderBy("event_id")
+  }
+
+  val b34Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsus, value FROM events)
+      |SELECT event_id, user_id, tsus,
+      |       COUNT(*) OVER w AS n_last_hour,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE) AS sum_last_hour
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsus
+      |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1031,5 +1063,6 @@ object Relational {
     ("b30_date_arith", b30DateArith _, b30Sql),
     ("b31_string_funcs", b31StringFuncs _, b31Sql),
     ("b32_corr_subquery", b32CorrSubquery _, b32Sql),
-    ("b33_posexplode", b33Posexplode _, b33Sql))
+    ("b33_posexplode", b33Posexplode _, b33Sql),
+    ("b34_range_frame", b34RangeFrame _, b34Sql))
 }

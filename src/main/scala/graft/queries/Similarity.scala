@@ -461,12 +461,67 @@ object Similarity {
       |SELECT cid, da, db, sim FROM sims WHERE sim >= 0.4
       |ORDER BY da, db""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S6: int8 scalar quantization profile — the storage-scale op every
+  // vector corpus gets before indexing (4× smaller than float32, 8×
+  // smaller than the float64 compute form). Per-vector min/max scaling
+  // to q ∈ [0, 255], then the reconstruction-error bound |x − x̂| ≤
+  // scale/2 is verified IN-QUERY per vector and aggregated per label
+  // (b16-style gate). Everything is per-row IEEE arithmetic plus
+  // integer q values — bit-identical across engines — and the whole
+  // query is one explode + two narrow grouping shuffles on vec_id,
+  // then the 10-value label key.
+  // -------------------------------------------------------------------
+  def s6Quantize(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "d", "x")
+    val mm = ex.groupBy("vec_id", "label")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val qe = ex.join(mm, Seq("vec_id", "label"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255)
+      .withColumn("q", round((col("x") - col("lo")) / col("scale"), 0))
+    val perVec = qe.groupBy("vec_id", "label")
+      .agg(
+        max(abs(col("x") - (col("lo") + col("q") * col("scale")))).as("max_err"),
+        max(col("scale")).as("scale"),
+        min(col("q")).cast("long").as("qmin"),
+        max(col("q")).cast("long").as("qmax"))
+    perVec.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(max(col("max_err")), 9).cast("double").as("max_abs_err"),
+        min(col("qmin")).as("q_min"),
+        max(col("qmax")).as("q_max"),
+        bool_and(col("max_err") <= col("scale") / 2 + 1e-12).as("within_bound"))
+      .orderBy("label")
+  }
+
+  val s6Sql: String =
+    """WITH ex AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |mm AS (SELECT vec_id, label, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY 1, 2),
+      |qe AS (SELECT e.vec_id, e.label, e.x, m.lo, (m.hi - m.lo) / 255 AS scale,
+      |              ROUND((e.x - m.lo) / ((m.hi - m.lo) / 255)) AS q
+      |       FROM ex e JOIN mm m ON m.vec_id = e.vec_id AND m.label = e.label),
+      |err AS (SELECT vec_id, label, MAX(ABS(x - (lo + q * scale))) AS max_err,
+      |               MAX(scale) AS scale,
+      |               CAST(MIN(q) AS BIGINT) AS qmin, CAST(MAX(q) AS BIGINT) AS qmax
+      |        FROM qe GROUP BY 1, 2)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       CAST(ROUND(MAX(max_err), 9) AS DOUBLE) AS max_abs_err,
+      |       MIN(qmin) AS q_min, MAX(qmax) AS q_max,
+      |       BOOL_AND(max_err <= scale / 2 + 1e-12) AS within_bound
+      |FROM err GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
     ("s3_norm_stats", s3NormStats _, s3Sql),
     ("s4_knn_graph", s4KnnGraph _, s4Sql),
     ("s5_range_search", s5RangeSearch _, s5Sql),
+    ("s6_quantize", s6Quantize _, s6Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql),
     ("d8_semantic_dedup", d8SemanticDedup _, d8Sql))

@@ -197,6 +197,22 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(!p.contains("Subquery"), s"subquery survived decorrelation:\n$p")
   }
 
+  test("b34: RANGE frame counts exactly the trailing-hour events per user") {
+    val rows = Relational.b34RangeFrame(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_last_hour") >= 1, "frame includes current row"))
+    // brute-force re-count for the busiest user
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val (_, urows) = byUser.maxBy(_._2.length)
+    val ts = urows.map(_.getAs[Long]("tsus")).sorted
+    urows.foreach { r =>
+      val t = r.getAs[Long]("tsus")
+      val want = ts.count(x => x >= t - 3599999999L && x <= t)
+      assert(r.getAs[Long]("n_last_hour") == want,
+        s"frame count mismatch at t=$t: got ${r.getAs[Long]("n_last_hour")}, want $want")
+    }
+  }
+
   test("b33: positional explode accounting matches value-only counts") {
     val rows = Relational.b33Posexplode(spark, sf).collect()
     val directCounts = Tables.documents(spark, sf)

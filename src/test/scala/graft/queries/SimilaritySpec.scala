@@ -165,6 +165,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("s6: quantization covers the corpus, saturates [0,255], never exceeds scale/2 error") {
+    val rows = Similarity.s6Quantize(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == Tables.embeddings(spark, sf).count(),
+      "every vector gets a quantization row")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"reconstruction error above scale/2 for label ${r.get(0)}")
+      // min/max scaling always pins both endpoints
+      assert(r.getAs[Long]("q_min") == 0L && r.getAs[Long]("q_max") == 255L)
+      assert(r.getAs[Double]("max_abs_err") > 0.0, "int8 quantization is lossy")
+    }
+  }
+
   test("d8: pairs are within-cluster, ordered, above threshold, with exact cosines") {
     val rows = Similarity.d8SemanticDedup(spark, sf).collect()
     assert(rows.nonEmpty)
