@@ -84,6 +84,28 @@ object EventStream {
         (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }
 
+  /** Native session-window aggregation (30-minute inactivity gap),
+    * batch/stream agnostic — the session_window analog of B17's manual
+    * lag/flag/running-sum sessionization (same shape, engine-managed
+    * window merging instead of two window passes). In streaming mode
+    * sessions merge incrementally and close once the watermark passes
+    * their end, so state per user is bounded by OPEN sessions only —
+    * the property that makes sessionization viable on an unbounded
+    * stream where B17's global window form cannot run at all.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(30, 6))), 2).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("sess_start_us"),
+        unix_micros(col("w.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
     * and the exact-decimal value sum per event-time hour. Produces the
     * same rows as `Relational.b11TimeWindow` on the same input. */

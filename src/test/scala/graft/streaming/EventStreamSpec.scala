@@ -63,6 +63,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == want, s"expected $want distinct events, got $got")
   }
 
+  test("streaming session windows equal the batch session windows") {
+    val q = EventStream.sessionAgg(EventStream.readEvents(spark, sf))
+      .writeStream
+      .format("memory")
+      .queryName("ev_sessions")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "session stream did not finish within 120s")
+    finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start_us"),
+        r.getAs[Long]("sess_end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))
+    val got = spark.table("ev_sessions").collect().map(key).sorted.toSeq
+    val want = EventStream.sessionAgg(graft.sources.Tables.events(spark, sf))
+      .collect().map(key).sorted.toSeq
+    assert(want.nonEmpty)
+    assert(got == want, "stream and batch disagree on session windows")
+    // sessions partition the event stream: counts must total the corpus
+    assert(want.map(_._4).sum == graft.sources.Tables.events(spark, sf).count())
+    // no session extends past its last event by more than the gap
+    want.foreach { case (_, start, end, _, _) =>
+      assert(end > start, "session must have positive extent")
+    }
+  }
+
   test("watermarked stream-stream interval join equals the batch join") {
     val q = EventStream.clickErrorJoin(
         EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
