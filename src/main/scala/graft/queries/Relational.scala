@@ -947,20 +947,27 @@ object Relational {
   // price·count > 1.5·sum in exact DECIMAL so no engine ever divides:
   // boundary rows cannot flip on floating-point averaging order.
   // -------------------------------------------------------------------
-  val b32Sql: String =
-    """SELECT o_orderpriority,
+  // One SQL template, two table bindings: the DuckDB oracle reads the
+  // parquet-backed `orders`; the Spark side registers the same relation
+  // under a graft-prefixed temp-view name so building the query never
+  // clobbers (or reads) a generic `orders` view in the shared session
+  // catalog.
+  private def b32SqlFor(t: String): String =
+    s"""SELECT o_orderpriority,
       |       COUNT(*) AS n_above,
       |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_price
-      |FROM orders o
+      |FROM $t o
       |WHERE CAST(o_totalprice AS DECIMAL(30,6))
-      |        * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |        * (SELECT COUNT(*) FROM $t o2 WHERE o2.o_custkey = o.o_custkey)
       |      > 1.5 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(30,6)))
-      |               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |               FROM $t o2 WHERE o2.o_custkey = o.o_custkey)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  val b32Sql: String = b32SqlFor("orders")
+
   def b32CorrSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(b32Sql)
+    Tables.orders(s, d).createOrReplaceTempView("graft_b32_orders")
+    s.sql(b32SqlFor("graft_b32_orders"))
   }
 
   // -------------------------------------------------------------------

@@ -481,7 +481,11 @@ object Similarity {
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     val qe = ex.join(mm, Seq("vec_id", "label"))
       .withColumn("scale", (col("hi") - col("lo")) / 255)
-      .withColumn("q", round((col("x") - col("lo")) / col("scale"), 0))
+      // constant vector ⇒ scale 0: quantize to q=0 (reconstruction lo = x
+      // exactly, err 0) instead of the 0/0 NaN that would otherwise poison
+      // the per-label aggregates. Mirrored by the CASE in s6Sql.
+      .withColumn("q", when(col("scale") === 0, lit(0.0))
+        .otherwise(round((col("x") - col("lo")) / col("scale"), 0)))
     val perVec = qe.groupBy("vec_id", "label")
       .agg(
         max(abs(col("x") - (col("lo") + col("q") * col("scale")))).as("max_err"),
@@ -503,7 +507,8 @@ object Similarity {
       |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
       |mm AS (SELECT vec_id, label, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY 1, 2),
       |qe AS (SELECT e.vec_id, e.label, e.x, m.lo, (m.hi - m.lo) / 255 AS scale,
-      |              ROUND((e.x - m.lo) / ((m.hi - m.lo) / 255)) AS q
+      |              CASE WHEN m.hi = m.lo THEN 0
+      |                   ELSE ROUND((e.x - m.lo) / ((m.hi - m.lo) / 255)) END AS q
       |       FROM ex e JOIN mm m ON m.vec_id = e.vec_id AND m.label = e.label),
       |err AS (SELECT vec_id, label, MAX(ABS(x - (lo + q * scale))) AS max_err,
       |               MAX(scale) AS scale,

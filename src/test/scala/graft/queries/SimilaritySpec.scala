@@ -203,4 +203,25 @@ class SimilaritySpec extends AnyFunSuite {
     val cids = rows.map(_.getAs[Long]("cid")).distinct
     assert(cids.forall(c => c >= 100 && c < 132), "cluster ids are the seed centroids")
   }
+
+  test("s6: a constant vector quantizes to q=0 with zero error, not NaN") {
+    // hi == lo makes the naive scale division 0/0; the guard must pin
+    // q = 0 so the reconstruction is exact and the label aggregates
+    // stay NaN-free.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s6const").toString
+    Seq(
+      (1L, Array.fill(64)(0.25f), 7),
+      (2L, Array.tabulate(64)(i => i * 0.01f), 7))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.s6Quantize(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_vecs") == 2L)
+    val err = r.getAs[Double]("max_abs_err")
+    assert(!err.isNaN, "constant vector leaked NaN into max_abs_err")
+    assert(r.getAs[Boolean]("within_bound"), "error bound must hold with the guard")
+    assert(r.getAs[Long]("q_min") == 0L)
+  }
 }

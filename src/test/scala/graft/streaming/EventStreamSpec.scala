@@ -85,9 +85,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == want, "stream and batch disagree on session windows")
     // sessions partition the event stream: counts must total the corpus
     assert(want.map(_._4).sum == graft.sources.Tables.events(spark, sf).count())
-    // no session extends past its last event by more than the gap
+    // session_window semantics: end = last event + gap, so every session
+    // extends at least the 30-minute gap past its start...
+    val gapUs = 30L * 60 * 1000000
     want.foreach { case (_, start, end, _, _) =>
-      assert(end > start, "session must have positive extent")
+      assert(end - start >= gapUs, "session extent must cover the inactivity gap")
+    }
+    // ...and sessions of the same user never overlap (the defining
+    // sessionization invariant: a new session starts only after a gap).
+    want.groupBy(_._1).foreach { case (_, sessions) =>
+      sessions.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._2 >= a._3, s"user sessions overlap: $a vs $b")
+        case _ => ()
+      }
     }
   }
 
