@@ -1036,6 +1036,78 @@ object Relational {
       |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B35: lag/lead navigation — per-customer inter-order gaps. The
+  // remaining window-function family member (B25 covers ROWS frames,
+  // B27 ranks, B34 RANGE frames): offset functions over a keyed
+  // ordering. One shuffle on o_custkey; ties on order date are broken
+  // by o_orderkey so the lag/lead pairing is total and deterministic
+  // on both engines. Gaps stay in exact integer microseconds; only the
+  // final average goes through the decimal accumulator.
+  // -------------------------------------------------------------------
+  def b35LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("odus"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast is
+        // the identity wall-clock mapping DuckDB's epoch_us applies.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odus"))
+      .select(col("o_orderpriority"),
+        (col("odus") - lag(col("odus"), 1).over(w)).as("gap_us"),
+        lead(col("odus"), 1).over(w).isNull.as("is_last"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        round(sum(col("gap_us").cast(DecimalType(30, 6))) / count(col("gap_us")), 3)
+          .cast("double").as("avg_gap_us"),
+        sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"))
+      .orderBy("o_orderpriority")
+  }
+
+  val b35Sql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+      |                  epoch_us(o_orderdate) AS odus FROM orders),
+      |g AS (SELECT o_orderpriority,
+      |             odus - LAG(odus) OVER w AS gap_us,
+      |             (LEAD(odus) OVER w IS NULL) AS is_last
+      |      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY odus, o_orderkey))
+      |SELECT o_orderpriority,
+      |       COUNT(gap_us) AS n_gaps,
+      |       MAX(gap_us) AS max_gap_us,
+      |       CAST(ROUND(SUM(CAST(gap_us AS DECIMAL(30,6))) / COUNT(gap_us), 3) AS DOUBLE) AS avg_gap_us,
+      |       CAST(SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B36: string aggregation (listagg) — per-nation roster of distinct
+  // market segments, sorted inside the aggregate so the concatenation
+  // order is deterministic under any partitioning (collect_set order is
+  // not; array_sort makes it canonical — the same reason DuckDB's side
+  // needs string_agg(DISTINCT ... ORDER BY ...)). Broadcast the 25-row
+  // nation dim; one shuffle on the nation key. The 5-value segment
+  // domain keeps the aggregated strings tiny; at 100 TB the pattern
+  // holds for any bounded-cardinality roster (listagg over an unbounded
+  // value set is an anti-pattern at any scale — that's what collect-to-
+  // array sinks are for).
+  // -------------------------------------------------------------------
+  def b36StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_set(col("c_mktsegment"))), "|").as("segments"))
+      .orderBy("n_name")
+
+  val b36Sql: String =
+    """SELECT n_name,
+      |       COUNT(*) AS n_customers,
+      |       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1071,5 +1143,7 @@ object Relational {
     ("b31_string_funcs", b31StringFuncs _, b31Sql),
     ("b32_corr_subquery", b32CorrSubquery _, b32Sql),
     ("b33_posexplode", b33Posexplode _, b33Sql),
-    ("b34_range_frame", b34RangeFrame _, b34Sql))
+    ("b34_range_frame", b34RangeFrame _, b34Sql),
+    ("b35_lag_lead", b35LagLead _, b35Sql),
+    ("b36_string_agg", b36StringAgg _, b36Sql))
 }

@@ -520,6 +520,69 @@ object Similarity {
       |       BOOL_AND(max_err <= scale / 2 + 1e-12) AS within_bound
       |FROM err GROUP BY label ORDER BY label""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S7: product quantization (PQ) profile — the codebook compression
+  // behind IVF-PQ indexes: the 64-dim space splits into 8 subspaces of
+  // 8 dims, each quantized independently against a 16-entry codebook
+  // (seed subvectors of vec_ids 200..215, the same deterministic-seed
+  // trick as S2/D8), so a vector stores as 8 single-byte codes — 32×
+  // smaller than float32. Per subspace the profile reports codebook
+  // utilization (codes used, hottest code) and the quantization error.
+  // Plan shape: the codebook side of the distance join is a constant
+  // 1024-row broadcast (8 subs × 16 codes × 8 dims), so candidate
+  // scoring is a narrow fan-out of 16 rows per (vector, subspace) —
+  // linear in the corpus with no shuffle until the grouping aggregates.
+  // Determinism: distances go through the d8 recipe (per-row IEEE
+  // products, ROUND(…,6), row_number ties broken on code), then exact
+  // decimal error sums.
+  // -------------------------------------------------------------------
+  def s7ProductQuant(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dpos", "x")
+      .select(col("vec_id"), floor(col("dpos") / 8).cast("long").as("sub"),
+        (col("dpos") % 8).cast("long").as("dim"), col("x"))
+    val cents = ex.filter(col("vec_id") >= 200 && col("vec_id") < 216)
+      .select((col("vec_id") - 200).as("code"), col("sub"), col("dim"),
+        col("x").as("cx"))
+    val dist = ex.join(broadcast(cents), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
+    val wAsg = Window.partitionBy("vec_id", "sub").orderBy(col("sqerr"), col("code"))
+    dist.withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("cnt"), sum(col("sqerr").cast(DecimalType(30, 6))).as("serr"))
+      .groupBy("sub")
+      .agg(
+        sum(col("cnt")).as("n_vecs"),
+        count(lit(1)).as("n_codes"),
+        max(col("cnt")).as("top_code_n"),
+        round(sum(col("serr")) / sum(col("cnt")), 6).cast("double").as("avg_sq_err"))
+      .orderBy("sub")
+  }
+
+  val s7Sql: String =
+    """WITH ex AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub,
+      |                   CAST((i - 1) % 8 AS BIGINT) AS dim,
+      |                   CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cents AS (SELECT vec_id - 200 AS code, sub, dim, x AS cx
+      |          FROM ex WHERE vec_id >= 200 AND vec_id < 216),
+      |dist AS (SELECT e.vec_id, e.sub, c.code,
+      |                ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS sqerr
+      |         FROM ex e JOIN cents c ON c.sub = e.sub AND c.dim = e.dim
+      |         GROUP BY 1, 2, 3),
+      |asg AS (SELECT vec_id, sub, code, sqerr FROM (
+      |          SELECT vec_id, sub, code, sqerr,
+      |                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY sqerr, code) AS rn
+      |          FROM dist) WHERE rn = 1),
+      |pc AS (SELECT sub, code, COUNT(*) AS cnt, SUM(CAST(sqerr AS DECIMAL(30,6))) AS serr
+      |       FROM asg GROUP BY 1, 2)
+      |SELECT sub, CAST(SUM(cnt) AS BIGINT) AS n_vecs, COUNT(*) AS n_codes,
+      |       CAST(MAX(cnt) AS BIGINT) AS top_code_n,
+      |       CAST(ROUND(SUM(serr) / SUM(cnt), 6) AS DOUBLE) AS avg_sq_err
+      |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -527,6 +590,7 @@ object Similarity {
     ("s4_knn_graph", s4KnnGraph _, s4Sql),
     ("s5_range_search", s5RangeSearch _, s5Sql),
     ("s6_quantize", s6Quantize _, s6Sql),
+    ("s7_product_quant", s7ProductQuant _, s7Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql),
     ("d8_semantic_dedup", d8SemanticDedup _, d8Sql))

@@ -600,6 +600,68 @@ object TextStats {
       |FROM est ORDER BY exact_n DESC, tok ASC""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // T12: cross-document boilerplate profile — the shingle-document-
+  // frequency pass behind boilerplate stripping in web-corpus pipelines
+  // (CCNet/RefinedWeb-style): how much of each document is made of
+  // 5-gram shingles that also occur in OTHER documents, and how many
+  // documents are majority-boilerplate. Distinct per-doc shingles →
+  // document frequency per shingle (one linear shuffle on the shingle
+  // key) → joined back to score each document. The distinct() subtree
+  // feeds both branches of the self-join, so Spark plans one Exchange
+  // and a ReusedExchange for the second consumer (asserted in
+  // PlanShapeSpec) — the corpus is scanned and exploded once. The
+  // join back on the shingle key inherits the shingle-frequency skew
+  // (a mega-boilerplate shingle = one hot key), which is exactly the
+  // shape AQE skew-join splits at runtime; the groupBy+join form is
+  // chosen over a count-window for that reason.
+  // -------------------------------------------------------------------
+  private val T12ShingleK = 5
+
+  def t12Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val k = T12ShingleK
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= k) // guard: sequence(1, n) descends when n < 1
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
+          .as("shingle"))
+      .distinct()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_dup")).as("n_shared"),
+        round(sum(col("n_dup").cast(DecimalType(30, 6))) / sum(col("n_sh")), 6)
+          .cast("double").as("shared_frac"),
+        sum(when(col("n_dup") * 2 > col("n_sh"), 1L).otherwise(0L))
+          .as("n_boilerplate_docs"))
+      .orderBy("source")
+  }
+
+  val t12Sql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS shingle
+      |       FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+      |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      |doc AS (SELECT sh.doc_id, sh.source, COUNT(*) AS n_sh,
+      |               SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_dup
+      |        FROM sh JOIN df USING (shingle) GROUP BY 1, 2)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+      |       CAST(SUM(n_dup) AS BIGINT) AS n_shared,
+      |       CAST(ROUND(SUM(CAST(n_dup AS DECIMAL(30,6))) / SUM(n_sh), 6) AS DOUBLE) AS shared_frac,
+      |       CAST(SUM(CASE WHEN n_dup * 2 > n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_docs
+      |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -611,5 +673,6 @@ object TextStats {
     ("t8_mix_weights", t8MixWeights _, t8Sql),
     ("t9_repetition", t9Repetition _, t9Sql),
     ("t10_stratified_sample", t10StratifiedSample _, t10Sql),
-    ("t11_cms_topk", t11CmsTopk _, t11Sql))
+    ("t11_cms_topk", t11CmsTopk _, t11Sql),
+    ("t12_boilerplate", t12Boilerplate _, t12Sql))
 }

@@ -84,10 +84,39 @@ class PlanShapeSpec extends AnyFunSuite {
     // the O(n²) plan that dies at scale. (b12/s1/s2 intentionally
     // broadcast a tiny build side via crossJoin and are excluded.)
     for (q <- Seq("d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
-        "d7_dup_clusters", "t4_fingerprint", "t7_contamination", "s4_knn_graph")) {
+        "d7_dup_clusters", "t4_fingerprint", "t7_contamination", "s4_knn_graph",
+        "t12_boilerplate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
     }
+  }
+
+  test("t12: the shingle distinct subtree is planned once and reused") {
+    // the distinct (doc, shingle) relation feeds both the document-
+    // frequency aggregate and the join back; Spark must reuse the
+    // exchange, not scan + explode the corpus twice. AQE materializes
+    // reuse in the FINAL plan only, so execute before inspecting.
+    val df = graft.SparkEntry.queries("t12_boilerplate")(spark, sf)
+    df.collect()
+    // the adaptive plan string appends the pre-AQE "Initial Plan" —
+    // assert on the executed Final Plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"t12's shingle subtree should plan one Exchange + ReusedExchange:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"t12 must read documents.parquet once, saw $scans scans:\n$p")
+  }
+
+  test("s7: the PQ codebook joins via broadcast; no all-pairs scoring") {
+    val p = plan("s7_product_quant")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s7 plans a cartesian product:\n$p")
+  }
+
+  test("b36: the nation dim joins via broadcast") {
+    val p = plan("b36_string_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
 }

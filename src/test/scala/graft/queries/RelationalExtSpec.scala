@@ -227,4 +227,28 @@ class RelationalExtSpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_pos") >= r.getAs[Long]("min_pos"))
     }
   }
+
+  test("b35: gap and last-order accounting tie out to the orders table") {
+    val rows = Relational.b35LagLead(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    val nCustomers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    // each customer contributes (orders − 1) gaps and exactly 1 last order
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nOrders - nCustomers)
+    assert(rows.map(_.getAs[Long]("n_last")).sum == nCustomers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_gap_us") >= 0, "ordered lag gaps are non-negative")
+      assert(r.getAs[Double]("avg_gap_us") <= r.getAs[Long]("max_gap_us").toDouble)
+    }
+  }
+
+  test("b36: rosters are sorted, distinct, and customer counts tie out") {
+    val rows = Relational.b36StringAgg(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val segs = r.getAs[String]("segments").split('|').toSeq
+      assert(segs == segs.sorted, "aggregate order must be canonical")
+      assert(segs == segs.distinct, "roster must be distinct")
+    }
+  }
 }

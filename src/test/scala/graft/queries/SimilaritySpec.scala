@@ -224,4 +224,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("within_bound"), "error bound must hold with the guard")
     assert(r.getAs[Long]("q_min") == 0L)
   }
+
+  test("s7: PQ profile is well-formed and codebook vectors quantize to themselves") {
+    val rows = Similarity.s7ProductQuant(spark, sf).collect()
+    assert(rows.length == 8, "one profile row per subspace")
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n, "every vector is assigned in every subspace")
+      val codes = r.getAs[Long]("n_codes")
+      assert(codes >= 1 && codes <= 16)
+      assert(r.getAs[Long]("top_code_n") <= n)
+      assert(r.getAs[Double]("avg_sq_err") >= 0.0)
+    }
+    // a corpus that IS the codebook must quantize losslessly: each seed
+    // subvector's nearest code is itself at distance 0
+    val dir = java.nio.file.Files.createTempDirectory("s7seed").toString
+    Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 200 && col("vec_id") < 216)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val seeds = Similarity.s7ProductQuant(spark, dir).collect()
+    assert(seeds.length == 8)
+    seeds.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 16L)
+      assert(r.getAs[Long]("n_codes") == 16L, "16 seed vectors → 16 distinct codes")
+      assert(r.getAs[Long]("top_code_n") == 1L)
+      assert(r.getAs[Double]("avg_sq_err") == 0.0, "codebook must self-quantize exactly")
+    }
+  }
 }

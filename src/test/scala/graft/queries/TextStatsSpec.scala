@@ -204,4 +204,31 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "hash-ranked sample must be deterministic")
   }
+
+  test("t12: shared fractions are bounded and a planted duplicate pair is majority-boilerplate") {
+    val rows = TextStats.t12Boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("n_boilerplate_docs") <= r.getAs[Long]("n_docs"))
+      val frac = r.getAs[Double]("shared_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // planted corpus: two identical docs share every shingle; the third
+    // shares none — exactly 2 majority-boilerplate docs
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t12dup").toString
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, same, "en", "srcA", same.length.toLong),
+      (2L, same, "en", "srcA", same.length.toLong),
+      (3L, "one two three four five six seven eight", "en", "srcA", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextStats.t12Boilerplate(spark, dir).collect()
+    assert(planted.length == 1)
+    assert(planted(0).getAs[Long]("n_docs") == 3L)
+    assert(planted(0).getAs[Long]("n_boilerplate_docs") == 2L)
+    assert(planted(0).getAs[Long]("n_shared") == 8L, "4 shared shingles × 2 docs")
+  }
 }
