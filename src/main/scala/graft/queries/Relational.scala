@@ -1108,6 +1108,41 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B37: approximate percentiles with an in-query error gate — the
+  // sketch companion to B18's exact sort-based percentiles, the same
+  // pattern as B16's HLL gate: Spark computes BOTH the exact
+  // percentile and the GK-sketch percentile_approx (rank error ≤
+  // n/10000) and emits a boolean asserting the sketch landed within
+  // 5% of the exact value; the oracle reproduces the exact side and
+  // the gate must read TRUE on both engines. At 100 TB the sketch is
+  // the only viable path (constant memory, one pass, mergeable
+  // partials) — this query keeps it honest against the exact answer
+  // while the data is small enough to afford one.
+  // -------------------------------------------------------------------
+  def b37ApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val p50e = expr("percentile(l_extendedprice, 0.5)")
+    val p95e = expr("percentile(l_extendedprice, 0.95)")
+    val p50a = expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    val p95a = expr("percentile_approx(l_extendedprice, 0.95, 10000)")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(p50e, 6).as("p50_exact"),
+        round(p95e, 6).as("p95_exact"),
+        (abs(p50a - p50e) <= p50e * 0.05 && abs(p95a - p95e) <= p95e * 0.05)
+          .as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  val b37Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS p50_exact,
+      |       CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS DOUBLE) AS p95_exact,
+      |       TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1145,5 +1180,6 @@ object Relational {
     ("b33_posexplode", b33Posexplode _, b33Sql),
     ("b34_range_frame", b34RangeFrame _, b34Sql),
     ("b35_lag_lead", b35LagLead _, b35Sql),
-    ("b36_string_agg", b36StringAgg _, b36Sql))
+    ("b36_string_agg", b36StringAgg _, b36Sql),
+    ("b37_approx_quantile", b37ApproxQuantile _, b37Sql))
 }

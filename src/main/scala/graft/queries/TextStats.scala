@@ -662,6 +662,67 @@ object TextStats {
       |       CAST(SUM(CASE WHEN n_dup * 2 > n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_docs
       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T13: train/test n-gram novelty scan — what fraction of the test
+  // split's trigram instances never occur in the train split. The
+  // complement of T7's contamination check: T7 finds verbatim overlap
+  // (eval leakage), T13 measures how NOVEL the held-out text is — the
+  // memorization-vs-generalization accounting an eval pipeline reports.
+  // Split assignment is T6's stable hash, so the scan is reproducible
+  // under any partitioning. Two linear passes over the corpus (train
+  // vocabulary build + test scoring) joined on the trigram key — a
+  // shuffle equi-join that broadcasts when the vocabulary is small and
+  // degrades to a linear shuffle join, never quadratic; at cluster
+  // scale persist the token relation to trade the second scan for
+  // cache I/O.
+  // -------------------------------------------------------------------
+  def t13Novelty(s: SparkSession, d: String): DataFrame = {
+    val tris = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), splitCol.as("split"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), col("split"),
+        explode(expr(
+          """CASE WHEN size(w) >= 3
+            |     THEN transform(sequence(0, size(w) - 3),
+            |                    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+            |     ELSE array() END""".stripMargin)).as("tri"))
+    val seen = tris.filter(col("split") === "train").select("tri").distinct()
+      .withColumn("in_train", lit(true))
+    tris.filter(col("split") === "test")
+      .join(seen, Seq("tri"), "left")
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_test_docs"),
+        count(lit(1)).as("n_tri"),
+        sum(when(col("in_train").isNull, 1L).otherwise(0L)).as("n_novel"),
+        round(sum(when(col("in_train").isNull, 1L).otherwise(0L)).cast(DecimalType(30, 6))
+          / count(lit(1)), 6).cast("double").as("novel_frac"),
+        countDistinct(when(col("in_train").isNull, col("tri"))).as("n_distinct_novel"))
+      .orderBy("source")
+  }
+
+  val t13Sql: String =
+    s"""WITH b AS (SELECT doc_id, source, text, $duckDocHash % 100 AS bucket FROM documents),
+      |sp2 AS (SELECT doc_id, source, text,
+      |               CASE WHEN bucket < 80 THEN 'train'
+      |                    WHEN bucket < 90 THEN 'val'
+      |                    ELSE 'test' END AS split FROM b),
+      |ws AS (SELECT doc_id, source, split, string_split(text, ' ') AS w FROM sp2),
+      |tg AS (SELECT doc_id, source, split,
+      |              UNNEST(list_transform(range(1, GREATEST(len(w) - 1, 1)),
+      |                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+      |       FROM ws),
+      |seen AS (SELECT DISTINCT tri FROM tg WHERE split = 'train'),
+      |te AS (SELECT t.doc_id, t.source, t.tri, (s.tri IS NOT NULL) AS in_train
+      |       FROM tg t LEFT JOIN seen s ON s.tri = t.tri WHERE t.split = 'test')
+      |SELECT source,
+      |       COUNT(DISTINCT doc_id) AS n_test_docs,
+      |       COUNT(*) AS n_tri,
+      |       CAST(SUM(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(ROUND(SUM(CAST(CASE WHEN NOT in_train THEN 1 ELSE 0 END AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS novel_frac,
+      |       COUNT(DISTINCT CASE WHEN NOT in_train THEN tri END) AS n_distinct_novel
+      |FROM te GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -674,5 +735,6 @@ object TextStats {
     ("t9_repetition", t9Repetition _, t9Sql),
     ("t10_stratified_sample", t10StratifiedSample _, t10Sql),
     ("t11_cms_topk", t11CmsTopk _, t11Sql),
-    ("t12_boilerplate", t12Boilerplate _, t12Sql))
+    ("t12_boilerplate", t12Boilerplate _, t12Sql),
+    ("t13_novelty", t13Novelty _, t13Sql))
 }

@@ -241,6 +241,21 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("b37: the GK sketch lands inside the 5% gate and the exact side ties to b18") {
+    val rows = Relational.b37ApproxQuantile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"approx percentile left the 5% envelope for ${r.getString(0)}")
+      assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p95_exact"))
+    }
+    val p50ByFlag = Relational.b18Percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Double]("p50_exact") == p50ByFlag(r.getString(0)),
+        "b37's exact median must equal b18's"))
+  }
+
   test("b36: rosters are sorted, distinct, and customer counts tie out") {
     val rows = Relational.b36StringAgg(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_customers")).sum ==

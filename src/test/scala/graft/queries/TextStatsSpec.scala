@@ -231,4 +231,24 @@ class TextStatsSpec extends AnyFunSuite {
     assert(planted(0).getAs[Long]("n_boilerplate_docs") == 2L)
     assert(planted(0).getAs[Long]("n_shared") == 8L, "4 shared shingles × 2 docs")
   }
+
+  test("t13: novelty accounting is bounded and consistent with the t6 split") {
+    val rows = TextStats.t13Novelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_tri"))
+      assert(r.getAs[Long]("n_distinct_novel") <= r.getAs[Long]("n_novel"))
+      val f = r.getAs[Double]("novel_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // scored docs are exactly the ≥3-word docs of the t6 test split
+    val testDocs = TextStats.t6Split(spark, sf).collect()
+      .find(_.getString(0) == "test").get.getAs[Long]("n_docs")
+    assert(rows.map(_.getAs[Long]("n_test_docs")).sum <= testDocs)
+    assert(rows.map(_.getAs[Long]("n_test_docs")).sum > 0)
+    // novelty must be non-degenerate on the synthetic corpus: some
+    // trigrams novel, some seen (else the metric measures nothing)
+    assert(rows.map(_.getAs[Long]("n_novel")).sum > 0)
+    assert(rows.exists(r => r.getAs[Long]("n_novel") < r.getAs[Long]("n_tri")))
+  }
 }
