@@ -183,6 +183,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(nCand < 10000, s"fingerprint join not df-bounded: $nCand")
   }
 
+  test("t12 stays linear under a planted mega-hot boilerplate shingle") {
+    // unlike the pair-emitting dedup joins, t12's join back is against
+    // the one-row-per-shingle df table, so its output is exactly the
+    // distinct (doc, shingle) relation — structurally linear in the
+    // corpus even when ONE shingle occurs in every document. Plant that
+    // worst case and assert the result stays per-doc bounded (a
+    // quadratic regression — e.g. joining sh to sh instead of sh to df —
+    // would blow the shared counts past n_shingles).
+    import spark.implicits._
+    val boiler = "shared header words alpha beta"
+    val docs = (0 until 1000).map(i =>
+      (800000L + i, s"$boiler unique$i tail$i words$i here$i", "en", "srcZ", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t12hot").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStats.t12Boilerplate(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_docs") == 1000L)
+    // 9 words/doc → 5 shingles/doc; only the leading all-boilerplate
+    // shingle is shared, and it is counted once per DOC (linear), never
+    // once per doc-pair
+    assert(r.getAs[Long]("n_shingles") == 5000L)
+    assert(r.getAs[Long]("n_shared") == 1000L,
+      "the hot shingle must contribute exactly one shared count per doc")
+  }
+
   test("d7 reads the checkpointed pair graph, not parquet, in its final plan") {
     // connectedComponents localCheckpoints the d2 pair relation, so the
     // expensive LSH+verify subtree runs exactly once per d7 invocation;
