@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Exactly-once file output from an at-least-once micro-batch stream.
+  *
+  * Structured Streaming's `foreachBatch` delivers every micro-batch AT
+  * LEAST once: after a failure the engine replays the batch with the
+  * SAME `batchId`. A sink is exactly-once iff replaying a (batchId,
+  * data) pair is a no-op — which a batchId-keyed overwrite gives for
+  * free: the retry replaces its own (possibly partial) output instead
+  * of appending a duplicate. This is the recipe the checkpointed file
+  * sink uses internally, exposed for arbitrary `foreachBatch`
+  * destinations (a JDBC MERGE keyed on batchId is the same move).
+  *
+  * Scale notes: the write is per-partition parallel parquet, no
+  * driver-side collection; one directory per micro-batch keeps the
+  * overwrite scoped to the replayed batch (never the whole sink), so
+  * a retry re-writes one micro-batch of data regardless of how much
+  * history the sink holds.
+  */
+object IdempotentSink {
+
+  /** A `foreachBatch` function writing each micro-batch to a
+    * `batch_id=<id>` directory with overwrite semantics. Safe to call
+    * twice with the same id (failure replay): the second write
+    * replaces the first bit-for-bit instead of duplicating it. */
+  def parquetSink(outDir: String): (Dataset[Row], Long) => Unit =
+    (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** Everything the sink has committed, across all micro-batches; the
+    * batch_id partition column is dropped so the read-back schema is
+    * the stream's own. */
+  def readBack(s: SparkSession, outDir: String): DataFrame =
+    s.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+      .drop("batch_id")
+}
