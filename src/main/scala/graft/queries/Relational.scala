@@ -1143,6 +1143,47 @@ object Relational {
       |       TRUE AS within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B38: null-safe equality join — `<=>` (IS NOT DISTINCT FROM), the
+  // null-handling semantics class: a NULL join key matches the dim's
+  // NULL row under null-safe equality where plain `=` silently drops
+  // it. The corpus has no natural NULLs, so the bucket derivation
+  // plants one deterministically (k ≡ 0 mod 7 → NULL); n_eq_matched
+  // counts what a plain equality join would have kept, making the
+  // difference auditable per label. Catalyst plans `<=>` as an
+  // EqualNullSafe hash-join key (broadcast here), NOT a nested loop —
+  // null-safe joins shuffle/broadcast exactly like equi-joins at scale.
+  // -------------------------------------------------------------------
+  def b38NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("bucket",
+        when(col("k") % 7 === 0, lit(null).cast("long")).otherwise(col("k") % 7))
+    val dim = s.range(0, 7).select(
+      when(col("id") === 0, lit(null).cast("long")).otherwise(col("id")).as("bucket"),
+      concat(lit("b"), col("id")).as("label"))
+    e.join(broadcast(dim), e("bucket") <=> dim("bucket"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(e("bucket").isNotNull, 1L).otherwise(0L)).as("n_eq_matched"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("label")
+  }
+
+  val b38Sql: String =
+    """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      |eb AS (SELECT k, CASE WHEN k % 7 = 0 THEN NULL ELSE k % 7 END AS bucket FROM e),
+      |dim AS (SELECT CASE WHEN i = 0 THEN NULL ELSE i END AS bucket,
+      |               'b' || CAST(i AS VARCHAR) AS label
+      |        FROM UNNEST(range(0, 7)) t(i)),
+      |j AS (SELECT eb.k, eb.bucket, d.label
+      |      FROM eb JOIN dim d ON eb.bucket IS NOT DISTINCT FROM d.bucket)
+      |SELECT label, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_matched,
+      |       CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1181,5 +1222,6 @@ object Relational {
     ("b34_range_frame", b34RangeFrame _, b34Sql),
     ("b35_lag_lead", b35LagLead _, b35Sql),
     ("b36_string_agg", b36StringAgg _, b36Sql),
-    ("b37_approx_quantile", b37ApproxQuantile _, b37Sql))
+    ("b37_approx_quantile", b37ApproxQuantile _, b37Sql),
+    ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql))
 }

@@ -119,4 +119,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("b36_string_agg")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
   }
+
+  test("b38: null-safe equality plans as a hash join key, not a nested loop") {
+    val p = plan("b38_nullsafe_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"<=> must hash-join like an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality must not degrade to a nested loop:\n$p")
+  }
 }

@@ -256,6 +256,22 @@ class RelationalExtSpec extends AnyFunSuite {
         "b37's exact median must equal b18's"))
   }
 
+  test("b38: the NULL bucket matches only under null-safe equality") {
+    val rows = Relational.b38NullSafeJoin(spark, sf).collect()
+    val byLabel = rows.map(r => r.getString(0) -> r).toMap
+    // b0 is the planted NULL bucket: <=> keeps it, plain = would not
+    assert(byLabel.contains("b0"), "null bucket must join via <=>")
+    assert(byLabel("b0").getAs[Long]("n") > 0)
+    assert(byLabel("b0").getAs[Long]("n_eq_matched") == 0,
+      "plain equality would have matched none of the NULL-key rows")
+    rows.filter(_.getString(0) != "b0").foreach(r =>
+      assert(r.getAs[Long]("n_eq_matched") == r.getAs[Long]("n"),
+        "non-null buckets match identically under = and <=>"))
+    // the null-safe join loses no rows: every event lands in a bucket
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
   test("b36: rosters are sorted, distinct, and customer counts tie out") {
     val rows = Relational.b36StringAgg(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_customers")).sum ==
