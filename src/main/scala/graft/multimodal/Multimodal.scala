@@ -231,8 +231,53 @@ object Multimodal {
       |       CAST(MAX(height) AS INT) AS max_height_after
       |FROM resized GROUP BY kind ORDER BY kind""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M4: chunk-level binary dedup — content-addressable-storage
+  // accounting over the opaque payloads: fixed 32-byte chunks, md5
+  // digest per chunk, unique-vs-total ratio per kind (the dedup factor
+  // a CAS/blob store achieves on the corpus). Fixed-boundary chunking
+  // is the deterministic baseline (a rolling-hash content-defined
+  // chunker slots in the same pipeline shape). The whole pass is a
+  // narrow explode + one digest-key aggregation — a linear shuffle on
+  // the digest; identical chunks land on one reducer regardless of
+  // which asset or executor produced them, which is exactly the CAS
+  // property. ASCII payloads keep the byte-chunk digests equal to the
+  // oracle's char-chunk digests (same caveat as M1, verified there).
+  // -------------------------------------------------------------------
+  private val ChunkBytes = 32
+
+  def m4ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = assets(s, d).toDF()
+      .withColumn("n", ceil(length(col("payload")) / lit(ChunkBytes.toDouble)).cast("int"))
+      .filter(col("n") > 0)
+      .select(col("kind"),
+        explode(expr(
+          s"transform(sequence(0, n - 1), i -> substring(payload, i * $ChunkBytes + 1, $ChunkBytes))"))
+          .as("chunk"))
+      .withColumn("digest", md5(col("chunk")))
+    chunks.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("digest")).as("n_unique"),
+        round(countDistinct(col("digest")).cast(DecimalType(30, 6)) / count(lit(1)), 6)
+          .cast("double").as("unique_frac"))
+      .orderBy("kind")
+  }
+
+  val m4Sql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id,
+      |                  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |                  text FROM documents),
+      |c AS (SELECT kind, md5(substring(text, (i - 1) * $ChunkBytes + 1, $ChunkBytes)) AS digest
+      |      FROM a, UNNEST(range(1, CAST(ceil(len(text) / $ChunkBytes.0) AS BIGINT) + 1)) t(i)
+      |      WHERE len(text) > 0)
+      |SELECT kind, COUNT(*) AS n_chunks, COUNT(DISTINCT digest) AS n_unique,
+      |       CAST(ROUND(CAST(COUNT(DISTINCT digest) AS DECIMAL(30,6)) / COUNT(*), 6) AS DOUBLE) AS unique_frac
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("m1_media_features", m1MediaFeatures _, m1Sql),
     ("m2_frame_sample", m2FrameSample _, m2Sql),
-    ("m3_resize", m3Resize _, m3Sql))
+    ("m3_resize", m3Resize _, m3Sql),
+    ("m4_chunk_dedup", m4ChunkDedup _, m4Sql))
 }

@@ -74,4 +74,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.length <= 8)
     }
   }
+
+  test("m4: duplicated payloads collapse to the same chunk digests") {
+    val rows = Multimodal.m4ChunkDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_chunks"))
+      val f = r.getAs[Double]("unique_frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+    // planted CAS property: 10 assets sharing one payload contribute
+    // 10× the chunks but only 1× the unique digests
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m4dup").toString
+    val text = "x" * 100 // 4 chunks of 32 (last short)
+    (0 until 10).map(i => (i.toLong * 3, text, "en", "srcA", 100L)) // ids ≡ 0 mod 3 → image
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Multimodal.m4ChunkDedup(spark, dir).collect()
+    assert(planted.length == 1)
+    assert(planted(0).getAs[Long]("n_chunks") == 40L)
+    assert(planted(0).getAs[Long]("n_unique") == 2L,
+      "3 identical full chunks + 1 identical tail chunk → 2 unique digests")
+  }
 }
