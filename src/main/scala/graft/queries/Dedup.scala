@@ -514,10 +514,88 @@ object Dedup {
       |       COUNT(*) - 1 AS n_removed
       |FROM lab GROUP BY label ORDER BY cluster_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // D9: Bloom-filter cross-corpus decontamination. The scale problem:
+  // "which train documents might already be in the test set?" at 100 TB
+  // cannot join train against test text — the test side must compress
+  // to a constant-size structure every executor can hold. A Bloom
+  // filter is that structure, and this query implements one with fully
+  // deterministic, engine-portable semantics: k=3 bit positions per
+  // document from salted md5 (hash48, the repo-wide invariant) into an
+  // m=1024-bit space; the test split's bit-set is the filter; a train
+  // doc is flagged iff all three of its positions are set. m is sized
+  // small ON PURPOSE so the validation corpus produces real false
+  // positives and the FP accounting is exercised (exact dups are a
+  // subset of flagged by construction — a Bloom filter has no false
+  // negatives). At 100 TB: the bits relation is ≤ m rows → broadcast;
+  // the probe is a narrow hash + broadcast semi-join — the train side
+  // is never shuffled. Production would raise m to 2^33 bits via
+  // spark.util.sketch.BloomFilter; the semantics here are the same.
+  // -------------------------------------------------------------------
+  private val BloomBits = 256L
+
+  def d9BloomDecontam(s: SparkSession, d: String): DataFrame = {
+    def posCol(j: Int): Column =
+      pmod(hash48(concat(lit(s"bloom$j#"), col("text"))), lit(BloomBits))
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", pmod(hash48(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    val test = docs.filter(col("split") === "test")
+    val train = docs.filter(col("split") === "train")
+    val bits = test.select(explode(array(posCol(0), posCol(1), posCol(2))).as("pos"))
+      .distinct().withColumn("hit", lit(1L))
+    val hits = train
+      .select(col("doc_id"), explode(array(posCol(0), posCol(1), posCol(2))).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nhit"))
+    val exactTexts = test.select("text").distinct().withColumn("is_exact", lit(true))
+    val flags = train.join(hits, "doc_id")
+      .join(exactTexts, Seq("text"), "left")
+      .select((col("nhit") === 3).as("flagged"),
+        coalesce(col("is_exact"), lit(false)).as("exact"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("flagged") && !col("exact"), 1L).otherwise(0L)).as("n_false_pos"))
+    val testStats = test.agg(count(lit(1)).as("n_test"))
+    val bitStats = bits.agg(count(lit(1)).as("n_bits_set"))
+    flags.crossJoin(testStats).crossJoin(bitStats)
+      .select("n_train", "n_test", "n_bits_set", "n_flagged", "n_exact_dup", "n_false_pos")
+  }
+
+  val d9Sql: String = {
+    def h(j: Int) = duckHash48(s"'bloom$j#' || text") + s" % $BloomBits"
+    s"""WITH b AS (SELECT doc_id, text, ${duckHash48("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      |           FROM documents),
+      |sp AS (SELECT doc_id, text,
+      |              CASE WHEN bucket < 80 THEN 'train'
+      |                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |       FROM b),
+      |pr AS (SELECT doc_id, split, UNNEST([${h(0)}, ${h(1)}, ${h(2)}]) AS pos FROM sp),
+      |bits AS (SELECT DISTINCT pos FROM pr WHERE split = 'test'),
+      |tr AS (SELECT p.doc_id, COUNT(bits.pos) AS nhit
+      |       FROM pr p LEFT JOIN bits ON bits.pos = p.pos
+      |       WHERE p.split = 'train' GROUP BY 1),
+      |ex AS (SELECT DISTINCT text FROM sp WHERE split = 'test'),
+      |fl AS (SELECT (tr.nhit = 3) AS flagged, (ex.text IS NOT NULL) AS is_exact
+      |       FROM sp s JOIN tr ON tr.doc_id = s.doc_id
+      |       LEFT JOIN ex ON ex.text = s.text
+      |       WHERE s.split = 'train')
+      |SELECT (SELECT COUNT(*) FROM fl) AS n_train,
+      |       (SELECT COUNT(*) FROM sp WHERE split = 'test') AS n_test,
+      |       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+      |       (SELECT CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) FROM fl) AS n_flagged,
+      |       (SELECT CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) FROM fl) AS n_exact_dup,
+      |       (SELECT CAST(SUM(CASE WHEN flagged AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT) FROM fl) AS n_false_pos""".stripMargin
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("d1_exact_dedup", d1ExactDedup _, d1Sql),
     ("d2_minhash_lsh", d2MinhashLsh _, d2Sql),
     ("d3_simhash", d3Simhash _, d3Sql),
     ("d4_ngram_jaccard", d4NgramJaccard _, d4Sql),
-    ("d7_dup_clusters", d7DupClusters _, d7Sql))
+    ("d7_dup_clusters", d7DupClusters _, d7Sql),
+    ("d9_bloom_decontam", d9BloomDecontam _, d9Sql))
 }

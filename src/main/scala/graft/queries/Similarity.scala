@@ -583,6 +583,84 @@ object Similarity {
       |       CAST(ROUND(SUM(serr) / SUM(cnt), 6) AS DOUBLE) AS avg_sq_err
       |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S8: k-means clustering (2 Lloyd iterations, K=8, L2²) — the
+  // embedding-space partitioner a training pipeline uses for semantic
+  // sharding / diversity sampling; also exactly the structure behind
+  // s2's IVF index. Spark-first shape: centroids are packed into ONE
+  // array-of-structs row and broadcast, so assignment is a fully NARROW
+  // per-row argmin over the 8-element array — no shuffle, no explode;
+  // the only shuffles are the two centroid-recompute aggregations
+  // (constant-size output: K×64 rows), which is the same plan MLlib's
+  // KMeans executes per iteration at any scale. Determinism: init is
+  // the 8 lowest vec_ids; each squared-difference term is an exact
+  // IEEE double (float inputs, one subtract + one multiply) cast to
+  // DECIMAL(30,12) and summed exactly, so the per-(vector, centroid)
+  // distance is bit-identical on every engine and partitioning and the
+  // argmin (tie → cluster asc) never wobbles; recomputed centroid
+  // components go through the DECIMAL(30,10) mean + round(6) so
+  // iteration 2 starts from identical centroids on both engines.
+  // -------------------------------------------------------------------
+  private val KmDec = DecimalType(30, 12)
+
+  def s8Kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val c0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cl"), col("x").as("cent"))
+    def packed(c: DataFrame): DataFrame =
+      c.groupBy().agg(array_sort(collect_list(struct(col("cl"), col("cent")))).as("cs"))
+    def assign(c: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(packed(c)))
+        .withColumn("best", element_at(array_sort(transform(col("cs"), cc =>
+          struct(
+            aggregate(
+              zip_with(col("x"), cc.getField("cent"), (a, b) => (a - b) * (a - b)),
+              lit(BigDecimal(0)).cast(KmDec),
+              (acc, t) => (acc + t.cast(KmDec)).cast(KmDec)).as("dist"),
+            cc.getField("cl").as("cl")))), 1))
+        .select(col("vec_id"), col("x"),
+          col("best").getField("cl").as("cl"), col("best").getField("dist").as("dist"))
+    val a1 = assign(c0)
+    val c1 = a1.select(col("cl"), posexplode(col("x"))).toDF("cl", "pos", "v")
+      .groupBy("cl", "pos")
+      .agg(round(sum(col("v").cast(DecimalType(30, 10))) / count(lit(1)), 6)
+        .cast("double").as("cv"))
+      .groupBy("cl")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("cl"), transform(col("pc"), p => p.getField("cv")).as("cent"))
+    assign(c1).groupBy("cl")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist")), 6).cast("double").as("inertia"))
+      .orderBy("cl")
+  }
+
+  val s8Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      |           FROM embeddings),
+      |c0 AS (SELECT vec_id AS cl, x AS cent FROM e WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cl, dist FROM (
+      |         SELECT e.vec_id, c.cl,
+      |                SUM(CAST((e.x[u.i] - c.cent[u.i]) * (e.x[u.i] - c.cent[u.i])
+      |                         AS DECIMAL(30,12))) AS dist
+      |         FROM e, c0 c, UNNEST(range(1, 65)) AS u(i)
+      |         GROUP BY 1, 2)
+      |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cl ASC) = 1),
+      |c1 AS (SELECT a1.cl, u.i AS pos,
+      |              CAST(ROUND(SUM(CAST(e.x[u.i] AS DECIMAL(30,10))) / COUNT(*), 6) AS DOUBLE) AS cv
+      |       FROM a1 JOIN e USING (vec_id), UNNEST(range(1, 65)) AS u(i)
+      |       GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cl, dist FROM (
+      |         SELECT e.vec_id, c.cl,
+      |                SUM(CAST((e.x[c.pos] - c.cv) * (e.x[c.pos] - c.cv)
+      |                         AS DECIMAL(30,12))) AS dist
+      |         FROM e, c1 c
+      |         GROUP BY 1, 2)
+      |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cl ASC) = 1)
+      |SELECT cl, COUNT(*) AS n_members,
+      |       CAST(ROUND(SUM(dist), 6) AS DOUBLE) AS inertia
+      |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -593,5 +671,6 @@ object Similarity {
     ("s7_product_quant", s7ProductQuant _, s7Sql),
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql),
-    ("d8_semantic_dedup", d8SemanticDedup _, d8Sql))
+    ("d8_semantic_dedup", d8SemanticDedup _, d8Sql),
+    ("s8_kmeans", s8Kmeans _, s8Sql))
 }

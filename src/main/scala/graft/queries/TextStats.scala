@@ -723,6 +723,177 @@ object TextStats {
       |       COUNT(DISTINCT CASE WHEN NOT in_train THEN tri END) AS n_distinct_novel
       |FROM te GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T14: PII detection + redaction. The corpus text is synthetic word
+  // soup with no natural PII, so — following the repo's planted-pattern
+  // convention (planted NULL keys, planted hot shingles) — each doc is
+  // AUGMENTED with a deterministic doc_id-derived contact block (email,
+  // IPv4, 16-digit card, NZ phone), then the four detector regexes and
+  // the redaction pass run against the augmented text for real. The
+  // redacted-text checksum (hash48 mod a prime, summed) proves the
+  // redaction output is byte-identical across engines, not just the
+  // counts. Per-row regex work is narrow (one scan, one shuffle on
+  // `source`); the regexes are RE2-safe so the same patterns run on
+  // DuckDB, Java, and any RE2-based scanner at 100 TB.
+  // -------------------------------------------------------------------
+  private val emailPat = """[a-z0-9]+@[a-z]+\.[a-z]+"""
+  private val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val cardPat = """\b4\d{15}\b"""
+  private val phonePat = """\+64-\d{2}-\d{6}"""
+
+  def t14PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      lit(" contact user"), id.cast("string"), lit("@mail.example from 10."),
+      (id % 200).cast("string"), lit("."), ((id / 7).cast("long") % 250).cast("string"),
+      lit("."), (id % 250).cast("string"),
+      lit(" card 4"), lpad((id % 1000000000L).cast("string"), 15, "0"),
+      lit(" ph +64-21-"), lpad((id % 1000000L).cast("string"), 6, "0"))
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, phonePat, "<PHONE>"),
+          cardPat, "<CARD>"),
+        emailPat, "<EMAIL>"),
+      ipPat, "<IP>")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(aug, lit(emailPat), lit(0))).as("ne"),
+        size(regexp_extract_all(aug, lit(ipPat), lit(0))).as("ni"),
+        size(regexp_extract_all(aug, lit(cardPat), lit(0))).as("nc"),
+        size(regexp_extract_all(aug, lit(phonePat), lit(0))).as("np"),
+        (length(aug) - length(red)).cast("long").as("cut"),
+        (Dedup.hash48(red) % 1000003L).as("ck"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).cast("long").as("n_email"),
+        sum(col("ni")).cast("long").as("n_ip"),
+        sum(col("nc")).cast("long").as("n_card"),
+        sum(col("np")).cast("long").as("n_phone"),
+        sum(col("cut")).as("chars_redacted"),
+        sum(col("ck")).as("redact_checksum"))
+      .orderBy("source")
+  }
+
+  val t14Sql: String = {
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example from 10.' || " +
+      "CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id // 7) % 250 AS VARCHAR) || '.' || " +
+      "CAST(doc_id % 250 AS VARCHAR) || ' card 4' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 15, '0') || " +
+      "' ph +64-21-' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+    s"""WITH a AS (SELECT source, $aug AS aug FROM documents),
+      |r AS (SELECT source, aug,
+      |             regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+      |               '\\+64-\\d{2}-\\d{6}', '<PHONE>', 'g'),
+      |               '\\b4\\d{15}\\b', '<CARD>', 'g'),
+      |               '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+      |               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS red
+      |      FROM a)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\\.[a-z]+'))) AS BIGINT) AS n_email,
+      |       CAST(SUM(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS n_ip,
+      |       CAST(SUM(len(regexp_extract_all(aug, '\\b4\\d{15}\\b'))) AS BIGINT) AS n_card,
+      |       CAST(SUM(len(regexp_extract_all(aug, '\\+64-\\d{2}-\\d{6}'))) AS BIGINT) AS n_phone,
+      |       CAST(SUM(len(aug) - len(red)) AS BIGINT) AS chars_redacted,
+      |       CAST(SUM(${Dedup.duckHash48("red")} % 1000003) AS BIGINT) AS redact_checksum
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // T15: sequence packing — GPT-style concatenate-and-chunk. Per split,
+  // documents are laid end-to-end in doc_id order and cut into fixed
+  // 256-token training sequences; the audit reports how many sequences
+  // the split yields and how many documents straddle a sequence
+  // boundary (the packing-quality number a pretraining pipeline
+  // watches). All arithmetic is integer (token counts, cumulative
+  // offsets, integer division by the capacity), so the result is exact
+  // on any engine. Scale shape: ONE range-partitioned sort per split
+  // (the window's sort shuffle) and two skinny aggregations — at 100 TB
+  // the sort is the unavoidable cost of a deterministic layout, and
+  // everything after it is linear.
+  // -------------------------------------------------------------------
+  private val seqCap = 256
+
+  def t15SeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("first_seq", expr(s"(cum - tok) div $seqCap"))
+      .withColumn("crossing", (expr(s"(cum - 1) div $seqCap") =!= col("first_seq")).cast("long"))
+    val perSeq = docs.groupBy("split", "first_seq").agg(count(lit(1)).as("n_started"))
+      .groupBy("split").agg(max(col("n_started")).as("max_docs_in_seq"))
+    docs.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr(s"(sum(tok) + ${seqCap - 1}) div $seqCap").as("n_sequences"),
+        sum(col("crossing")).as("n_crossing_docs"))
+      .join(perSeq, "split")
+      .select("split", "n_docs", "total_tokens", "n_sequences",
+        "n_crossing_docs", "max_docs_in_seq")
+      .orderBy("split")
+  }
+
+  val t15Sql: String =
+    s"""WITH $duckSplitSql,
+      |dt AS (SELECT sp.doc_id, sp.split, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok
+      |       FROM sp JOIN documents d USING (doc_id)),
+      |cu AS (SELECT doc_id, split, tok,
+      |              SUM(tok) OVER (PARTITION BY split ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM dt),
+      |fs AS (SELECT split, tok, cum, (cum - tok) // $seqCap AS first_seq,
+      |              CASE WHEN (cum - 1) // $seqCap <> (cum - tok) // $seqCap THEN 1 ELSE 0 END AS crossing
+      |       FROM cu),
+      |ps AS (SELECT split, MAX(n_started) AS max_docs_in_seq
+      |       FROM (SELECT split, first_seq, COUNT(*) AS n_started FROM fs GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT fs.split, COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
+      |       (SUM(tok) + ${seqCap - 1}) // $seqCap AS n_sequences,
+      |       CAST(SUM(crossing) AS BIGINT) AS n_crossing_docs, ps.max_docs_in_seq
+      |FROM fs JOIN ps ON ps.split = fs.split
+      |GROUP BY fs.split, ps.max_docs_in_seq ORDER BY fs.split""".stripMargin
+
+  // -------------------------------------------------------------------
+  // T16: TF-IDF top terms. Term frequency per (doc, word), document
+  // frequency per word over the WHOLE corpus, and an integer-scaled
+  // score tf * 1e6 * N / df (BIGINT div — no floating log, so the
+  // ranking is bit-deterministic on every engine). Top-3 terms for the
+  // first 20 docs keeps the output small while the df/N statistics
+  // exercise the full corpus. Scale shape: the df aggregate is
+  // vocab-sized and joins back on the word key (hot stopwords are
+  // AQE-splittable skew keys); the per-doc ranking window partitions
+  // by doc_id, so no global sort anywhere.
+  // -------------------------------------------------------------------
+  def t16Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * 1000000 * n) div df"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rnk") <= 3 && col("doc_id") < 20)
+      .select("doc_id", "rnk", "word", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val t16Sql: String =
+    """WITH w AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+      |sc AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, (tf.tf * 1000000 * n.n) // df.df AS score,
+      |              row_number() OVER (PARTITION BY tf.doc_id
+      |                                 ORDER BY (tf.tf * 1000000 * n.n) // df.df DESC, tf.word ASC) AS rnk
+      |       FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, rnk, word, tf, df, score
+      |FROM sc WHERE rnk <= 3 AND doc_id < 20
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -736,5 +907,8 @@ object TextStats {
     ("t10_stratified_sample", t10StratifiedSample _, t10Sql),
     ("t11_cms_topk", t11CmsTopk _, t11Sql),
     ("t12_boilerplate", t12Boilerplate _, t12Sql),
-    ("t13_novelty", t13Novelty _, t13Sql))
+    ("t13_novelty", t13Novelty _, t13Sql),
+    ("t14_pii_redact", t14PiiRedact _, t14Sql),
+    ("t15_seq_pack", t15SeqPack _, t15Sql),
+    ("t16_tfidf", t16Tfidf _, t16Sql))
 }
