@@ -176,4 +176,21 @@ class DedupSpec extends AnyFunSuite {
       .filter { case (a, b) => a != b }
     check(rand, "random-80")
   }
+
+  test("d9: bloom decontamination — no false negatives, exact FP accounting") {
+    val r = Dedup.d9BloomDecontam(spark, sf).collect()(0)
+    val (nTrain, nTest) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_test"))
+    val bits = r.getAs[Long]("n_bits_set")
+    val (flagged, exact, fp) = (r.getAs[Long]("n_flagged"),
+      r.getAs[Long]("n_exact_dup"), r.getAs[Long]("n_false_pos"))
+    assert(nTrain > 0 && nTest > 0)
+    // the filter sets at most k=3 bits per test doc, inside the 256-bit space
+    assert(bits <= (nTest * 3).min(256L))
+    assert(bits > 0)
+    // Bloom superset property: an exact duplicate's bits are all set, so
+    // exact ⊆ flagged and the FP count is the literal difference
+    assert(flagged >= exact, "bloom filter produced a false negative")
+    assert(fp == flagged - exact)
+    assert(flagged <= nTrain)
+  }
 }

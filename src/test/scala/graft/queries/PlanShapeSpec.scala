@@ -92,6 +92,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d9: the bloom probe is a broadcast hash join; no cartesian anywhere") {
+    // the candidate path (train positions vs test bit-set) must be an
+    // equi-join with the constant-size bits side broadcast — that is
+    // the whole point of a Bloom filter at 100 TB. The 1-row summary
+    // crossJoins at the top are BNLJ by construction and fine.
+    val p = plan("d9_bloom_decontam")
+    assert(!p.contains("CartesianProduct"), s"d9 plans a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d9's bit-set probe must broadcast the filter side:\n$p")
+  }
+
   test("t12: the shingle distinct subtree is planned once and reused") {
     // the distinct (doc, shingle) relation feeds both the document-
     // frequency aggregate and the join back; Spark must reuse the

@@ -326,7 +326,8 @@ class ScaleSpec extends AnyFunSuite {
     // radically different parallelism. Sample one query per family.
     val names = Seq("b2_hash_agg", "d2_minhash_lsh", "t1_lang_id", "s1_ann_lsh",
       "m1_media_features", "b29_funnel", "d7_dup_clusters", "t8_mix_weights",
-      "b32_corr_subquery", "t10_stratified_sample", "d8_semantic_dedup")
+      "b32_corr_subquery", "t10_stratified_sample", "d8_semantic_dedup",
+      "s8_kmeans", "t15_seq_pack", "d9_bloom_decontam")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val wide = SampleRunner.run(spark, sf, names, "32")

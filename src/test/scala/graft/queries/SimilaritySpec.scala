@@ -251,4 +251,18 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_sq_err") == 0.0, "codebook must self-quantize exactly")
     }
   }
+
+  test("s8: k-means partitions the corpus; inertia positive; deterministic") {
+    val rows = Similarity.s8Kmeans(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total,
+      "every vector must be assigned to exactly one cluster")
+    assert(rows.map(_.getAs[Long]("cl")).forall(c => c >= 0 && c < 8))
+    rows.foreach(r => assert(r.getAs[Double]("inertia") > 0.0))
+    // near-orthogonal corpus → no empty clusters and no one-cluster collapse
+    assert(rows.length > 1)
+    // bit-determinism across runs (fresh plan, same result)
+    val again = Similarity.s8Kmeans(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

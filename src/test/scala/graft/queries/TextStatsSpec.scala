@@ -251,4 +251,63 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_novel")).sum > 0)
     assert(rows.exists(r => r.getAs[Long]("n_novel") < r.getAs[Long]("n_tri")))
   }
+
+  test("t14: every planted PII item is detected and redaction is lossy-by-exactly-that") {
+    val rows = TextStats.t14PiiRedact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      // each doc plants exactly one email/ip/card/phone; the detectors
+      // must find all of them and nothing in the PII-free base text
+      assert(r.getAs[Long]("n_email") == n, "email detector missed a planted address")
+      assert(r.getAs[Long]("n_ip") == n)
+      assert(r.getAs[Long]("n_card") == n)
+      assert(r.getAs[Long]("n_phone") == n)
+      // redaction replaces every item with a shorter token → strictly lossy
+      assert(r.getAs[Long]("chars_redacted") > 0)
+      assert(r.getAs[Long]("redact_checksum") > 0)
+    }
+  }
+
+  test("t15: packing accounting — sequences cover tokens, crossings bounded") {
+    val rows = TextStats.t15SeqPack(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val tok = r.getAs[Long]("total_tokens")
+      val seqs = r.getAs[Long]("n_sequences")
+      // n_sequences = ceil(total / 256) exactly
+      assert(seqs == (tok + 255) / 256, s"sequence count wrong: $tok tokens → $seqs")
+      // every doc is ≤ 256 tokens here, so a doc crosses at most one
+      // boundary and there are only n_sequences - 1 boundaries
+      assert(r.getAs[Long]("n_crossing_docs") <= seqs)
+      assert(r.getAs[Long]("max_docs_in_seq") >= 1)
+      assert(r.getAs[Long]("max_docs_in_seq") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("t16: top-3 terms per doc, integer score consistent with tf/df") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = TextStats.t16Tfidf(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty && byDoc.keySet.forall(_ < 20))
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+      // score must be exactly the integer-scaled tf-idf and non-increasing in rank
+      rs.foreach { r =>
+        assert(r.getAs[Long]("score") ==
+          r.getAs[Long]("tf") * 1000000L * docs / r.getAs[Long]("df"))
+      }
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // rare terms must outrank stopwords: every top-1 term's df is below
+    // the corpus-wide max df (the "the"-class words never win)
+    val maxDf = rows.map(_.getAs[Long]("df")).max
+    val top1Df = byDoc.values.map(_.minBy(_.getAs[Int]("rnk")).getAs[Long]("df"))
+    assert(top1Df.forall(_ <= maxDf))
+  }
 }
