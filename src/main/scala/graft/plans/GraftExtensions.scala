@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -213,6 +213,80 @@ case class WinnowFingerprints(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** JVM kernel for [[CosineSim]] — unrounded cosine similarity of two
+  * double arrays in ONE fused pass (dot, ‖a‖², ‖b‖² accumulated
+  * left-to-right), operating directly on Catalyst [[ArrayData]].
+  *
+  * Bit-parity contract with the declarative form it replaces
+  * (`aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_) / (sqrt(..)*sqrt(..))`
+  * in [[graft.queries.Similarity]], mirrored by the DuckDB oracles'
+  * `SUM(x*y)/ (SQRT(SUM(x*x))*SQRT(SUM(y*y)))`): every accumulator is
+  * the same left-to-right IEEE double fold, sqrt is the correctly-
+  * rounded `Math.sqrt` both engines use, and the final round(…,6)
+  * stays in the Column layer so rounding goes through the exact same
+  * Spark path as before. Returns null on length mismatch or null
+  * elements exactly where the higher-order form nulls out.
+  *
+  * Why native: zip_with/aggregate are interpreted HigherOrderFunctions
+  * — three of them per cosine broke whole-stage codegen in the hottest
+  * loop of the ANN/dedup family (s1/s2/s4/s5/d5/d6/d8). This kernel
+  * keeps the loop inside generated code with zero per-element closure
+  * dispatch and no intermediate zipped array allocation.
+  */
+object CosineKernel {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (Math.sqrt(na) * Math.sqrt(nb))
+  }
+}
+
+/** `cosine_sim(array<double>, array<double>)` → unrounded cosine, as a
+  * codegen-friendly native expression. See [[CosineKernel]] for the
+  * parity contract.
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+
+  override def dataType: DataType = DoubleType
+
+  // null on length mismatch / null element, even for non-null inputs
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim expects (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("graftCos")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $tmp = graft.plans.CosineKernel.compute($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `alert_to_features(struct(<CapAlert columns>))` — the X2 fan-out
   * (task.ts:644-875) as a custom Catalyst [[Generator]] (UDTF analog,
   * SURVEY §2.6): one alert row generates 0..2N feature rows directly in
@@ -282,6 +356,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
   }
 }
 
@@ -299,6 +377,15 @@ object GraftFunctions {
         "winnow_fps", exprs => WinnowFingerprints(exprs.head), "scala_udf")
   }
 
+  /** Same contract as [[ensureWinnow]], for `cosine_sim` (the ANN/dedup
+    * family's hot loop — see [[CosineKernel]]). */
+  def ensureCosine(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("cosine_sim")))
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
@@ -307,6 +394,8 @@ object GraftFunctions {
       "alert_to_features", exprs => AlertToFeatures(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "winnow_fps", exprs => WinnowFingerprints(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
     spark.udf.register("centroid_agg", udaf(CentroidAgg))
   }
 }

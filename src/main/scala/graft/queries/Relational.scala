@@ -1184,6 +1184,38 @@ object Relational {
       |       CAST(SUM(k) AS BIGINT) AS sum_k
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B39: argmax/argmin aggregates (max_by/min_by) — the CDC "latest
+  // version wins" pattern: one aggregation replaces the window-rank +
+  // filter idiom for latest-record dedup, with map-side partial
+  // aggregation the window form cannot do. The ordering key is
+  // event_id (unique, monotone = arrival order), so every argmax is
+  // deterministic — ordering by a tieable column (ts, value) is the
+  // classic nondeterminism bug this query's shape avoids by
+  // construction. One shuffle on user_id, partial agg on both sides.
+  // -------------------------------------------------------------------
+  def b39Argmax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .filter(col("user_id") < 20)
+      .orderBy("user_id")
+
+  val b39Sql: String =
+    """SELECT user_id,
+      |       arg_min(event_type, event_id) AS first_type,
+      |       arg_max(event_type, event_id) AS last_type,
+      |       arg_max(value, event_id) AS last_value,
+      |       MAX(event_id) AS last_event_id,
+      |       COUNT(*) AS n_events
+      |FROM events GROUP BY user_id
+      |HAVING user_id < 20 ORDER BY user_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1223,5 +1255,6 @@ object Relational {
     ("b35_lag_lead", b35LagLead _, b35Sql),
     ("b36_string_agg", b36StringAgg _, b36Sql),
     ("b37_approx_quantile", b37ApproxQuantile _, b37Sql),
-    ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql))
+    ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql),
+    ("b39_argmax", b39Argmax _, b39Sql))
 }

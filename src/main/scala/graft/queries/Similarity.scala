@@ -98,8 +98,16 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** round-6 cosine via the native codegen kernel
+    * ([[graft.plans.CosineKernel]] — bit-identical to the declarative
+    * `dot/(sqrt·sqrt)` fold it replaced, but stays inside whole-stage
+    * codegen instead of three interpreted HigherOrderFunctions).
+    * Callers must [[ensureCosine]] their session first. */
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    round(call_function("cosine_sim", a, b), 6)
+
+  private def ensureCosine(s: SparkSession): Unit =
+    graft.plans.GraftFunctions.ensureCosine(s)
 
   /** Exact re-rank of (qid, vec_id) candidates → top-k per query. */
   private def rerank(emb: DataFrame, cand: DataFrame, k: Int = 5): DataFrame = {
@@ -133,6 +141,7 @@ object Similarity {
   // (band, bval) generates candidates; exact cosine re-ranks them.
   // -------------------------------------------------------------------
   def s1AnnLsh(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val b = bands(s, emb, 16, 4)
     val qb = b.filter(col("vec_id") < 10)
@@ -161,6 +170,7 @@ object Similarity {
   // k-means the seeds; the probe/assign machinery is identical.
   // -------------------------------------------------------------------
   def s2AnnIvf(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
@@ -217,6 +227,7 @@ object Similarity {
   // this corpus n_ge95 is 0 by construction (max cosine 0.479).
   // -------------------------------------------------------------------
   def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val b = bands(s, emb, 64, 16)
     val cand = b.as("a").join(b.as("b"),
@@ -295,6 +306,7 @@ object Similarity {
   // embedding, deterministic).
   // -------------------------------------------------------------------
   def d6CrossModal(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val pairs = Dedup.d2MinhashLsh(s, d)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -335,6 +347,7 @@ object Similarity {
   private val S4BucketCap = 64
 
   def s4KnnGraph(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val b = bands(s, emb, 16, 8)
     val small = b.groupBy("band", "bval")
@@ -371,6 +384,7 @@ object Similarity {
   // S1/S2/D8 replaces the scan.
   // -------------------------------------------------------------------
   def s5RangeSearch(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val q = e.filter(col("vec_id") < 5)
@@ -428,6 +442,7 @@ object Similarity {
   }
 
   def d8SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     d8Candidates(emb)

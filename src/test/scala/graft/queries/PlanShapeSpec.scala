@@ -92,6 +92,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim stays inside whole-stage codegen (ANN hot loop fused)") {
+    // the native kernel's whole reason to exist: the declarative
+    // aggregate(zip_with(..)) form it replaced is an interpreted
+    // HigherOrderFunction that fences off codegen in the re-rank /
+    // verify projections. A '*'-prefixed (codegen'd) plan line
+    // containing cosine_sim proves the fused loop is inside the span.
+    val df = graft.SparkEntry.queries("s5_range_search")(spark, sf)
+    df.collect() // materialize so AQE's final plan carries codegen markers
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("cosine_sim"))
+    assert(line.nonEmpty, s"native cosine missing from the s5 plan:\n$p")
+    assert(line.get.contains("*("),
+      s"cosine_sim fell out of whole-stage codegen: ${line.get}")
+  }
+
   test("d9: the bloom probe is a broadcast hash join; no cartesian anywhere") {
     // the candidate path (train positions vs test bit-set) must be an
     // equi-join with the constant-size bits side broadcast — that is

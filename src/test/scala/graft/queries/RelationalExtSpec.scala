@@ -282,4 +282,24 @@ class RelationalExtSpec extends AnyFunSuite {
       assert(segs == segs.distinct, "roster must be distinct")
     }
   }
+
+  test("b39: argmax aggregates equal the window latest-record idiom they replace") {
+    val rows = Relational.b39Argmax(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id").desc)
+    val latest = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("user_id") < 20)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"), r.getAs[Long]("event_id")))
+      .toMap
+    rows.foreach { r =>
+      val (lt, lv, lid) = latest(r.getAs[Long]("user_id"))
+      assert(r.getAs[String]("last_type") == lt)
+      assert(r.getAs[Double]("last_value") == lv)
+      assert(r.getAs[Long]("last_event_id") == lid)
+    }
+  }
 }

@@ -252,6 +252,34 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native cosine_sim is bit-identical to the declarative fold it replaced") {
+    graft.plans.GraftFunctions.ensureCosine(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val pairs = e.select(col("vec_id").as("va"), col("e").as("ea"))
+      .join(e.select(col("vec_id").as("vb"), col("e").as("eb")), col("va") < col("vb"))
+    def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val rows = pairs.select(
+      call_function("cosine_sim", col("ea"), col("eb")).as("native"),
+      (fold(col("ea"), col("eb")) /
+        (sqrt(fold(col("ea"), col("ea"))) * sqrt(fold(col("eb"), col("eb"))))).as("declarative"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      // bit-level equality, not approximate: the kernel claims the
+      // exact same left-to-right IEEE fold
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("declarative")))
+    }
+    // null semantics on length mismatch, matching zip_with's null-pad
+    val mismatch = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c").collect()(0)
+    assert(mismatch.isNullAt(0), "length mismatch must yield null")
+  }
+
   test("s8: k-means partitions the corpus; inertia positive; deterministic") {
     val rows = Similarity.s8Kmeans(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
