@@ -1216,6 +1216,41 @@ object Relational {
       |FROM events GROUP BY user_id
       |HAVING user_id < 20 ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B40: cumulative distinct accounting — "unique users to date" per
+  // event type, the incremental-distinct pattern behind every DAU/
+  // retention dashboard. COUNT(DISTINCT) over a cumulative window is
+  // unsupported (and would be quadratic anyway); the scalable rewrite
+  // is first-touch attribution (min day per user — one shuffle, then
+  // the corpus is REDUCED to |users| rows), a per-day new-user count,
+  // and a running sum over the tiny (type, day) relation. The window
+  // partitions by event_type, so there is no global-sort wall and no
+  // unpartitioned-window warning. All integers.
+  // -------------------------------------------------------------------
+  def b40CumDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstTouch = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "user_id")
+      .agg(min(col("day")).as("first_day"))
+    val daily = firstTouch.groupBy(col("event_type"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    daily.withColumn("cum_users",
+        sum(col("n_new_users")).over(Window.partitionBy("event_type")
+          .orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_type", "day", "n_new_users", "cum_users")
+      .orderBy("event_type", "day")
+  }
+
+  val b40Sql: String =
+    """WITH ft AS (SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+      |            FROM events GROUP BY 1, 2),
+      |daily AS (SELECT event_type, first_day AS day, COUNT(*) AS n_new_users
+      |          FROM ft GROUP BY 1, 2)
+      |SELECT event_type, day, n_new_users,
+      |       SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+      |                              ROWS UNBOUNDED PRECEDING) AS cum_users
+      |FROM daily ORDER BY event_type, day""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1256,5 +1291,6 @@ object Relational {
     ("b36_string_agg", b36StringAgg _, b36Sql),
     ("b37_approx_quantile", b37ApproxQuantile _, b37Sql),
     ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql),
-    ("b39_argmax", b39Argmax _, b39Sql))
+    ("b39_argmax", b39Argmax _, b39Sql),
+    ("b40_cum_distinct", b40CumDistinct _, b40Sql))
 }

@@ -894,6 +894,58 @@ object TextStats {
       |FROM sc WHERE rnk <= 3 AND doc_id < 20
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T17: lexical rarity scoring — the df-rank complement to t2's
+  // surface heuristics and t16's per-term ranking: a document whose
+  // tokens are all corpus-common is boilerplate-ish; one dense in
+  // hapax legomena is either novel or noise. Per-token rarity is the
+  // integer-scaled inverse document frequency (N·1e6 div df — same
+  // no-floating-log trick as t16); per-doc mean goes through the
+  // DECIMAL accumulator, per-source mean-of-means likewise. Hapax
+  // accounting (df = 1) rides the same join. Scale shape: one
+  // vocab-sized df aggregate joined back on the word key (AQE-
+  // splittable stopword skew), then two skinny grouping shuffles.
+  // -------------------------------------------------------------------
+  def t17Rarity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("word"))
+    val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    val perDoc = words.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("rarity", expr("(n * 1000000) div df"))
+      .groupBy("doc_id", "source")
+      .agg(
+        round(sum(col("rarity").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("doc_rarity"),
+        max(col("rarity")).as("max_rarity"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("doc_rarity").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_rarity"),
+        max(col("max_rarity")).as("max_rarity"),
+        sum(col("n_hapax")).as("n_hapax"))
+      .orderBy("source")
+  }
+
+  val t17Sql: String =
+    """WITH w AS (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word FROM documents),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+      |pd AS (SELECT w.doc_id, w.source,
+      |              CAST(ROUND(SUM(CAST((n.n * 1000000) // df.df AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS doc_rarity,
+      |              MAX((n.n * 1000000) // df.df) AS max_rarity,
+      |              CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |       FROM w JOIN df USING (word) CROSS JOIN n
+      |       GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(ROUND(SUM(CAST(doc_rarity AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_rarity,
+      |       MAX(max_rarity) AS max_rarity,
+      |       CAST(SUM(n_hapax) AS BIGINT) AS n_hapax
+      |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -910,5 +962,6 @@ object TextStats {
     ("t13_novelty", t13Novelty _, t13Sql),
     ("t14_pii_redact", t14PiiRedact _, t14Sql),
     ("t15_seq_pack", t15SeqPack _, t15Sql),
-    ("t16_tfidf", t16Tfidf _, t16Sql))
+    ("t16_tfidf", t16Tfidf _, t16Sql),
+    ("t17_rarity", t17Rarity _, t17Sql))
 }

@@ -283,6 +283,24 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("b40: cumulative uniques end at the true per-type distinct count, monotone") {
+    val rows = Relational.b40CumDistinct(spark, sf).collect()
+    val truth = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byType.keySet == truth.keySet)
+    byType.foreach { case (t, rs) =>
+      val days = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // running sum is strictly increasing and first-touch attribution
+      // makes the final value the exact COUNT(DISTINCT user_id)
+      val cums = days.map(_.getAs[Long]("cum_users"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+      assert(cums.last == truth(t))
+      assert(days.map(_.getAs[Long]("n_new_users")).sum == truth(t))
+    }
+  }
+
   test("b39: argmax aggregates equal the window latest-record idiom they replace") {
     val rows = Relational.b39Argmax(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)

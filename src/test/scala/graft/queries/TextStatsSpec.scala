@@ -288,6 +288,22 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t17: rarity floors at 1e6, hapax and doc counts tie out") {
+    val rows = TextStats.t17Rarity(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      // rarity = N*1e6 div df with df ≤ N, so every token scores ≥ 1e6
+      // and a hapax scores exactly N*1e6
+      assert(r.getAs[Double]("avg_rarity") >= 1000000.0)
+      assert(r.getAs[Long]("max_rarity") <= nDocs * 1000000L)
+      assert(r.getAs[Long]("n_hapax") >= 0)
+      if (r.getAs[Long]("n_hapax") > 0)
+        assert(r.getAs[Long]("max_rarity") == nDocs * 1000000L,
+          "a source with a hapax must see the max rarity score")
+    }
+  }
+
   test("t16: top-3 terms per doc, integer score consistent with tf/df") {
     val docs = Tables.documents(spark, sf).count()
     val rows = TextStats.t16Tfidf(spark, sf).collect()
