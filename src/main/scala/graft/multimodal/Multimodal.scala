@@ -275,9 +275,71 @@ object Multimodal {
       |       CAST(ROUND(CAST(COUNT(DISTINCT digest) AS DECIMAL(30,6)) / COUNT(*), 6) AS DOUBLE) AS unique_frac
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M5: byte-distribution uniformity — the compressibility/corruption
+  // triage pass a binary-ingest pipeline runs before spending codec
+  // time: a payload whose byte histogram is near-uniform is already
+  // compressed (or encrypted/corrupt); a heavily peaked one is text or
+  // raw bitmap. The statistic is the ALL-INTEGER scaled chi-square
+  // against uniform: with c_b the count of byte b and L = Σc_b,
+  //   chi2s = Σ_b (256·c_b − L)² = 65536·Σc² − 256·L²,
+  // which needs only the present-byte squared counts — exact 64-bit
+  // integer math, no floats, engine-portable. Computed in the same
+  // narrow mapPartitions batch pass as M1 (shared scratch, no shuffle
+  // until the per-kind aggregate). Empty payloads score 0 by the
+  // identity.
+  // -------------------------------------------------------------------
+  def m5Uniformity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = assets(s, d).mapPartitions { as =>
+      val counts = new Array[Long](256)
+      as.map { a =>
+        java.util.Arrays.fill(counts, 0L)
+        var i = 0
+        while (i < a.payload.length) {
+          counts(a.payload(i) & 0xff) += 1; i += 1
+        }
+        var sumsq = 0L
+        var b = 0
+        while (b < 256) { sumsq += counts(b) * counts(b); b += 1 }
+        val len = a.payload.length.toLong
+        (a.asset_id, a.kind, len, 65536L * sumsq - 256L * len * len)
+      }
+    }.toDF("asset_id", "kind", "n_bytes", "chi2s")
+    scored.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("chi2s")).as("chi2_total"),
+        min(col("chi2s")).as("chi2_min"),
+        max(col("chi2s")).as("chi2_max"))
+      .orderBy("kind")
+  }
+
+  /** Character-based oracle (ASCII corpus ⇒ chars == bytes, same
+    * equivalence note as m1). */
+  val m5Sql: String =
+    """WITH a AS (SELECT doc_id AS asset_id,
+      |                  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |                  text, CAST(length(text) AS BIGINT) AS n_bytes
+      |           FROM documents),
+      |cc AS (SELECT asset_id, COUNT(*) AS c
+      |       FROM (SELECT asset_id, UNNEST(string_split(text, '')) AS ch FROM a WHERE length(text) > 0)
+      |       GROUP BY asset_id, ch),
+      |sq AS (SELECT asset_id, SUM(c * c) AS sumsq FROM cc GROUP BY 1),
+      |sc AS (SELECT a.asset_id, a.kind, a.n_bytes,
+      |              65536 * COALESCE(sq.sumsq, 0) - 256 * a.n_bytes * a.n_bytes AS chi2s
+      |       FROM a LEFT JOIN sq USING (asset_id))
+      |SELECT kind, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+      |       CAST(SUM(chi2s) AS BIGINT) AS chi2_total,
+      |       CAST(MIN(chi2s) AS BIGINT) AS chi2_min,
+      |       CAST(MAX(chi2s) AS BIGINT) AS chi2_max
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("m1_media_features", m1MediaFeatures _, m1Sql),
     ("m2_frame_sample", m2FrameSample _, m2Sql),
     ("m3_resize", m3Resize _, m3Sql),
-    ("m4_chunk_dedup", m4ChunkDedup _, m4Sql))
+    ("m4_chunk_dedup", m4ChunkDedup _, m4Sql),
+    ("m5_uniformity", m5Uniformity _, m5Sql))
 }

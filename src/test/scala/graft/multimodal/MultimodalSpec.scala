@@ -97,4 +97,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planted(0).getAs[Long]("n_unique") == 2L,
       "3 identical full chunks + 1 identical tail chunk → 2 unique digests")
   }
+
+  test("m5: chi-square identity on planted extremes (uniform=0 floor, constant=max)") {
+    // all-distinct payload "abc..." (each byte once): c_b ∈ {0,1},
+    // chi2s = 65536·L − 256·L²; constant payload "aaaa": one bin holds
+    // all L, chi2s = 65536·L² − 256·L² = 65280·L² — the analytic
+    // extremes of the statistic, checked end to end through the real
+    // mapPartitions pass
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m5uni").toString
+    Seq(
+      (0L, "abcdefghij", "en", "srcA", 10L),   // 10 distinct bytes, kind image
+      (3L, "aaaaaaaaaa", "en", "srcA", 10L))   // 10 equal bytes, kind image
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Multimodal.m5Uniformity(spark, dir).collect()
+    assert(r.length == 1)
+    val distinctScore = 65536L * 10 - 256L * 100   // Σc²=10
+    val constantScore = 65536L * 100 - 256L * 100  // Σc²=100
+    assert(r(0).getAs[Long]("chi2_min") == distinctScore)
+    assert(r(0).getAs[Long]("chi2_max") == constantScore)
+    assert(r(0).getAs[Long]("chi2_total") == distinctScore + constantScore)
+  }
 }
