@@ -287,6 +287,110 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** JVM kernel for [[NativeDot]] — left-to-right dot product of two
+  * double arrays; the exact fold order of the declarative
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` idiom it substitutes. */
+object DotKernel {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+}
+
+/** `native_dot(array<double>, array<double>)` — fused single-pass dot
+  * product, codegen-resident. Usually not written by hand: the
+  * [[DotRewrite]] optimizer rule swaps it in for the declarative
+  * zip_with/aggregate idiom.
+  */
+case class NativeDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "native_dot"
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"native_dot expects (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotKernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("graftDot")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $tmp = graft.plans.DotKernel.compute($a, $b);
+      if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NativeDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: recognize the declarative dot-product idiom
+  *
+  *   aggregate(zip_with(a, b, (x, y) => x * y), 0.0, (acc, v) => acc + v)
+  *
+  * (three interpreted HigherOrderFunctions per evaluation) and replace
+  * it with the fused, codegen-resident [[NativeDot]] kernel. The
+  * rewrite is a pure engine-level strength reduction: the kernel
+  * executes the exact same left-to-right IEEE fold, so results are
+  * bit-identical (spec-asserted) — users who write the idiomatic
+  * DataFrame form get the native kernel for free when the session is
+  * built with [[GraftExtensions]]. Matches conservatively: double
+  * arrays, literal 0.0 zero, bare x*y and acc+v lambda bodies (in
+  * either operand order), identity finish lambda.
+  */
+object DotRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** body is `l op r` over exactly the two bound variables, either order. */
+  private def usesBoth(l: Expression, r: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (l, r) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        (a.exprId == v1.exprId && b.exprId == v2.exprId) ||
+          (a.exprId == v2.exprId && b.exprId == v1.exprId)
+      case _ => false
+    }
+
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
+          if isDoubleArray(a) && isDoubleArray(b) &&
+            usesBoth(ml, mr, x, y) && usesBoth(al, ar, acc, v) &&
+            fin.exprId == fv.exprId =>
+        NativeDot(a, b)
+    }
+}
+
 /** `alert_to_features(struct(<CapAlert columns>))` — the X2 fan-out
   * (task.ts:644-875) as a custom Catalyst [[Generator]] (UDTF analog,
   * SURVEY §2.6): one alert row generates 0..2N feature rows directly in
@@ -360,6 +464,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("native_dot"),
+      new ExpressionInfo(classOf[NativeDot].getName, "native_dot"),
+      (exprs: Seq[Expression]) => NativeDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => DotRewrite)
   }
 }
 
