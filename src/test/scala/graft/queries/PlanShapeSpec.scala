@@ -92,6 +92,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("b5: rank filter pushes down as two-phase WindowGroupLimit") {
+    // Spark 4's InferWindowGroupLimit turns rank()<=k into a map-side
+    // partial group-limit + final group-limit, so each partition ships
+    // at most k rows per key instead of materializing whole partitions
+    // before the window — THE property that keeps per-key top-n alive
+    // at 100 TB. Pin it so a query rewrite can't silently lose it.
+    val p = plan("b5_window_topn")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"two-phase WindowGroupLimit pushdown missing:\n$p")
+  }
+
   test("cosine_sim stays inside whole-stage codegen (ANN hot loop fused)") {
     // the native kernel's whole reason to exist: the declarative
     // aggregate(zip_with(..)) form it replaced is an interpreted
