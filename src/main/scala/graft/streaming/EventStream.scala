@@ -106,6 +106,28 @@ object EventStream {
         unix_micros(col("w.end")).as("sess_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join, batch/stream agnostic: the event
+    * stream joined against the STATIC customer dimension (user_id =
+    * c_custkey) and rolled up per market segment. The static side needs
+    * no watermark and holds no state — Spark broadcasts it to every
+    * micro-batch task, which is exactly the dimension-enrichment shape
+    * a 100 TB/day event firehose uses (re-read per restart, never
+    * shuffled, never stateful). Left join keeps events with no
+    * dimension row under a sentinel segment so the stream never drops
+    * data on a late-arriving dimension update. */
+  def segmentAgg(events: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"))
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(30, 6))), 2).cast("double").as("sum_value"))
+  }
+
   /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
     * and the exact-decimal value sum per event-time hour. Produces the
     * same rows as `Relational.b11TimeWindow` on the same input. */

@@ -43,6 +43,29 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == want, "stream and batch disagree on the hourly windows")
   }
 
+  test("stream-static segment enrichment equals the batch join") {
+    val customer = graft.sources.Tables.customer(spark, sf)
+    val q = EventStream.segmentAgg(EventStream.readEvents(spark, sf), customer)
+      .writeStream
+      .format("memory")
+      .queryName("ev_segment")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "stream did not finish within 120s")
+    finally q.stop()
+    val got = spark.table("ev_segment").collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .sortBy(_._1).toSeq
+    val want = EventStream.segmentAgg(
+        graft.sources.Tables.events(spark, sf), customer).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .sortBy(_._1).toSeq
+    assert(want.nonEmpty && want.map(_._2).sum == graft.sources.Tables.events(spark, sf).count(),
+      "every event must land in exactly one segment")
+    assert(got == want, "stream and batch disagree on segment rollups")
+  }
+
   test("watermarked stream dedup collapses a doubled event stream to the distinct ids") {
     // feed every event twice (union with itself): within-watermark
     // duplicates must collapse to exactly one row per event_id
