@@ -336,10 +336,65 @@ object Multimodal {
       |       CAST(MAX(chi2s) AS BIGINT) AS chi2_max
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // M6: video near-dup detection by shared frame fingerprints — the
+  // multimodal analog of d2's text LSH: two videos sharing sampled-
+  // frame hashes are re-encodes/clips of the same content. Candidate
+  // pairs come from an equi-join on frame_hash (content-addressed, the
+  // only scalable join key for binary media), with a document-frequency
+  // cap (same MOSS-boilerplate rule as t4: a frame hash present in
+  // > 64 videos is a test card/black frame and identifies nothing);
+  // verification computes exact frame-set Jaccard over candidate pairs
+  // only. Per-pair arithmetic is count ratios (integers + one per-row
+  // IEEE division) — engine-exact.
+  // -------------------------------------------------------------------
+  private val FrameDfCap = 64
+
+  def m6VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val frames = sampleFrames(assets(s, d)).toDF()
+      .select(col("asset_id"), col("frame_hash")).distinct()
+    val capped = frames.join(
+      frames.groupBy("frame_hash").agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") <= FrameDfCap).select("frame_hash"),
+      "frame_hash")
+    val sizes = frames.groupBy("asset_id").agg(count(lit(1)).as("nf"))
+    val pairs = capped.select(col("frame_hash"), col("asset_id").as("va"))
+      .join(capped.select(col("frame_hash"), col("asset_id").as("vb")), "frame_hash")
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("asset_id").as("va"), col("nf").as("na")), "va")
+      .join(sizes.select(col("asset_id").as("vb"), col("nf").as("nb")), "vb")
+      .select(col("va"), col("vb"), col("n_shared"), col("na"), col("nb"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("jacc"))
+      .orderBy("va", "vb")
+  }
+
+  val m6Sql: String =
+    s"""WITH fr AS (SELECT doc_id AS asset_id,
+      |                   list_reduce(list_transform(string_split(substr(text, CAST(k*$FrameStride+1 AS INT), $FrameLen), ''),
+      |                     c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h*257 + c) % $P) AS frame_hash
+      |            FROM documents, UNNEST(range(0, $MaxFrames)) AS u(k)
+      |            WHERE doc_id % 3 = 2 AND k*$FrameStride + $FrameLen <= length(text)),
+      |f AS (SELECT DISTINCT asset_id, frame_hash FROM fr),
+      |cap AS (SELECT f.asset_id, f.frame_hash
+      |        FROM f JOIN (SELECT frame_hash FROM f GROUP BY 1 HAVING COUNT(*) <= $FrameDfCap) ok
+      |        USING (frame_hash)),
+      |sz AS (SELECT asset_id, COUNT(*) AS nf FROM f GROUP BY 1),
+      |p AS (SELECT a.asset_id AS va, b.asset_id AS vb, COUNT(*) AS n_shared
+      |      FROM cap a JOIN cap b ON a.frame_hash = b.frame_hash AND a.asset_id < b.asset_id
+      |      GROUP BY 1, 2)
+      |SELECT p.va, p.vb, p.n_shared, sa.nf AS na, sb.nf AS nb,
+      |       CAST(p.n_shared AS DOUBLE) / (sa.nf + sb.nf - p.n_shared) AS jacc
+      |FROM p JOIN sz sa ON sa.asset_id = p.va JOIN sz sb ON sb.asset_id = p.vb
+      |ORDER BY va, vb""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("m1_media_features", m1MediaFeatures _, m1Sql),
     ("m2_frame_sample", m2FrameSample _, m2Sql),
     ("m3_resize", m3Resize _, m3Sql),
     ("m4_chunk_dedup", m4ChunkDedup _, m4Sql),
-    ("m5_uniformity", m5Uniformity _, m5Sql))
+    ("m5_uniformity", m5Uniformity _, m5Sql),
+    ("m6_video_neardup", m6VideoNeardup _, m6Sql))
 }

@@ -1251,6 +1251,46 @@ object Relational {
       |                              ROWS UNBOUNDED PRECEDING) AS cum_users
       |FROM daily ORDER BY event_type, day""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B41: calendar-spine gap filling — the dense time series every
+  // dashboard and forecasting job needs from sparse event data: an
+  // hourly spine generated from the observed [min, max] range
+  // (sequence() — no table has the missing hours, so they must be
+  // GENERATED), left-joined to the hourly rollup, gaps filled with
+  // zero. The spine is |hours| rows — trivially broadcast — and the
+  // rollup is B11's single shuffle, so the dense-ification costs
+  // nothing extra at any scale. Gap accounting (is_gap) rides along so
+  // the query also audits sensor/ingest outages. All integers.
+  // -------------------------------------------------------------------
+  def b41GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val range = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = range.select(explode(expr(
+      "sequence(lo, hi, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(
+        unix_timestamp(col("hour")).as("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.cast("int").cast("long").as("is_gap"))
+      .orderBy("hour_epoch")
+  }
+
+  val b41Sql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      |      FROM events),
+      |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM r)
+      |SELECT CAST(epoch(spine.hour) AS BIGINT) AS hour_epoch,
+      |       COALESCE(h.n, 0) AS n_events,
+      |       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM spine LEFT JOIN h ON h.hour = spine.hour
+      |ORDER BY hour_epoch""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1292,5 +1332,6 @@ object Relational {
     ("b37_approx_quantile", b37ApproxQuantile _, b37Sql),
     ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql),
     ("b39_argmax", b39Argmax _, b39Sql),
-    ("b40_cum_distinct", b40CumDistinct _, b40Sql))
+    ("b40_cum_distinct", b40CumDistinct _, b40Sql),
+    ("b41_gap_fill", b41GapFill _, b41Sql))
 }

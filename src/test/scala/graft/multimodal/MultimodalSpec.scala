@@ -119,4 +119,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("chi2_max") == constantScore)
     assert(r(0).getAs[Long]("chi2_total") == distinctScore + constantScore)
   }
+
+  test("m6: identical video payloads pair at jaccard 1.0; bounds hold on the corpus") {
+    // bounds on the real corpus
+    Multimodal.m6VideoNeardup(spark, sf).collect().foreach { r =>
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(sh >= 1 && sh <= math.min(na, nb))
+      val j = r.getAs[Double]("jacc")
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // planted re-encode: two video-kind docs (ids ≡ 2 mod 3) share the
+    // byte stream → identical frame sets → exactly one pair at 1.0
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m6dup").toString
+    val clip = "the quick brown fox jumps over the lazy dog again and again and again" * 3
+    Seq((2L, clip, "en", "srcA", clip.length.toLong),
+        (5L, clip, "en", "srcA", clip.length.toLong),
+        (8L, clip.reverse, "en", "srcA", clip.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Multimodal.m6VideoNeardup(spark, dir).collect()
+    assert(planted.length == 1, "only the duplicated clip pair may surface")
+    assert(planted(0).getAs[Long]("va") == 2L && planted(0).getAs[Long]("vb") == 5L)
+    assert(planted(0).getAs[Double]("jacc") == 1.0)
+  }
 }

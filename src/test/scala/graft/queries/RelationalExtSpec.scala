@@ -301,6 +301,22 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("b41: the spine is contiguous hourly, conserves events, and flags real gaps") {
+    val rows = Relational.b41GapFill(spark, sf).collect()
+    val epochs = rows.map(_.getAs[Long]("hour_epoch"))
+    // generated spine: strictly consecutive hours, no holes in the AXIS
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => b - a == 3600L })
+    // conservation: dense series redistributes, never invents, events
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert((r.getAs[Long]("is_gap") == 1L) == (r.getAs[Long]("n_events") == 0L))
+    }
+    // sf0.001 is sparse enough to contain real outage hours — the
+    // gap-filling must actually fill something
+    assert(rows.map(_.getAs[Long]("is_gap")).sum > 0)
+  }
+
   test("b39: argmax aggregates equal the window latest-record idiom they replace") {
     val rows = Relational.b39Argmax(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
