@@ -676,6 +676,71 @@ object Similarity {
       |       CAST(ROUND(SUM(dist), 6) AS DOUBLE) AS inertia
       |FROM a2 GROUP BY cl ORDER BY cl""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S9: index-quality evaluation AS A QUERY — recall@5 of the s1
+  // SRP-LSH index against exact brute force, per query vector. An ANN
+  // index without a measured recall number is not a deliverable, and
+  // at 100 TB the evaluation itself must be a distributed query (take
+  // a query sample, brute-force only that sample — linear in the
+  // corpus — and join against the index's answer), not a notebook
+  // afterthought. Ground truth reuses the b12 pattern: 10 query
+  // vectors broadcast against one corpus scan. Both rankings round
+  // cosines to 6 and break ties on vec_id, so the two top-5 sets are
+  // bit-deterministic and the recall is exact on every engine. (The
+  // measured number on the near-orthogonal validation corpus is the
+  // bucket-geometry ceiling documented in the file header — the metric
+  // judges the index, the spec only pins determinism and bounds.)
+  // -------------------------------------------------------------------
+  def s9RecallEval(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("e").as("qv"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("e"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("qid", "vec_id")
+    val lsh = s1AnnLsh(s, d).select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(lsh, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 5.0).as("recall_at_5"))
+      .orderBy("qid")
+  }
+
+  val s9Sql: String =
+    s"""WITH ${duckPlanes(16)},
+      |${duckBands(4)},
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, b.vec_id
+      |         FROM bands q JOIN bands b ON q.band = b.band AND q.bval = b.bval
+      |         WHERE q.vec_id < 10 AND q.vec_id <> b.vec_id),
+      |csims AS (
+      |  SELECT c.qid, c.vec_id,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |  FROM cand c JOIN ex a ON a.vec_id = c.qid JOIN ex b ON b.vec_id = c.vec_id AND b.d = a.d
+      |  GROUP BY 1, 2),
+      |lsh AS (SELECT qid, vec_id FROM (
+      |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      |          FROM csims) WHERE rn <= 5),
+      |bsims AS (
+      |  SELECT a.vec_id AS qid, b.vec_id,
+      |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim
+      |  FROM ex a JOIN ex b ON b.d = a.d AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT qid, vec_id FROM (
+      |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      |            FROM bsims) WHERE rn <= 5)
+      |SELECT t.qid,
+      |       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |       CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall_at_5
+      |FROM truth t LEFT JOIN lsh l ON l.qid = t.qid AND l.vec_id = t.vec_id
+      |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -687,5 +752,6 @@ object Similarity {
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql),
     ("d8_semantic_dedup", d8SemanticDedup _, d8Sql),
-    ("s8_kmeans", s8Kmeans _, s8Sql))
+    ("s8_kmeans", s8Kmeans _, s8Sql),
+    ("s9_recall_eval", s9RecallEval _, s9Sql))
 }

@@ -280,6 +280,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatch.isNullAt(0), "length mismatch must yield null")
   }
 
+  test("s9: recall evaluation is exact, bounded, and measures a working index") {
+    val rows = Similarity.s9RecallEval(spark, sf).collect()
+    assert(rows.length == 10, "one row per query vector")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5)
+      assert(r.getAs[Double]("recall_at_5") == h.toDouble / 5.0)
+    }
+    // the index must beat random guessing: random top-5 from n vectors
+    // recalls 5/n per query (<2% here); the bucket-geometry ceiling on
+    // this corpus is ~0.5, so anything ≥ 0.2 mean proves the index works
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble / (5.0 * rows.length)
+    assert(mean >= 0.2, s"LSH recall collapsed to $mean")
+  }
+
   test("s8: k-means partitions the corpus; inertia positive; deterministic") {
     val rows = Similarity.s8Kmeans(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
