@@ -149,9 +149,10 @@ object Dedup {
     d2Reps(docs).select(col("doc_id"),
       explode(array_distinct(shingles(col("text")))).as("shingle"))
 
-  /** Candidate representative pairs from the capped band self-join —
-    * exposed for ScaleSpec's planted-cluster bound. */
-  private[queries] def d2Candidates(docs: DataFrame): DataFrame = {
+  /** (doc_id, band, sig) minhash band relation of the representatives
+    * — the shared front half of d2's self-join and d10's delta×base
+    * join. */
+  private def d2Bands(docs: DataFrame): DataFrame = {
     val sh = repShingles(docs)
     val shh = sh.select(col("doc_id"),
       (hash48(col("shingle")) % P).as("h1"),
@@ -159,13 +160,23 @@ object Dedup {
     val mhAggs = (0 until 16).map(j =>
       min((col("h1") + lit(j) * col("h2")) % P).as(s"mh$j"))
     val mh = shh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = mh.select(col("doc_id"), explode(array((0 until 8).map(t =>
+    mh.select(col("doc_id"), explode(array((0 until 8).map(t =>
         struct(lit(t).as("band"),
           concat_ws(",", (0 until 2).map(j => col(s"mh${2 * t + j}")): _*).as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Hot buckets dropped (see [[BandBucketCap]]). */
+  private def cappedBands(bands: DataFrame): DataFrame = {
     val keep = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= BandBucketCap).select("band", "sig")
-    val capped = bands.join(keep, Seq("band", "sig"))
+    bands.join(keep, Seq("band", "sig"))
+  }
+
+  /** Candidate representative pairs from the capped band self-join —
+    * exposed for ScaleSpec's planted-cluster bound. */
+  private[queries] def d2Candidates(docs: DataFrame): DataFrame = {
+    val capped = cappedBands(d2Bands(docs))
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -591,11 +602,73 @@ object Dedup {
       |       (SELECT CAST(SUM(CASE WHEN flagged AND NOT is_exact THEN 1 ELSE 0 END) AS BIGINT) FROM fl) AS n_false_pos""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // D10: incremental near-dup — the daily-ingest shape: dedup a DELTA
+  // batch against the standing BASE corpus without ever re-joining
+  // base×base. Semantically this is "d2's pairs restricted to pairs
+  // that cross the base/delta boundary" (the oracle computes it
+  // exactly that way), but the PLAN is the incremental one: reps are
+  // tagged has-base/has-delta from their member sets, and the band
+  // join's condition admits only (delta-bearing × base-bearing) rep
+  // pairs — at 100 TB the standing corpus' band relation is a static
+  // bucketed table and each day joins |delta| rows against it, never
+  // |base|². Splits reuse the t6 doc_id-hash invariant (base = the
+  // 80% bucket). Same pre-collapse, cap, verify-Jaccard ≥ 0.5, and
+  // member-expansion semantics as d2, so the two formulations are
+  // provably row-identical.
+  // -------------------------------------------------------------------
+  def d10IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBase = pmod(hash48(col("doc_id").cast("string")), lit(100L)) < 80
+    val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
+      isBase.as("is_base"), (size(split(col("text"), " ")) >= 3).as("shingled"))
+    val reps = d2Reps(docs)
+    val repFlags = members.groupBy("th").agg(
+        max(when(col("is_base"), 1).otherwise(0)).as("hb"),
+        max(when(!col("is_base"), 1).otherwise(0)).as("hd"))
+      .join(reps.select(col("th"), col("doc_id")), "th")
+      .select("doc_id", "hb", "hd")
+    val capped = cappedBands(d2Bands(docs)).join(repFlags, "doc_id")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          ((col("a.hd") === 1 && col("b.hb") === 1) ||
+            (col("a.hb") === 1 && col("b.hd") === 1)))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val repPairs = verifyJaccard(cand, repShingles(docs), "shingle")
+    val memRep = members.join(reps.select(col("th"), col("doc_id").as("rep")), "th")
+      .select(col("doc_id"), col("rep"), col("is_base"))
+    val cross = repPairs
+      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma"),
+        col("is_base").as("ba")), "da")
+      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb"),
+        col("is_base").as("bb")), "db")
+      .filter(col("ba") =!= col("bb"))
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("jacc"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.shingled") && col("x.is_base") =!= col("y.is_base"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(1.0).as("jacc"))
+    cross.union(intra).orderBy("da", "db")
+  }
+
+  val d10Sql: String =
+    s"""WITH $duckPairsSql,
+      |spl AS (SELECT doc_id, ${duckHash48("CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_base
+      |        FROM documents)
+      |SELECT p.da, p.db, p.jacc
+      |FROM pairs p JOIN spl a ON a.doc_id = p.da JOIN spl b ON b.doc_id = p.db
+      |WHERE a.is_base <> b.is_base
+      |ORDER BY da, db""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("d1_exact_dedup", d1ExactDedup _, d1Sql),
     ("d2_minhash_lsh", d2MinhashLsh _, d2Sql),
     ("d3_simhash", d3Simhash _, d3Sql),
     ("d4_ngram_jaccard", d4NgramJaccard _, d4Sql),
     ("d7_dup_clusters", d7DupClusters _, d7Sql),
-    ("d9_bloom_decontam", d9BloomDecontam _, d9Sql))
+    ("d9_bloom_decontam", d9BloomDecontam _, d9Sql),
+    ("d10_incremental_neardup", d10IncrementalNeardup _, d10Sql))
 }

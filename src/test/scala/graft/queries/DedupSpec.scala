@@ -177,6 +177,25 @@ class DedupSpec extends AnyFunSuite {
     check(rand, "random-80")
   }
 
+  test("d10: incremental pairs equal d2 restricted to boundary-crossing pairs") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long"),
+          lit(100L)) < 80).as("is_base"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Double]("jacc"))
+    val full = Dedup.d2MinhashLsh(spark, sf).collect()
+    val want = full.filter(r => base(r.getAs[Long]("da")) != base(r.getAs[Long]("db")))
+      .map(key).toSet
+    val got = Dedup.d10IncrementalNeardup(spark, sf).collect().map(key).toSet
+    // the incremental (delta×base-only) formulation must lose nothing
+    // and invent nothing vs the full self-join filtered after the fact
+    assert(got == want, s"incremental/full divergence: only-inc=${got -- want}, only-full=${want -- got}")
+    assert(got.nonEmpty || full.isEmpty)
+  }
+
   test("d9: bloom decontamination — no false negatives, exact FP accounting") {
     val r = Dedup.d9BloomDecontam(spark, sf).collect()(0)
     val (nTrain, nTest) = (r.getAs[Long]("n_train"), r.getAs[Long]("n_test"))
