@@ -1291,6 +1291,46 @@ object Relational {
       |FROM spine LEFT JOIN h ON h.hour = spine.hour
       |ORDER BY hour_epoch""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B42: percent-of-total (ratio_to_report) — each nation's share of
+  // its region's order revenue. The share denominator is a window sum
+  // over the ALREADY-AGGREGATED 25-row nation relation, so the window
+  // is free at any scale; the only real work is the one revenue
+  // aggregation (broadcast dims, single shuffle on nationkey). Revenue
+  // sums go through the exact DECIMAL accumulator; the share is one
+  // per-row double division rounded to 6 — deterministic everywhere.
+  // -------------------------------------------------------------------
+  def b42ShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").cast("long").as("regionkey"),
+        col("n_nationkey").cast("long").as("nationkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(30, 6))).as("rev"))
+    rev
+      .withColumn("region_rev", sum(col("rev")).over(
+        Window.partitionBy("regionkey")))
+      .select(col("regionkey"), col("nationkey"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        // divide as doubles: decimal÷decimal result scale rules differ
+        // across engines, double division is IEEE-identical
+        round(col("rev").cast("double") / col("region_rev").cast("double"), 6).as("share"))
+      .orderBy("regionkey", "nationkey")
+  }
+
+  val b42Sql: String =
+    """WITH rev AS (
+      |  SELECT CAST(n.n_regionkey AS BIGINT) AS regionkey,
+      |         CAST(n.n_nationkey AS BIGINT) AS nationkey,
+      |         SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT regionkey, nationkey,
+      |       CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+      |       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY regionkey) AS DOUBLE), 6) AS share
+      |FROM rev ORDER BY regionkey, nationkey""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1333,5 +1373,6 @@ object Relational {
     ("b38_nullsafe_join", b38NullSafeJoin _, b38Sql),
     ("b39_argmax", b39Argmax _, b39Sql),
     ("b40_cum_distinct", b40CumDistinct _, b40Sql),
-    ("b41_gap_fill", b41GapFill _, b41Sql))
+    ("b41_gap_fill", b41GapFill _, b41Sql),
+    ("b42_share_of_total", b42ShareOfTotal _, b42Sql))
 }

@@ -946,6 +946,55 @@ object TextStats {
       |       CAST(SUM(n_hapax) AS BIGINT) AS n_hapax
       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T18: curation report — the one-table summary a dataset release
+  // ships with, composed from the pipeline's own invariants per split:
+  // volume (docs/tokens), exact-duplicate load (d1's md5 group within
+  // the split), and quality (t2's composite score, low-quality count).
+  // Everything is a single scan + one shuffle on the split key; the
+  // exact countDistinct is the correctness gate, with b16's sketch as
+  // the documented 100 TB swap-in.
+  // -------------------------------------------------------------------
+  def t18CurationReport(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stopR = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok
+    val shortR = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
+    val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val score = lit(1.0) - lit(0.5) * stopR - lit(0.3) * shortR - lit(0.2) * dupR
+    Tables.documents(s, d)
+      .select(splitCol.as("split"), md5(col("text")).as("th"),
+        score.as("score"), size(toks).cast("long").as("tok"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("th")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"),
+        sum(col("tok")).as("total_tokens"),
+        round(sum(col("score").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_quality"),
+        sum(when(col("score") < 0.7, 1L).otherwise(0L)).as("n_low_quality"))
+      .orderBy("split")
+  }
+
+  val t18Sql: String =
+    s"""WITH b AS (SELECT doc_id, text, $duckDocHash % 100 AS bucket FROM documents),
+      |sp3 AS (SELECT text, CASE WHEN bucket < 80 THEN 'train'
+      |                          WHEN bucket < 90 THEN 'val'
+      |                          ELSE 'test' END AS split FROM b),
+      |q AS (SELECT split, md5(text) AS th, CAST(len(t) AS BIGINT) AS tok,
+      |             1.0 - 0.5*(CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
+      |                 - 0.3*(CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t))
+      |                 - 0.2*(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) AS score
+      |      FROM (SELECT split, text, string_split(text, ' ') AS t FROM sp3))
+      |SELECT split, COUNT(*) AS n_docs,
+      |       COUNT(DISTINCT th) AS n_unique,
+      |       CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_exact_dups,
+      |       SUM(tok) AS total_tokens,
+      |       CAST(ROUND(SUM(CAST(score AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_quality,
+      |       CAST(SUM(CASE WHEN score < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+      |FROM q GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -963,5 +1012,6 @@ object TextStats {
     ("t14_pii_redact", t14PiiRedact _, t14Sql),
     ("t15_seq_pack", t15SeqPack _, t15Sql),
     ("t16_tfidf", t16Tfidf _, t16Sql),
-    ("t17_rarity", t17Rarity _, t17Sql))
+    ("t17_rarity", t17Rarity _, t17Sql),
+    ("t18_curation_report", t18CurationReport _, t18Sql))
 }

@@ -301,6 +301,21 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("b42: shares are a partition of unity within each region") {
+    val rows = Relational.b42ShareOfTotal(spark, sf).collect()
+    assert(rows.length == 25, "all 25 nations must report")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("share")
+      assert(s > 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+    rows.groupBy(_.getAs[Long]("regionkey")).foreach { case (rk, rs) =>
+      val total = rs.map(_.getAs[Double]("share")).sum
+      // rounded 6-decimal shares: reconstruction error ≤ 5e-7 per row
+      assert(math.abs(total - 1.0) < 1e-5, s"region $rk shares sum to $total")
+    }
+  }
+
   test("b41: the spine is contiguous hourly, conserves events, and flags real gaps") {
     val rows = Relational.b41GapFill(spark, sf).collect()
     val epochs = rows.map(_.getAs[Long]("hour_epoch"))

@@ -304,6 +304,22 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("t18: curation report ties out to the t6 split and d1 accounting") {
+    val rows = TextStats.t18CurationReport(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    val splitSizes = TextStats.t6Split(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == splitSizes(r.getString(0)),
+        "curation volumes must equal the t6 split sizes")
+      assert(r.getAs[Long]("n_exact_dups") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_unique"))
+      val q = r.getAs[Double]("avg_quality")
+      assert(q > 0.0 && q <= 1.0)
+      assert(r.getAs[Long]("n_low_quality") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("t16: top-3 terms per doc, integer score consistent with tf/df") {
     val docs = Tables.documents(spark, sf).count()
     val rows = TextStats.t16Tfidf(spark, sf).collect()
