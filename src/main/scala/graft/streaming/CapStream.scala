@@ -4,13 +4,17 @@ import java.time.Instant
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.cap.{CapAlert, CapPipeline, CotFeature}
 
 /** Lifecycle state carried across micro-batches for one alert id. */
 final case class AlertLifecycle(identifier: String, status: String,
     msgTypes: Seq[String], lastSent: String)
+
+/** One emitted state transition of one alert id (audit-log row). */
+final case class AlertTransition(identifier: String, fromStatus: String,
+    toStatus: String, msgType: String, sent: String)
 
 /** Streaming mode for the CAP pipeline (SURVEY §2.9): the reference's
   * "streaming" is scheduled whole-batch re-execution (task.ts:66); here
@@ -120,6 +124,44 @@ object CapStream {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** Per-transition audit log via `flatMapGroupsWithState` — the
+    * multi-row sibling of [[lifecycle]]: where mapGroupsWithState must
+    * collapse each group-batch to ONE row (latest state), this emits
+    * one row per state TRANSITION (none→active, active→cancelled, …),
+    * which is what a downstream audit/compliance consumer ingests.
+    * Same deterministic within-batch ordering and terminal-cancel
+    * semantics; state is the single latest status per alert id, so
+    * streaming state stays O(live alerts) regardless of history
+    * length. Update output mode in streaming; identical rows in batch
+    * via the spec's replay comparison.
+    */
+  def lifecycleTransitions(alerts: Dataset[CapAlert]): Dataset[AlertTransition] = {
+    import alerts.sparkSession.implicits._
+    def epochMs(s: String): Long =
+      graft.functions.JsCompat.jsDateParse(s).map(_.toEpochMilli).getOrElse(Long.MinValue)
+    alerts.groupByKey(_.identifier)
+      .flatMapGroupsWithState[String, AlertTransition](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id, batch, state) =>
+          var status = state.getOption.getOrElse("none")
+          val sorted = batch.toSeq.sortBy(a => (epochMs(a.sent), a.msgType))
+          val out = sorted.flatMap { a =>
+            val next = a.msgType match {
+              case "Cancel" => "cancelled"
+              case _ if status == "cancelled" => "cancelled" // terminal
+              case _ => "active"
+            }
+            val row =
+              if (next != status) Some(AlertTransition(id, status, next, a.msgType, a.sent))
+              else None
+            status = next
+            row
+          }
+          state.update(status)
+          out.iterator
       }
   }
 }

@@ -137,4 +137,32 @@ class CapStreamSpec extends AnyFunSuite {
     assert(last("y")._4 == "2024-05-01T12:30:00Z")
     q.stop()
   }
+
+  test("lifecycleTransitions emits one audit row per state change, none for no-ops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CapAlert]
+    val q = CapStream.lifecycleTransitions(in.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("update")
+      .start()
+    in.addData(mkAlert("x", "Alert", "2024-05-01T10:00:00Z"))
+    q.processAllAvailable()
+    // Update keeps status=active → NO transition row may be emitted
+    in.addData(mkAlert("x", "Update", "2024-05-01T11:00:00Z"))
+    q.processAllAvailable()
+    in.addData(mkAlert("x", "Cancel", "2024-05-01T12:00:00Z"))
+    q.processAllAvailable()
+    // post-cancel Update is terminal-absorbed → again no row
+    in.addData(mkAlert("x", "Update", "2024-05-01T13:00:00Z"))
+    q.processAllAvailable()
+    val rows = spark.table("transitions").collect()
+      .map(r => (r.getAs[String]("fromStatus"), r.getAs[String]("toStatus"),
+        r.getAs[String]("msgType")))
+    assert(rows.toSeq == Seq(
+      ("none", "active", "Alert"),
+      ("active", "cancelled", "Cancel")),
+      s"audit log must hold exactly the two real transitions, got ${rows.toSeq}")
+    q.stop()
+  }
 }
