@@ -33,7 +33,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "b1_scan_filter", "b2_hash_agg", "b3_multi_join", "b4_join_filter",
     "b6_topk", "b7_distinct", "b8_setop", "b13_rollup", "b14_semi_anti",
     "b16_approx_distinct", "b19_from_json", "b20_cube", "b23_unpivot",
-    "b26_intersect")
+    "b26_intersect", "b40_cum_distinct", "b42_share_of_total")
 
   for (name <- portable) {
     test(s"$name: spark.sql(oracle text) == DataFrame builder") {
