@@ -35,6 +35,44 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("cosine/dot kernels match the reference fold on adversarial inputs (seeded property)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(20260812L)
+    def refDot(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def refCos(a: Array[Double], b: Array[Double]): Double =
+      refDot(a, b) / (Math.sqrt(refDot(a, a)) * Math.sqrt(refDot(b, b)))
+    val specials = Array(0.0, -0.0, 1e-308, -1e-308, 1e308, -1e308,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.MinPositiveValue)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(80) + 1
+      def gen() = Array.fill(n) {
+        if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
+        else (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12) - 6)
+      }
+      val (a, b) = (gen(), gen())
+      val (ad, bd) = (new GenericArrayData(a), new GenericArrayData(b))
+      val kd = DotKernel.compute(ad, bd)
+      assert(kd != null)
+      assert(java.lang.Double.doubleToLongBits(kd.doubleValue()) ==
+        java.lang.Double.doubleToLongBits(refDot(a, b)), s"dot diverged on trial $trial")
+      val kc = CosineKernel.compute(ad, bd)
+      assert(kc != null)
+      // NaN-safe bit comparison (0-norm or inf inputs produce NaN on
+      // BOTH paths — that identity is exactly what we assert)
+      assert(java.lang.Double.doubleToLongBits(kc.doubleValue()) ==
+        java.lang.Double.doubleToLongBits(refCos(a, b)), s"cosine diverged on trial $trial")
+    }
+    // length mismatch → null, both kernels
+    val short = new GenericArrayData(Array(1.0))
+    val long2 = new GenericArrayData(Array(1.0, 2.0))
+    assert(DotKernel.compute(short, long2) == null)
+    assert(CosineKernel.compute(short, long2) == null)
+  }
+
   test("DotRewrite fuses the declarative dot idiom into native_dot, bit-identically") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
