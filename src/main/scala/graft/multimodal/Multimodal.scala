@@ -280,14 +280,19 @@ object Multimodal {
   // triage pass a binary-ingest pipeline runs before spending codec
   // time: a payload whose byte histogram is near-uniform is already
   // compressed (or encrypted/corrupt); a heavily peaked one is text or
-  // raw bitmap. The statistic is the ALL-INTEGER scaled chi-square
-  // against uniform: with c_b the count of byte b and L = Σc_b,
-  //   chi2s = Σ_b (256·c_b − L)² = 65536·Σc² − 256·L²,
-  // which needs only the present-byte squared counts — exact 64-bit
-  // integer math, no floats, engine-portable. Computed in the same
-  // narrow mapPartitions batch pass as M1 (shared scratch, no shuffle
-  // until the per-kind aggregate). Empty payloads score 0 by the
-  // identity.
+  // raw bitmap. The statistic is the ALL-INTEGER per-byte scaled
+  // chi-square against uniform: with c_b the count of byte b and
+  // L = Σc_b,
+  //   chi2pb = (Σ_b (256·c_b − L)²) / L = (65536·Σc² − 256·L²) / L,
+  // which needs only the present-byte squared counts. The numerator
+  // can exceed int64 for peaked payloads ≥ ~12 MB (65536·L² at the
+  // constant-byte extreme), so it is computed in BigInt and only the
+  // L-normalized quotient — bounded by 65280·L, int64-safe for any
+  // array-sized payload — is emitted; the DuckDB oracle's HUGEINT sum
+  // follows the same exact route. Truncating division is identical on
+  // both engines for the non-negative operands here. Computed in the
+  // same narrow mapPartitions batch pass as M1 (shared scratch, no
+  // shuffle until the per-kind aggregate). Empty payloads score 0.
   // -------------------------------------------------------------------
   def m5Uniformity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -303,16 +308,19 @@ object Multimodal {
         var b = 0
         while (b < 256) { sumsq += counts(b) * counts(b); b += 1 }
         val len = a.payload.length.toLong
-        (a.asset_id, a.kind, len, 65536L * sumsq - 256L * len * len)
+        val chi2pb =
+          if (len == 0) 0L
+          else ((BigInt(65536) * sumsq - BigInt(256) * len * len) / len).toLong
+        (a.asset_id, a.kind, len, chi2pb)
       }
-    }.toDF("asset_id", "kind", "n_bytes", "chi2s")
+    }.toDF("asset_id", "kind", "n_bytes", "chi2pb")
     scored.groupBy("kind")
       .agg(
         count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        sum(col("chi2s")).as("chi2_total"),
-        min(col("chi2s")).as("chi2_min"),
-        max(col("chi2s")).as("chi2_max"))
+        sum(col("chi2pb")).as("chi2pb_total"),
+        min(col("chi2pb")).as("chi2pb_min"),
+        max(col("chi2pb")).as("chi2pb_max"))
       .orderBy("kind")
   }
 
@@ -328,12 +336,14 @@ object Multimodal {
       |       GROUP BY asset_id, ch),
       |sq AS (SELECT asset_id, SUM(c * c) AS sumsq FROM cc GROUP BY 1),
       |sc AS (SELECT a.asset_id, a.kind, a.n_bytes,
-      |              65536 * COALESCE(sq.sumsq, 0) - 256 * a.n_bytes * a.n_bytes AS chi2s
+      |              CASE WHEN a.n_bytes = 0 THEN 0
+      |                   ELSE (65536 * COALESCE(sq.sumsq, 0) - 256 * a.n_bytes * a.n_bytes) // a.n_bytes
+      |              END AS chi2pb
       |       FROM a LEFT JOIN sq USING (asset_id))
       |SELECT kind, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
-      |       CAST(SUM(chi2s) AS BIGINT) AS chi2_total,
-      |       CAST(MIN(chi2s) AS BIGINT) AS chi2_min,
-      |       CAST(MAX(chi2s) AS BIGINT) AS chi2_max
+      |       CAST(SUM(chi2pb) AS BIGINT) AS chi2pb_total,
+      |       CAST(MIN(chi2pb) AS BIGINT) AS chi2pb_min,
+      |       CAST(MAX(chi2pb) AS BIGINT) AS chi2pb_max
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------

@@ -533,7 +533,7 @@ object Dedup {
   // filter is that structure, and this query implements one with fully
   // deterministic, engine-portable semantics: k=3 bit positions per
   // document from salted md5 (hash48, the repo-wide invariant) into an
-  // m=1024-bit space; the test split's bit-set is the filter; a train
+  // m=256-bit space; the test split's bit-set is the filter; a train
   // doc is flagged iff all three of its positions are set. m is sized
   // small ON PURPOSE so the validation corpus produces real false
   // positives and the FP accounting is exercised (exact dups are a

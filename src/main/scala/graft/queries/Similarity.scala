@@ -422,6 +422,9 @@ object Similarity {
 
   /** (cid, da, db): capped within-cluster candidate pairs, da < db. */
   private[queries] def d8Candidates(emb: DataFrame): DataFrame = {
+    // entry point in its own right (ScaleSpec drives it directly), so it
+    // must register the native cosine itself, not rely on its caller
+    ensureCosine(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
       .select(col("vec_id").as("cid"), col("e").as("cv"))

@@ -100,10 +100,10 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("m5: chi-square identity on planted extremes (uniform=0 floor, constant=max)") {
     // all-distinct payload "abc..." (each byte once): c_b ∈ {0,1},
-    // chi2s = 65536·L − 256·L²; constant payload "aaaa": one bin holds
-    // all L, chi2s = 65536·L² − 256·L² = 65280·L² — the analytic
-    // extremes of the statistic, checked end to end through the real
-    // mapPartitions pass
+    // chi2pb = (65536·L − 256·L²)/L = 65536 − 256·L; constant payload
+    // "aaaa": one bin holds all L, chi2pb = (65536·L² − 256·L²)/L =
+    // 65280·L — the analytic extremes of the per-byte statistic,
+    // checked end to end through the real mapPartitions pass
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("m5uni").toString
     Seq(
@@ -113,11 +113,11 @@ class MultimodalSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = Multimodal.m5Uniformity(spark, dir).collect()
     assert(r.length == 1)
-    val distinctScore = 65536L * 10 - 256L * 100   // Σc²=10
-    val constantScore = 65536L * 100 - 256L * 100  // Σc²=100
-    assert(r(0).getAs[Long]("chi2_min") == distinctScore)
-    assert(r(0).getAs[Long]("chi2_max") == constantScore)
-    assert(r(0).getAs[Long]("chi2_total") == distinctScore + constantScore)
+    val distinctScore = 65536L - 256L * 10  // Σc²=L → (65536L−256L²)/L
+    val constantScore = 65280L * 10         // Σc²=L² → 65280·L
+    assert(r(0).getAs[Long]("chi2pb_min") == distinctScore)
+    assert(r(0).getAs[Long]("chi2pb_max") == constantScore)
+    assert(r(0).getAs[Long]("chi2pb_total") == distinctScore + constantScore)
   }
 
   test("m6: identical video payloads pair at jaccard 1.0; bounds hold on the corpus") {

@@ -85,25 +85,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // ensure the rule is active regardless of whether this session was
     // built with the extension (getOrCreate may reuse a plain one) —
     // extraOptimizations is the always-available seam for the same rule
-    if (!spark.experimental.extraOptimizations.exists(_ eq DotRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ DotRewrite
-    val fused = e.select(col("vec_id"),
-      aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v).as("dot"))
-    assert(fused.queryExecution.optimizedPlan.toString.contains("native_dot"),
-      s"rule did not fire:\n${fused.queryExecution.optimizedPlan}")
-    val after = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(after.keySet == truth.keySet)
-    after.foreach { case (id, d) =>
-      assert(java.lang.Double.doubleToLongBits(d) ==
-        java.lang.Double.doubleToLongBits(truth(id)),
-        s"fused dot diverged for vec $id")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ DotRewrite
+    try {
+      val fused = e.select(col("vec_id"),
+        aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("dot"))
+      assert(fused.queryExecution.optimizedPlan.toString.contains("native_dot"),
+        s"rule did not fire:\n${fused.queryExecution.optimizedPlan}")
+      val after = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(after.keySet == truth.keySet)
+      after.foreach { case (id, d) =>
+        assert(java.lang.Double.doubleToLongBits(d) ==
+          java.lang.Double.doubleToLongBits(truth(id)),
+          s"fused dot diverged for vec $id")
+      }
+      // conservative matching: a non-dot fold (acc + v*2) must NOT fuse
+      val other = e.select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v * lit(2.0)).as("nd"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("native_dot"))
+    } finally {
+      // restore — the shared getOrCreate session outlives this suite,
+      // and a leaked rewrite would make later plan-shape tests
+      // order-dependent
+      spark.experimental.extraOptimizations = saved
     }
-    // conservative matching: a non-dot fold (acc + v*2) must NOT fuse
-    val other = e.select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v * lit(2.0)).as("nd"))
-    assert(!other.queryExecution.optimizedPlan.toString.contains("native_dot"))
   }
 
   private def ringSql(pts: Seq[(Double, Double)]): String =
