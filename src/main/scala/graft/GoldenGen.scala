@@ -33,7 +33,9 @@ object GoldenGen {
       val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
       Files.createDirectories(Paths.get(out).getParent)
       Files.copy(part.toPath, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
-      println(s"golden written: $out (${df.count()} rows)")
+      // count the WRITTEN file, not df — df.count() would re-run the
+      // whole pipeline and could diverge from what landed on disk
+      println(s"golden written: $out (${spark.read.parquet(out).count()} rows)")
     }
 
     write(SparkEntry.queries("cap1_features")(spark, ""),

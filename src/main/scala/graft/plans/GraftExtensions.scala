@@ -412,16 +412,20 @@ case class AlertToFeatures(child: Expression)
   /** The deserializer binds POSITIONALLY, so a struct whose fields are
     * reordered (e.g. alphabetized) would silently swap values into the
     * wrong CapAlert fields — reject any field-name/arity mismatch at
-    * analysis time instead. */
+    * analysis time; field TYPES must match too (a right-named,
+    * wrong-typed field would otherwise pass analysis and throw a
+    * ClassCastException per row at runtime). */
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val expected = ExpressionEncoder[CapAlert]().schema.fieldNames.toSeq
+    val expected = ExpressionEncoder[CapAlert]().schema
     child.dataType match {
-      case s: StructType if s.fieldNames.toSeq == expected =>
+      case s: StructType if s.fieldNames.toSeq == expected.fieldNames.toSeq &&
+          s.fields.zip(expected.fields).forall { case (g, w) =>
+            org.apache.spark.sql.types.DataType.equalsIgnoreNullability(g.dataType, w.dataType) } =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case s: StructType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"alert_to_features expects struct fields ${expected.mkString("(", ", ", ")")} " +
-            s"in order, got ${s.fieldNames.mkString("(", ", ", ")")}")
+          s"alert_to_features expects struct ${expected.catalogString} " +
+            s"(field names, order, and types), got ${s.catalogString}")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"alert_to_features expects a struct, got ${other.catalogString}")
@@ -431,10 +435,11 @@ case class AlertToFeatures(child: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val row = child.eval(input).asInstanceOf[InternalRow]
     if (row == null) Nil
-    else {
-      val alert = deser(row)
-      Try(Features.alertToFeatures(alert)).getOrElse(Seq.empty).map(f => ser(f).copy())
-    }
+    // the deserializer sits INSIDE the per-alert Try: F2's isolation
+    // contract is "a throwing alert yields zero rows", and decode
+    // failures are alert failures too
+    else Try(Features.alertToFeatures(deser(row))).getOrElse(Seq.empty)
+      .map(f => ser(f).copy())
   }
 
   override protected def withNewChildInternal(newChild: Expression): AlertToFeatures =

@@ -548,10 +548,8 @@ object Dedup {
   def d9BloomDecontam(s: SparkSession, d: String): DataFrame = {
     def posCol(j: Int): Column =
       pmod(hash48(concat(lit(s"bloom$j#"), col("text"))), lit(BloomBits))
-    val docs = Tables.documents(s, d)
-      .withColumn("bucket", pmod(hash48(col("doc_id").cast("string")), lit(100L)))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    // the split is TextStats' t6 contract — never re-derive thresholds
+    val docs = Tables.documents(s, d).withColumn("split", TextStats.splitCol)
     val test = docs.filter(col("split") === "test")
     val train = docs.filter(col("split") === "train")
     val bits = test.select(explode(array(posCol(0), posCol(1), posCol(2))).as("pos"))
@@ -619,9 +617,9 @@ object Dedup {
   // -------------------------------------------------------------------
   def d10IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val isBase = pmod(hash48(col("doc_id").cast("string")), lit(100L)) < 80
+    // base = t6's train bucket — the same split contract as d9/t7/t13
     val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
-      isBase.as("is_base"), (size(split(col("text"), " ")) >= 3).as("shingled"))
+      TextStats.isBaseCol.as("is_base"), (size(split(col("text"), " ")) >= 3).as("shingled"))
     val reps = d2Reps(docs)
     val repFlags = members.groupBy("th").agg(
         max(when(col("is_base"), 1).otherwise(0)).as("hb"),

@@ -31,7 +31,17 @@ object Relational {
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(DecimalType(30, 6))), scale).cast("double")
 
-  /** Exact-decimal average of a double column. */
+  /** Exact-decimal average of a double column.
+    *
+    * Known theoretical asymmetry (documented, accepted): Spark divides
+    * decimal/long exactly and rounds the decimal quotient; DuckDB's
+    * DECIMAL/BIGINT division runs in DOUBLE. The two can differ only
+    * when the exact quotient sits within one double-ulp of a 0.5e-scale
+    * rounding boundary — a measure-zero event never observed across
+    * all SFs/rounds. Forcing double division on the Spark side would
+    * not remove the hazard (DuckDB's int128-decimal→double conversion
+    * is itself not guaranteed correctly rounded), so the empirically
+    * validated exact-decimal path stays. */
   private def davg(c: Column, scale: Int = 6): Column =
     round(sum(c.cast(DecimalType(30, 6))) / count(lit(1)), scale).cast("double")
 
@@ -1229,6 +1239,9 @@ object Relational {
   // -------------------------------------------------------------------
   def b40CumDistinct(s: SparkSession, d: String): DataFrame = {
     val firstTouch = Tables.events(s, d)
+      // to_date is session-timezone-dependent; like b30's date casts,
+      // this builder requires the repo-wide UTC session pin to match
+      // the naive-timestamp oracle (day buckets inherently need a zone)
       .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
       .groupBy("event_type", "user_id")
       .agg(min(col("day")).as("first_day"))
@@ -1264,11 +1277,13 @@ object Relational {
   // -------------------------------------------------------------------
   def b41GapFill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+    // hour buckets via window(), not date_trunc: window boundaries are
+    // epoch-aligned and session-timezone-independent (the B11 rule), so
+    // the oracle match holds in ANY session zone; sequence() then just
+    // adds whole hours to epoch instants, equally zone-free
+    val hourly = ev.groupBy(window(col("ts"), "1 hour").getField("start").as("hour"))
       .agg(count(lit(1)).as("n"))
-    val range = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+    val range = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
     val spine = range.select(explode(expr(
       "sequence(lo, hi, interval 1 hour)")).as("hour"))
     spine.join(hourly, Seq("hour"), "left")

@@ -102,7 +102,7 @@ object TextStats {
     val stopR = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok
     val shortR = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
     val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
-    val score = lit(1.0) - lit(0.5) * stopR - lit(0.3) * shortR - lit(0.2) * dupR
+    val score = qualityScore(col("text"))
     def davg(c: org.apache.spark.sql.Column) =
       round(sum(c.cast(DecimalType(30, 6))) / count(lit(1)), 6).cast("double")
     docs.select(col("source"), stopR.as("stop_r"), shortR.as("short_r"),
@@ -312,13 +312,34 @@ object TextStats {
   // shuffle on the 3-value split key.
   // -------------------------------------------------------------------
   /** The stable 0..99 bucket and 80/10/10 split assignment shared by
-    * T6 (split summary) and T7 (contamination scan); the hash is
-    * Dedup.hash48 so there is exactly one Spark/DuckDB fold invariant. */
-  private def bucketCol: org.apache.spark.sql.Column =
+    * T6/T7/T13/T15/T18 here and D9/D10 in [[Dedup]]; the hash is
+    * Dedup.hash48 so there is exactly one Spark/DuckDB fold invariant —
+    * the split is a LOAD-BEARING cross-query contract (contamination
+    * scans and incremental dedup are only meaningful against the split
+    * they claim to audit), so every consumer must go through these two
+    * columns, never re-derive the thresholds. */
+  private[queries] def bucketCol: org.apache.spark.sql.Column =
     pmod(Dedup.hash48(col("doc_id").cast("string")), lit(100L))
 
-  private def splitCol: org.apache.spark.sql.Column =
+  private[queries] def splitCol: org.apache.spark.sql.Column =
     when(bucketCol < 80, "train").when(bucketCol < 90, "val").otherwise("test")
+
+  /** The base-corpus predicate of the same contract (D9/D10's delta =
+    * everything outside the t6 train bucket). */
+  private[queries] def isBaseCol: org.apache.spark.sql.Column = bucketCol < 80
+
+  /** T2's composite quality score over whitespace tokens — shared with
+    * T18's curation report so the weights/stopword list can never
+    * drift between the quality surface and the report that cites it. */
+  private[queries] def qualityScore(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("double")
+    val stopR = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok
+    val shortR = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
+    val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    lit(1.0) - lit(0.5) * stopR - lit(0.3) * shortR - lit(0.2) * dupR
+  }
 
   def t6Split(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
@@ -956,15 +977,10 @@ object TextStats {
   // the documented 100 TB swap-in.
   // -------------------------------------------------------------------
   def t18CurationReport(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast("double")
-    val stopR = size(filter(toks, t => t === "a" || t === "the")).cast("double") / nTok
-    val shortR = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
-    val dupR = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
-    val score = lit(1.0) - lit(0.5) * stopR - lit(0.3) * shortR - lit(0.2) * dupR
     Tables.documents(s, d)
       .select(splitCol.as("split"), md5(col("text")).as("th"),
-        score.as("score"), size(toks).cast("long").as("tok"))
+        qualityScore(col("text")).as("score"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
