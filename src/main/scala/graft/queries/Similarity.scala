@@ -744,6 +744,75 @@ object Similarity {
       |FROM truth t LEFT JOIN lsh l ON l.qid = t.qid AND l.vec_id = t.vec_id
       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S10: Johnson-Lindenstrauss random projection — 64-d → 16-d with the
+  // md5-derived integer hyperplanes (same construction as the LSH
+  // planes, here used as a ±1000-integer Achlioptas-style projection),
+  // plus the distance-preservation audit that justifies using the
+  // compressed vectors downstream: pairwise squared-distance ratios
+  // ||ya−yb||²/||xa−xb||² over a 30-vector sample, reported as
+  // min/max/mean and the fraction within ±25%. Projections and
+  // squared distances are summed through DECIMAL(30,12) (exact,
+  // order-independent), the per-pair ratio is one double division +
+  // round(6). Scale shape: the projection is one broadcast join +
+  // groupBy per vector (linear, 16 outputs/vector — 4× smaller
+  // storage); only the AUDIT touches pairs, and only over the fixed
+  // sample. k=16 is deliberately far below the JL bound for ε=0.25 on
+  // 435 pairs — the audit MEASURES what 4× compression actually costs
+  // on this corpus rather than assuming the asymptotic guarantee.
+  // -------------------------------------------------------------------
+  def s10JlProjection(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 30)
+    val exx = ex(emb)
+    val proj = exx.join(broadcast(planes(s, 16)), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("x") * col("w")).cast(DecimalType(30, 12))).as("proj"))
+      .select(col("vec_id"), col("p"), col("proj").cast("double").as("y"))
+    def sqdist(df: DataFrame, axis: String, v: String, out: String): DataFrame =
+      df.as("a").join(df.as("b"),
+          col(s"a.$axis") === col(s"b.$axis") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          ((col(s"a.$v") - col(s"b.$v")) * (col(s"a.$v") - col(s"b.$v")))
+            .cast(DecimalType(30, 12)).as("t"))
+        .groupBy("va", "vb").agg(sum(col("t")).as(out))
+    val dy = sqdist(proj, "p", "y", "sdy")
+    val dx = sqdist(exx, "d", "x", "sdx")
+    // unbiased normalization: E[w²] over the ±1000 integer weights is
+    // exactly 1001000/3, so the projected squared distance scales by
+    // k·E[w²] = 16·1001000/3 relative to the original — divide it out
+    // so a perfectly preserved pair reads ratio = 1
+    dy.join(dx, Seq("va", "vb"))
+      .select(round(col("sdy").cast("double") / col("sdx").cast("double")
+        * (3.0 / 16016000.0), 6).as("ratio"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        round(sum(col("ratio").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_ratio"),
+        sum(when(abs(col("ratio") - 1.0) <= 0.25, 1L).otherwise(0L)).as("n_within_25pct"))
+  }
+
+  val s10Sql: String =
+    s"""WITH ${duckPlanes(16)},
+      |e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |      FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+      |      WHERE vec_id < 30),
+      |proj AS (SELECT vec_id, p, CAST(SUM(CAST(x * w AS DECIMAL(30,12))) AS DOUBLE) AS y
+      |         FROM e JOIN planes USING (d) GROUP BY 1, 2),
+      |dys AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |               SUM(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(30,12))) AS sdy
+      |        FROM proj a JOIN proj b ON a.p = b.p AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |dxs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      |               SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(30,12))) AS sdx
+      |        FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id GROUP BY 1, 2),
+      |r AS (SELECT ROUND(CAST(sdy AS DOUBLE) / CAST(sdx AS DOUBLE) * (3.0 / 16016000.0), 6) AS ratio
+      |      FROM dys JOIN dxs USING (va, vb))
+      |SELECT COUNT(*) AS n_pairs, MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+      |       CAST(ROUND(SUM(CAST(ratio AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_ratio,
+      |       CAST(SUM(CASE WHEN ABS(ratio - 1) <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_25pct
+      |FROM r""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -756,5 +825,6 @@ object Similarity {
     ("d6_crossmodal", d6CrossModal _, d6Sql),
     ("d8_semantic_dedup", d8SemanticDedup _, d8Sql),
     ("s8_kmeans", s8Kmeans _, s8Sql),
-    ("s9_recall_eval", s9RecallEval _, s9Sql))
+    ("s9_recall_eval", s9RecallEval _, s9Sql),
+    ("s10_jl_projection", s10JlProjection _, s10Sql))
 }

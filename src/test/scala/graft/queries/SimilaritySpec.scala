@@ -280,6 +280,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatch.isNullAt(0), "length mismatch must yield null")
   }
 
+  test("s10: JL projection is unbiased and preserves a real fraction of distances") {
+    val r = Similarity.s10JlProjection(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_pairs")
+    assert(n == 435L, "30-vector sample → C(30,2) audited pairs")
+    // with the exact E[w²] normalization the estimator is unbiased —
+    // the mean ratio must sit near 1, not near E[w²]/1e6 ≈ 0.334 (the
+    // value an unnormalized ±1000-integer projection silently yields)
+    val avg = r.getAs[Double]("avg_ratio")
+    assert(avg > 0.85 && avg < 1.15, s"biased projection: mean ratio $avg")
+    assert(r.getAs[Double]("min_ratio") > 0.0)
+    assert(r.getAs[Double]("min_ratio") <= avg && avg <= r.getAs[Double]("max_ratio"))
+    // k=16 is far under the JL bound for ε=0.25, so preservation is
+    // partial by design — but it must be substantial, not degenerate
+    val within = r.getAs[Long]("n_within_25pct")
+    assert(within > n / 4 && within < n, s"implausible preservation: $within/$n")
+  }
+
   test("s9: recall evaluation is exact, bounded, and measures a working index") {
     val rows = Similarity.s9RecallEval(spark, sf).collect()
     assert(rows.length == 10, "one row per query vector")
