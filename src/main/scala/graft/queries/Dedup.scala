@@ -78,6 +78,16 @@ object Dedup {
     s"list_reduce(list_transform(string_split(substr(md5($x),1,12),''), " +
       s"c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c)"
 
+  /** DuckDB renderings of the t6 split contract (the oracle-side twin
+    * of TextStats.bucketCol/splitCol/isBaseCol) — every oracle that
+    * splits documents must embed THESE strings, never restate the
+    * thresholds. `duckSplitCase` expects a column named `bucket`. */
+  private[queries] val duckDocBucket: String =
+    duckHash48("CAST(doc_id AS VARCHAR)") + " % 100"
+  private[queries] val duckSplitCase: String =
+    "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"
+  private[queries] val duckIsBase: String = s"$duckDocBucket < 80"
+
   /** Word 3-gram shingles (all occurrences; wrap in array_distinct for
     * set semantics). Guarded so <3-token docs yield [] — Spark's
     * sequence() would otherwise count DOWN for a negative stop. */
@@ -576,11 +586,9 @@ object Dedup {
 
   val d9Sql: String = {
     def h(j: Int) = duckHash48(s"'bloom$j#' || text") + s" % $BloomBits"
-    s"""WITH b AS (SELECT doc_id, text, ${duckHash48("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+    s"""WITH b AS (SELECT doc_id, text, $duckDocBucket AS bucket
       |           FROM documents),
-      |sp AS (SELECT doc_id, text,
-      |              CASE WHEN bucket < 80 THEN 'train'
-      |                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |sp AS (SELECT doc_id, text, $duckSplitCase AS split
       |       FROM b),
       |pr AS (SELECT doc_id, split, UNNEST([${h(0)}, ${h(1)}, ${h(2)}]) AS pos FROM sp),
       |bits AS (SELECT DISTINCT pos FROM pr WHERE split = 'test'),
@@ -654,7 +662,7 @@ object Dedup {
 
   val d10Sql: String =
     s"""WITH $duckPairsSql,
-      |spl AS (SELECT doc_id, ${duckHash48("CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_base
+      |spl AS (SELECT doc_id, $duckIsBase AS is_base
       |        FROM documents)
       |SELECT p.da, p.db, p.jacc
       |FROM pairs p JOIN spl a ON a.doc_id = p.da JOIN spl b ON b.doc_id = p.db

@@ -355,17 +355,12 @@ object TextStats {
       .orderBy("split")
   }
 
-  /** DuckDB rendering of the doc_id bucket hash — same single
-    * invariant as bucketCol, rendered by Dedup.duckHash48. */
-  private val duckDocHash: String = Dedup.duckHash48("CAST(doc_id AS VARCHAR)")
 
-  /** DuckDB CTE `sp(doc_id, n_chars, split)` — the t6 split assignment. */
+  /** DuckDB CTE `sp(doc_id, n_chars, split)` — the t6 split assignment
+    * (thresholds live ONLY in Dedup.duckDocBucket/duckSplitCase). */
   private val duckSplitSql: String =
-    s"""b AS (SELECT doc_id, n_chars, $duckDocHash % 100 AS bucket FROM documents),
-      |sp AS (SELECT doc_id, n_chars,
-      |              CASE WHEN bucket < 80 THEN 'train'
-      |                   WHEN bucket < 90 THEN 'val'
-      |                   ELSE 'test' END AS split
+    s"""b AS (SELECT doc_id, n_chars, ${Dedup.duckDocBucket} AS bucket FROM documents),
+      |sp AS (SELECT doc_id, n_chars, ${Dedup.duckSplitCase} AS split
       |       FROM b)""".stripMargin
 
   val t6Sql: String =
@@ -723,11 +718,8 @@ object TextStats {
   }
 
   val t13Sql: String =
-    s"""WITH b AS (SELECT doc_id, source, text, $duckDocHash % 100 AS bucket FROM documents),
-      |sp2 AS (SELECT doc_id, source, text,
-      |               CASE WHEN bucket < 80 THEN 'train'
-      |                    WHEN bucket < 90 THEN 'val'
-      |                    ELSE 'test' END AS split FROM b),
+    s"""WITH b AS (SELECT doc_id, source, text, ${Dedup.duckDocBucket} AS bucket FROM documents),
+      |sp2 AS (SELECT doc_id, source, text, ${Dedup.duckSplitCase} AS split FROM b),
       |ws AS (SELECT doc_id, source, split, string_split(text, ' ') AS w FROM sp2),
       |tg AS (SELECT doc_id, source, split,
       |              UNNEST(list_transform(range(1, GREATEST(len(w) - 1, 1)),
@@ -994,10 +986,8 @@ object TextStats {
   }
 
   val t18Sql: String =
-    s"""WITH b AS (SELECT doc_id, text, $duckDocHash % 100 AS bucket FROM documents),
-      |sp3 AS (SELECT text, CASE WHEN bucket < 80 THEN 'train'
-      |                          WHEN bucket < 90 THEN 'val'
-      |                          ELSE 'test' END AS split FROM b),
+    s"""WITH b AS (SELECT doc_id, text, ${Dedup.duckDocBucket} AS bucket FROM documents),
+      |sp3 AS (SELECT text, ${Dedup.duckSplitCase} AS split FROM b),
       |q AS (SELECT split, md5(text) AS th, CAST(len(t) AS BIGINT) AS tok,
       |             1.0 - 0.5*(CAST(len(list_filter(t, x -> x = 'a' OR x = 'the')) AS DOUBLE) / len(t))
       |                 - 0.3*(CAST(len(list_filter(t, x -> length(x) <= 2)) AS DOUBLE) / len(t))
