@@ -337,10 +337,11 @@ object Multimodal {
       |sq AS (SELECT asset_id, SUM(c * c) AS sumsq FROM cc GROUP BY 1),
       |sc AS (SELECT a.asset_id, a.kind, a.n_bytes,
       |              CASE WHEN a.n_bytes = 0 THEN 0
-      |                   ELSE (65536 * COALESCE(sq.sumsq, 0) - 256 * a.n_bytes * a.n_bytes) // a.n_bytes
+      |                   ELSE (65536 * COALESCE(sq.sumsq, 0)
+      |                         - 256 * CAST(a.n_bytes AS HUGEINT) * a.n_bytes) // a.n_bytes
       |              END AS chi2pb
       |       FROM a LEFT JOIN sq USING (asset_id))
-      |SELECT kind, COUNT(*) AS n_assets, SUM(n_bytes) AS total_bytes,
+      |SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |       CAST(SUM(chi2pb) AS BIGINT) AS chi2pb_total,
       |       CAST(MIN(chi2pb) AS BIGINT) AS chi2pb_min,
       |       CAST(MAX(chi2pb) AS BIGINT) AS chi2pb_max

@@ -1052,8 +1052,13 @@ object Relational {
   // B27 ranks, B34 RANGE frames): offset functions over a keyed
   // ordering. One shuffle on o_custkey; ties on order date are broken
   // by o_orderkey so the lag/lead pairing is total and deterministic
-  // on both engines. Gaps stay in exact integer microseconds; only the
-  // final average goes through the decimal accumulator.
+  // on both engines. Gaps stay in exact integer microseconds; the final
+  // average is computed as an exact integer round-half-up at 3 decimals
+  // — floor((2000*sum + n) / (2n)) — then divided by 1000.0 once, so
+  // both engines convert the SAME integer to double. (A naive
+  // ROUND(SUM(DECIMAL)/COUNT, 3) diverges: DuckDB demotes DECIMAL /
+  // BIGINT to double division, and at 1e13 magnitude the quotient is
+  // off by more than the 3-decimal rounding step before ROUND runs.)
   // -------------------------------------------------------------------
   def b35LagLead(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("odus"), col("o_orderkey"))
@@ -1069,9 +1074,12 @@ object Relational {
       .agg(
         count(col("gap_us")).as("n_gaps"),
         max(col("gap_us")).as("max_gap_us"),
-        round(sum(col("gap_us").cast(DecimalType(30, 6))) / count(col("gap_us")), 3)
-          .cast("double").as("avg_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"),
         sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"))
+      .select(col("o_orderpriority"), col("n_gaps"), col("max_gap_us"),
+        (expr("(cast(sum_gap_us as decimal(38,0)) * 2000 + n_gaps) div (2 * n_gaps)")
+          / lit(1000.0)).as("avg_gap_us"),
+        col("n_last"))
       .orderBy("o_orderpriority")
   }
 
@@ -1085,7 +1093,8 @@ object Relational {
       |SELECT o_orderpriority,
       |       COUNT(gap_us) AS n_gaps,
       |       MAX(gap_us) AS max_gap_us,
-      |       CAST(ROUND(SUM(CAST(gap_us AS DECIMAL(30,6))) / COUNT(gap_us), 3) AS DOUBLE) AS avg_gap_us,
+      |       CAST((2000 * CAST(SUM(gap_us) AS HUGEINT) + COUNT(gap_us))
+      |            // (2 * COUNT(gap_us)) AS BIGINT) / 1000.0 AS avg_gap_us,
       |       CAST(SUM(CASE WHEN is_last THEN 1 ELSE 0 END) AS BIGINT) AS n_last
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1260,8 +1269,8 @@ object Relational {
       |daily AS (SELECT event_type, first_day AS day, COUNT(*) AS n_new_users
       |          FROM ft GROUP BY 1, 2)
       |SELECT event_type, day, n_new_users,
-      |       SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY day
-      |                              ROWS UNBOUNDED PRECEDING) AS cum_users
+      |       CAST(SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+      |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY event_type, day""".stripMargin
 
   // -------------------------------------------------------------------

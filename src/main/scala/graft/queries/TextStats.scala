@@ -862,8 +862,8 @@ object TextStats {
       |ps AS (SELECT split, MAX(n_started) AS max_docs_in_seq
       |       FROM (SELECT split, first_seq, COUNT(*) AS n_started FROM fs GROUP BY 1, 2)
       |       GROUP BY 1)
-      |SELECT fs.split, COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
-      |       (SUM(tok) + ${seqCap - 1}) // $seqCap AS n_sequences,
+      |SELECT fs.split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |       CAST((SUM(tok) + ${seqCap - 1}) // $seqCap AS BIGINT) AS n_sequences,
       |       CAST(SUM(crossing) AS BIGINT) AS n_crossing_docs, ps.max_docs_in_seq
       |FROM fs JOIN ps ON ps.split = fs.split
       |GROUP BY fs.split, ps.max_docs_in_seq ORDER BY fs.split""".stripMargin
@@ -996,7 +996,7 @@ object TextStats {
       |SELECT split, COUNT(*) AS n_docs,
       |       COUNT(DISTINCT th) AS n_unique,
       |       CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_exact_dups,
-      |       SUM(tok) AS total_tokens,
+      |       CAST(SUM(tok) AS BIGINT) AS total_tokens,
       |       CAST(ROUND(SUM(CAST(score AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_quality,
       |       CAST(SUM(CASE WHEN score < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
       |FROM q GROUP BY split ORDER BY split""".stripMargin
