@@ -381,10 +381,16 @@ object DotRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
     plan.transformAllExpressions {
       case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
-          Literal(0.0, DoubleType),
+          Literal(seed: Double, DoubleType),
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
-          if isDoubleArray(a) && isDoubleArray(b) &&
+          // bit-compare the seed: Scala's == treats -0.0 == 0.0, but
+          // NativeDot folds from +0.0, and a -0.0-seeded fold whose
+          // result is ±0.0 keeps the seed's sign bit — fusing it would
+          // breach the advertised bit-identical guarantee.
+          if java.lang.Double.doubleToLongBits(seed) ==
+              java.lang.Double.doubleToLongBits(0.0) &&
+            isDoubleArray(a) && isDoubleArray(b) &&
             usesBoth(ml, mr, x, y) && usesBoth(al, ar, acc, v) &&
             fin.exprId == fv.exprId =>
         NativeDot(a, b)

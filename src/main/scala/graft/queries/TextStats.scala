@@ -817,7 +817,9 @@ object TextStats {
   // 256-token training sequences; the audit reports how many sequences
   // the split yields and how many documents straddle a sequence
   // boundary (the packing-quality number a pretraining pipeline
-  // watches). All arithmetic is integer (token counts, cumulative
+  // watches). max_docs_started_in_seq counts documents whose FIRST
+  // token lands in the sequence — a doc spilling in from the previous
+  // sequence is deliberately not attributed to this one. All arithmetic is integer (token counts, cumulative
   // offsets, integer division by the capacity), so the result is exact
   // on any engine. Scale shape: ONE range-partitioned sort per split
   // (the window's sort shuffle) and two skinny aggregations — at 100 TB
@@ -836,7 +838,7 @@ object TextStats {
       .withColumn("first_seq", expr(s"(cum - tok) div $seqCap"))
       .withColumn("crossing", (expr(s"(cum - 1) div $seqCap") =!= col("first_seq")).cast("long"))
     val perSeq = docs.groupBy("split", "first_seq").agg(count(lit(1)).as("n_started"))
-      .groupBy("split").agg(max(col("n_started")).as("max_docs_in_seq"))
+      .groupBy("split").agg(max(col("n_started")).as("max_docs_started_in_seq"))
     docs.groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("total_tokens"),
@@ -844,7 +846,7 @@ object TextStats {
         sum(col("crossing")).as("n_crossing_docs"))
       .join(perSeq, "split")
       .select("split", "n_docs", "total_tokens", "n_sequences",
-        "n_crossing_docs", "max_docs_in_seq")
+        "n_crossing_docs", "max_docs_started_in_seq")
       .orderBy("split")
   }
 
@@ -859,14 +861,14 @@ object TextStats {
       |fs AS (SELECT split, tok, cum, (cum - tok) // $seqCap AS first_seq,
       |              CASE WHEN (cum - 1) // $seqCap <> (cum - tok) // $seqCap THEN 1 ELSE 0 END AS crossing
       |       FROM cu),
-      |ps AS (SELECT split, MAX(n_started) AS max_docs_in_seq
+      |ps AS (SELECT split, MAX(n_started) AS max_docs_started_in_seq
       |       FROM (SELECT split, first_seq, COUNT(*) AS n_started FROM fs GROUP BY 1, 2)
       |       GROUP BY 1)
       |SELECT fs.split, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
       |       CAST((SUM(tok) + ${seqCap - 1}) // $seqCap AS BIGINT) AS n_sequences,
-      |       CAST(SUM(crossing) AS BIGINT) AS n_crossing_docs, ps.max_docs_in_seq
+      |       CAST(SUM(crossing) AS BIGINT) AS n_crossing_docs, ps.max_docs_started_in_seq
       |FROM fs JOIN ps ON ps.split = fs.split
-      |GROUP BY fs.split, ps.max_docs_in_seq ORDER BY fs.split""".stripMargin
+      |GROUP BY fs.split, ps.max_docs_started_in_seq ORDER BY fs.split""".stripMargin
 
   // -------------------------------------------------------------------
   // T16: TF-IDF top terms. Term frequency per (doc, word), document

@@ -104,6 +104,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val other = e.select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v * lit(2.0)).as("nd"))
       assert(!other.queryExecution.optimizedPlan.toString.contains("native_dot"))
+      // a -0.0 seed must NOT fuse either: NativeDot folds from +0.0,
+      // and a ±0.0 result would flip its sign bit after fusion (Scala
+      // == can't see the difference; the rule bit-compares the seed)
+      val negZero = e.select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+        lit(-0.0), (acc, v) => acc + v).as("nz"))
+      assert(!negZero.queryExecution.optimizedPlan.toString.contains("native_dot"),
+        "-0.0-seeded fold must be left unfused")
     } finally {
       // restore — the shared getOrCreate session outlives this suite,
       // and a leaked rewrite would make later plan-shape tests

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, size, split}
+import org.apache.spark.sql.functions.{col, countDistinct, explode, max, size, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Tables
@@ -283,8 +283,8 @@ class TextStatsSpec extends AnyFunSuite {
       // every doc is ≤ 256 tokens here, so a doc crosses at most one
       // boundary and there are only n_sequences - 1 boundaries
       assert(r.getAs[Long]("n_crossing_docs") <= seqs)
-      assert(r.getAs[Long]("max_docs_in_seq") >= 1)
-      assert(r.getAs[Long]("max_docs_in_seq") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("max_docs_started_in_seq") >= 1)
+      assert(r.getAs[Long]("max_docs_started_in_seq") <= r.getAs[Long]("n_docs"))
     }
   }
 
@@ -336,10 +336,16 @@ class TextStatsSpec extends AnyFunSuite {
       val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("score"))
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
-    // rare terms must outrank stopwords: every top-1 term's df is below
-    // the corpus-wide max df (the "the"-class words never win)
-    val maxDf = rows.map(_.getAs[Long]("df")).max
+    // rare terms must outrank stopwords: every top-1 term's df is
+    // STRICTLY below the corpus-wide max df, computed independently
+    // over the full documents table (the "the"-class words never win —
+    // comparing against the returned rows' own max would be vacuous)
+    val corpusMaxDf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).head().getLong(0)
     val top1Df = byDoc.values.map(_.minBy(_.getAs[Int]("rnk")).getAs[Long]("df"))
-    assert(top1Df.forall(_ <= maxDf))
+    assert(top1Df.forall(_ < corpusMaxDf),
+      s"a stopword-class term (df=$corpusMaxDf) won a doc's top-1 slot")
   }
 }
