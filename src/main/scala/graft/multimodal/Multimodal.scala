@@ -22,14 +22,19 @@ case class MediaFrame(asset_id: Long, frame_idx: Int, frame_hash: Long)
 /** Multimodal-column operators: decode / feature-extract / resize /
   * frame-sample over opaque `binary` payloads.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * STUB (`decodeDims`): it returns deterministic fake dimensions
-  * derived from the payload bytes. Everything around it — the
-  * BinaryType schema, the per-partition batch iteration
-  * (`mapPartitions`, the Scala analog of `mapInPandas`: one
-  * JVM-side pass per partition, no per-row lambda dispatch, no
-  * shuffle), the typed Encoders, and the frame fan-out — is real and
-  * tested, and is exactly what a real codec would slot into.
+  * The decode step is REAL for two container formats — BMP (54-byte
+  * BITMAPFILEHEADER + BITMAPINFOHEADER: magic, little-endian i32
+  * width/height, pixel-data offset) and canonical 44-byte PCM WAV
+  * (RIFF/WAVE/fmt chunk: LE u16 channels, LE u32 sample rate) — both
+  * parsed from the actual payload bytes in `decodeContainer`, pure JVM,
+  * no native codec. Formats that would need a native library (video
+  * codecs, compressed images) fall through to a DOCUMENTED STUB branch
+  * returning deterministic fake dimensions from the payload bytes.
+  * Everything around the decoder — the BinaryType schema, the
+  * per-partition batch iteration (`mapPartitions`, the Scala analog of
+  * `mapInPandas`: one JVM-side pass per partition, no per-row lambda
+  * dispatch, no shuffle), the typed Encoders, and the frame fan-out —
+  * is real and tested.
   *
   * The binary corpus is derived deterministically from `documents`
   * (UTF-8 text bytes as stand-in payloads, kind = doc_id mod 3), which
@@ -66,17 +71,112 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** STUB DECODER — stands in for an image/audio codec (none in this
-    * container). Returns deterministic fake dimensions from the first
-    * payload bytes; a real implementation would parse the container
-    * format here and nothing outside this function would change. */
-  private def decodeDims(payload: Array[Byte]): (Int, Int) =
-    if (payload.isEmpty) (0, 0)
-    else (16 + (payload(0) & 0xff) % 64,
-      16 + (payload(payload.length - 1) & 0xff) % 64)
+  // ---- Real container codecs (BMP / canonical PCM WAV) --------------
+
+  /** Deterministic container parameters for the synthetic corpus —
+    * replicated arithmetically by the m1 oracle, so a parse error in
+    * `decodeContainer` hash-fails the round. */
+  private[multimodal] def bmpDims(id: Long): (Int, Int) =
+    (16 + (id % 64).toInt, 16 + ((id / 7) % 64).toInt)
+  private[multimodal] def wavParams(id: Long): (Int, Int) =
+    (1 + (id % 2).toInt, 8000 + (id % 5).toInt * 8000)
+
+  private def le(n: Int): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** Real 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * 24-bit uncompressed) in front of `body`. Field layout per the
+    * public Windows BMP format. */
+  private[multimodal] def encodeBmp(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val b = le(54 + body.length)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + body.length) // file size
+      .putInt(0)                // reserved
+      .putInt(54)               // pixel-data offset
+      .putInt(40)               // biSize (BITMAPINFOHEADER)
+      .putInt(width).putInt(height)
+      .putShort(1)              // planes
+      .putShort(24)             // bits per pixel
+      .putInt(0)                // BI_RGB (uncompressed)
+      .putInt(body.length)      // image data size
+      .putInt(2835).putInt(2835) // 72 dpi in px/m
+      .putInt(0).putInt(0)      // palette sizes
+      .put(body)
+    b.array()
+  }
+
+  /** Real canonical 44-byte PCM WAV header (RIFF/WAVE + fmt + data
+    * chunks) in front of `body`. */
+  private[multimodal] def encodeWav(channels: Int, sampleRate: Int, body: Array[Byte]): Array[Byte] = {
+    val bits = 16
+    val b = le(44 + body.length)
+    b.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + body.length) // RIFF chunk size
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)               // fmt chunk size (PCM)
+      .putShort(1)              // audio format = PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * bits / 8) // byte rate
+      .putShort((channels * bits / 8).toShort)  // block align
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII"))
+      .putInt(body.length)
+      .put(body)
+    b.array()
+  }
+
+  private def leU16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def leI32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+  private def tag(p: Array[Byte], o: Int, t: String): Boolean =
+    t.indices.forall(i => p(o + i) == t.charAt(i).toByte)
+
+  /** REAL DECODER for BMP and WAV payloads: validates the container
+    * magic and parses (width, height) / (channels, kHz) plus the body
+    * offset from the actual header bytes. Unknown formats (the video
+    * stand-ins here; any codec needing a native lib) fall through to
+    * the deterministic STUB branch — fake dims from the payload bytes,
+    * body offset 0 — kept loudly documented. Returns
+    * (width, height, bodyOffset); for WAV, width = channels and
+    * height = sample rate in kHz. ASCII stand-in payloads can never
+    * false-positive the BMP/WAV checks: both require 0x00 bytes at
+    * fixed header offsets, which ASCII text cannot contain. */
+  private[multimodal] def decodeContainer(p: Array[Byte]): (Int, Int, Int) =
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M' && leI32(p, 14) == 40)
+      (leI32(p, 18), leI32(p, 22), leI32(p, 10))
+    else if (p.length >= 44 && tag(p, 0, "RIFF") && tag(p, 8, "WAVE") &&
+        tag(p, 12, "fmt ") && leU16(p, 20) == 1)
+      (leU16(p, 22), leI32(p, 24) / 1000, 44)
+    else if (p.isEmpty) (0, 0, 0)
+    else (16 + (p(0) & 0xff) % 64, 16 + (p(p.length - 1) & 0xff) % 64, 0)
+
+  /** Binary corpus wrapped in REAL containers: image payloads become
+    * well-formed BMP files, audio payloads canonical PCM WAVs (both
+    * with doc_id-derived parameters the oracle recomputes); video
+    * payloads stay raw — the formats a pure-JVM decoder can't parse
+    * are exactly the ones left to the stub branch. Narrow map. */
+  def containerAssets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    assets(s, d).map { a =>
+      a.kind match {
+        case "image" =>
+          val (w, h) = bmpDims(a.asset_id)
+          a.copy(payload = encodeBmp(w, h, a.payload))
+        case "audio" =>
+          val (c, r) = wavParams(a.asset_id)
+          a.copy(payload = encodeWav(c, r, a.payload))
+        case _ => a
+      }
+    }
+  }
 
   /** Batch feature extraction: one pass per partition over the binary
-    * payloads. Narrow (no shuffle), preserves partitioning. */
+    * payloads — decode the container header, then byte stats over the
+    * BODY only (n_bytes excludes the header). Narrow (no shuffle),
+    * preserves partitioning. */
   def extractFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { assets =>
@@ -84,17 +184,17 @@ object Multimodal {
       // mapPartitions over map: allocate once, stream the partition.
       val seen = new java.util.BitSet(256)
       assets.map { a =>
+        val (w, h, off) = decodeContainer(a.payload)
         seen.clear()
         var sum = 0L
-        var i = 0
+        var i = off
         while (i < a.payload.length) {
           val b = a.payload(i) & 0xff
           seen.set(b)
           sum = (sum + b) % P
           i += 1
         }
-        val (w, h) = decodeDims(a.payload)
-        MediaFeatures(a.asset_id, a.kind, a.payload.length, seen.cardinality(), sum, w, h)
+        MediaFeatures(a.asset_id, a.kind, a.payload.length - off, seen.cardinality(), sum, w, h)
       }
     }
   }
@@ -135,10 +235,16 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
-  // M1: per-kind feature aggregation over the decoded corpus.
+  // M1: per-kind feature aggregation over the DECODED corpus — image
+  // assets are real BMP files and audio assets real PCM WAVs
+  // (containerAssets), so width/height come out of an actual header
+  // parse (BMP: LE i32 dims; WAV: channels + kHz); the oracle
+  // recomputes the encode parameters arithmetically from doc_id, so
+  // any mis-parsed header field hash-fails. Byte stats cover the BODY
+  // (text bytes) on both sides. Video stays on the stub branch.
   // -------------------------------------------------------------------
   def m1MediaFeatures(s: SparkSession, d: String): DataFrame =
-    extractFeatures(assets(s, d))
+    extractFeatures(containerAssets(s, d))
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n_assets"),
@@ -147,7 +253,9 @@ object Multimodal {
           .cast("double").as("avg_distinct_bytes"),
         sum(col("byte_sum")).as("checksum"),
         round(sum(col("width").cast(DecimalType(30, 6))) / count(lit(1)), 6)
-          .cast("double").as("avg_width"))
+          .cast("double").as("avg_width"),
+        round(sum(col("height").cast(DecimalType(30, 6))) / count(lit(1)), 6)
+          .cast("double").as("avg_height"))
       .orderBy("kind")
 
   val m1Sql: String =
@@ -160,13 +268,20 @@ object Multimodal {
       |         CASE WHEN length(text) = 0 THEN 0
       |              ELSE list_reduce(list_transform(string_split(text, ''),
       |                c -> CAST(unicode(c) AS BIGINT)), (h, c) -> (h + c) % 1000000007) END AS byte_sum,
-      |         CASE WHEN length(text) = 0 THEN 0
-      |              ELSE 16 + unicode(substr(text, 1, 1)) % 64 END AS width
+      |         CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 64
+      |              WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+      |              WHEN length(text) = 0 THEN 0
+      |              ELSE 16 + unicode(substr(text, 1, 1)) % 64 END AS width,
+      |         CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id // 7) % 64
+      |              WHEN doc_id % 3 = 1 THEN 8 + (doc_id % 5) * 8
+      |              WHEN length(text) = 0 THEN 0
+      |              ELSE 16 + unicode(substr(text, length(text), 1)) % 64 END AS height
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_assets, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |       CAST(ROUND(SUM(CAST(n_distinct_bytes AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_distinct_bytes,
       |       CAST(SUM(byte_sum) AS BIGINT) AS checksum,
-      |       CAST(ROUND(SUM(CAST(width AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_width
+      |       CAST(ROUND(SUM(CAST(width AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_width,
+      |       CAST(ROUND(SUM(CAST(height AS DECIMAL(30,6)))/COUNT(*), 6) AS DOUBLE) AS avg_height
       |FROM a GROUP BY kind ORDER BY kind""".stripMargin
 
   // -------------------------------------------------------------------

@@ -143,4 +143,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(planted(0).getAs[Long]("va") == 2L && planted(0).getAs[Long]("vb") == 5L)
     assert(planted(0).getAs[Double]("jacc") == 1.0)
   }
+
+  test("BMP codec: golden header layout and exact parse round-trip") {
+    val body = "pixels".getBytes("UTF-8")
+    val bmp = Multimodal.encodeBmp(640, 480, body)
+    // golden bytes at the public format's fixed offsets
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    assert(bmp.length == 54 + body.length)
+    // file size LE u32 at 2, pixel offset at 10, biSize at 14
+    assert((bmp(2) & 0xff) == (54 + body.length) && bmp(3) == 0)
+    assert((bmp(10) & 0xff) == 54 && (bmp(14) & 0xff) == 40)
+    // width 640 = 0x280 LE at 18; height 480 = 0x1e0 LE at 22
+    assert((bmp(18) & 0xff) == 0x80 && (bmp(19) & 0xff) == 0x02)
+    assert((bmp(22) & 0xff) == 0xe0 && (bmp(23) & 0xff) == 0x01)
+    assert(bmp.slice(54, bmp.length).sameElements(body))
+    assert(Multimodal.decodeContainer(bmp) == ((640, 480, 54)))
+  }
+
+  test("WAV codec: golden header layout and exact parse round-trip") {
+    val body = "samples".getBytes("UTF-8")
+    val wav = Multimodal.encodeWav(2, 44100, body)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(wav.slice(12, 16), "US-ASCII") == "fmt ")
+    assert(new String(wav.slice(36, 40), "US-ASCII") == "data")
+    assert(wav.length == 44 + body.length)
+    // PCM=1 at 20, channels at 22, rate 44100 = 0xAC44 LE at 24
+    assert((wav(20) & 0xff) == 1 && (wav(22) & 0xff) == 2)
+    assert((wav(24) & 0xff) == 0x44 && (wav(25) & 0xff) == 0xac)
+    assert(wav.slice(44, wav.length).sameElements(body))
+    // decode reports channels + kHz (44100/1000 = 44) + body offset
+    assert(Multimodal.decodeContainer(wav) == ((2, 44, 44)))
+  }
+
+  test("containerAssets: every image parses as BMP, every audio as WAV, bodies preserved") {
+    val feats = Multimodal.extractFeatures(Multimodal.containerAssets(spark, sf))
+      .collect().map(f => f.asset_id -> f).toMap
+    val raw = Multimodal.extractFeatures(Multimodal.assets(spark, sf))
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats.keySet == raw.keySet)
+    feats.foreach { case (id, f) =>
+      // body stats identical to the raw corpus: header excluded exactly
+      assert(f.n_bytes == raw(id).n_bytes, s"body length drifted for $id")
+      assert(f.byte_sum == raw(id).byte_sum, s"body checksum drifted for $id")
+      f.kind match {
+        case "image" => assert((f.width, f.height) == Multimodal.bmpDims(id))
+        case "audio" =>
+          val (c, r) = Multimodal.wavParams(id)
+          assert((f.width, f.height) == ((c, r / 1000)))
+        case _ => assert((f.width, f.height) == ((raw(id).width, raw(id).height)))
+      }
+    }
+  }
 }
