@@ -42,6 +42,8 @@ object GoldenGen {
       "fixtures/golden/cap1_features.parquet")
     write(SparkEntry.queries("cap2_feed_links")(spark, ""),
       "fixtures/golden/cap2_feed_links.parquet")
+    write(SparkEntry.queries("cap3_quarantine")(spark, ""),
+      "fixtures/golden/cap3_quarantine.parquet")
     spark.stop()
   }
 }

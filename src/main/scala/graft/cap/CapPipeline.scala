@@ -206,29 +206,48 @@ object CapPipeline {
     alerts.flatMap(a => Try(Features.alertToFeatures(a)).getOrElse(Seq.empty))
   }
 
+  /** The X2 fan-out as a TAGGED UNION in ONE narrow pass:
+    * `alertToFeatures` is evaluated exactly once per alert; success
+    * rows carry a feature each, a failure contributes one quarantine
+    * row. Callers that materialize both sides persist this Dataset so
+    * the alerts source is scanned once (what
+    * [[toFeaturesWithQuarantine]] does). */
+  def fanOutTagged(alerts: Dataset[CapAlert]): Dataset[FanOutRow] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    alerts.flatMap { a =>
+      Try(Features.alertToFeatures(a)) match {
+        case scala.util.Success(fs) =>
+          fs.iterator.map(f => FanOutRow(Some(f), None))
+        case scala.util.Failure(e) =>
+          Iterator.single(FanOutRow(None, Some(QuarantinedAlert(a.identifier,
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))))
+      }
+    }
+  }
+
   /** F2 with a quarantine side-channel — the engine's improvement over
     * the reference, which only console-logs and drops (task.ts:876-878):
     * alerts whose fan-out throws (e.g. an unparseable `sent` making
     * `toISOString` fail, matching the reference's per-alert catch) come
-    * back as (identifier, error) rows instead of vanishing. Both
-    * outputs are narrow flatMaps over the same input; at scale the
-    * caller persists `alerts` across the two scans (or fuses them into
-    * one pass with a tagged union) — kept separate here so each output
-    * stays an independent lazily-planned Dataset.
+    * back as (identifier, error) rows instead of vanishing.
+    *
+    * Fused via [[fanOutTagged]]: ONE pass evaluates the fan-out, and
+    * with `persist` (the default) the tagged intermediate is cached so
+    * materializing both outputs scans the alerts source exactly once
+    * (plan-asserted in PlanShapeSpec). Pass `persist = false` when only
+    * one side will be materialized, or manage [[fanOutTagged]] and its
+    * lifecycle directly.
     */
-  def toFeaturesWithQuarantine(alerts: Dataset[CapAlert])
+  def toFeaturesWithQuarantine(alerts: Dataset[CapAlert], persist: Boolean = true)
       : (Dataset[CotFeature], Dataset[QuarantinedAlert]) = {
     val spark = alerts.sparkSession
     import spark.implicits._
-    val quarantined = alerts.flatMap { a =>
-      Try(Features.alertToFeatures(a)) match {
-        case scala.util.Failure(e) =>
-          Some(QuarantinedAlert(a.identifier,
-            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-        case _ => None
-      }
-    }
-    (toFeatures(alerts), quarantined)
+    val tagged0 = fanOutTagged(alerts)
+    val tagged =
+      if (persist) tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tagged0
+    (tagged.flatMap(_.feature), tagged.flatMap(_.quarantined))
   }
 
   /** End-to-end over a directory of CAP alert XML files (one alert per

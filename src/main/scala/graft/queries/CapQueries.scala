@@ -24,6 +24,7 @@ object CapQueries {
 
   def fixtureDir: String = resolve("fixtures/cap")
   def feedDir: String = resolve("fixtures/feed")
+  def badFixtureDir: String = resolve("fixtures/cap_bad")
 
   /** Full pipeline: alert XML fixtures → CoT features, projected to
     * (id, json) — `json` is the COMPLETE rendered feature (the
@@ -45,6 +46,20 @@ object CapQueries {
     CapPipeline.parseFeedLinks(feeds).toDF("link")
   }
 
+  /** F2 quarantine surface over a fixture set with PLANTED bad alerts
+    * (unparseable `sent`/`onset` — the reference's per-alert
+    * try/catch-and-drop, task.ts:876-878, upgraded to a side-channel):
+    * the full pipeline runs and the quarantined (identifier, error)
+    * rows come back. `persist = false` — only one side of the fused
+    * fan-out is materialized here. */
+  def capQuarantine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val xml = s.read.option("wholetext", "true").text(badFixtureDir).as[String]
+    val alerts = CapPipeline.filterActive(CapPipeline.parseAlerts(xml), asOf)
+    val (_, quarantine) = CapPipeline.toFeaturesWithQuarantine(alerts, persist = false)
+    quarantine.toDF().select(col("identifier"), col("error")).orderBy("identifier")
+  }
+
   /** Golden-file oracles: the driver's DuckDB compare reads a
     * checked-in expected-output parquet (regenerate with
     * `runMain graft.GoldenGen` after an INTENDED semantic change).
@@ -60,7 +75,11 @@ object CapQueries {
   val cap2Sql: String =
     s"SELECT link FROM '${golden("cap2_feed_links.parquet")}'"
 
+  val cap3Sql: String =
+    s"SELECT identifier, error FROM '${golden("cap3_quarantine.parquet")}' ORDER BY identifier"
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("cap1_features", capFeatures _, cap1Sql),
-    ("cap2_feed_links", capFeedLinks _, cap2Sql))
+    ("cap2_feed_links", capFeedLinks _, cap2Sql),
+    ("cap3_quarantine", capQuarantine _, cap3Sql))
 }

@@ -164,4 +164,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"null-safe equality must not degrade to a nested loop:\n$p")
   }
+
+  test("fused fan-out: materializing features AND quarantine scans the alerts source once") {
+    import spark.implicits._
+    val xml = spark.read.option("wholetext", "true")
+      .text(CapQueries.badFixtureDir).as[String]
+    val alerts = graft.cap.CapPipeline.filterActive(
+      graft.cap.CapPipeline.parseAlerts(xml), CapQueries.asOf)
+    val (features, quarantine) =
+      graft.cap.CapPipeline.toFeaturesWithQuarantine(alerts)
+    try {
+      // first action builds the persisted tagged union; the second must
+      // read the cache, NOT re-run the fan-out over the alerts source
+      assert(quarantine.count() == 2)
+      assert(features.count() > 0)
+      val fPlan = features.queryExecution.executedPlan.toString
+      val qPlan = quarantine.queryExecution.executedPlan.toString
+      assert(fPlan.contains("InMemoryTableScan"),
+        s"features side must read the cached tagged union:\n$fPlan")
+      assert(qPlan.contains("InMemoryTableScan"),
+        s"quarantine side must read the cached tagged union:\n$qPlan")
+      // exactly one of the two sides populated on every tagged row
+      graft.cap.CapPipeline.fanOutTagged(alerts).collect().foreach { r =>
+        assert(r.feature.isDefined != r.quarantined.isDefined,
+          "tagged union rows must populate exactly one side")
+      }
+    } finally {
+      // the persisted Dataset is the internal tagged union — drop it via
+      // the cache manager so later plan-shape tests see a clean session
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
