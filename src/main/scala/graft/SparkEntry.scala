@@ -21,7 +21,7 @@ object SparkEntry {
   /** All (name, builder, oracleSql) triples; oracleSql "" = no oracle. */
   private def oracled: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Relational.queries ++ Dedup.queries ++ TextStats.queries ++ Similarity.queries ++
-      Multimodal.queries ++ CapQueries.queries
+      Multimodal.queries ++ CapQueries.queries ++ graft.streaming.StreamQueries.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
