@@ -96,33 +96,91 @@ private case class CapFeedPartition(urls: Seq[String], conf: EtlConfig)
 private class CapFeedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CapFeedPartition]
-    new PartitionReader[InternalRow] {
-      private val it = p.urls.iterator
-      private var current: InternalRow = _
-      // Reference parity: each alert fetch sits inside the per-alert
-      // try/catch (task.ts:626-878) — a dead link is logged and skipped
-      // after retries, it does not fail the run. failFast=true opts
-      // into strict propagation instead.
-      override def next(): Boolean = {
-        while (it.hasNext) {
-          val url = it.next()
-          try {
-            val xml = Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
-            current = new GenericInternalRow(Array[Any](
-              UTF8String.fromString(url), UTF8String.fromString(xml)))
-            return true
-          } catch {
-            // NonFatal only — cancellation interrupts and VM errors
-            // must fail the task, not read as "skipped URL"
-            case scala.util.control.NonFatal(e) if !p.conf.failFast =>
-              System.err.println(s"[capfeed] skipping $url: ${e.getMessage}")
-          }
-        }
-        false
+    if (p.conf.fetchConcurrency > 1) new ConcurrentCapFeedReader(p)
+    else new SerialCapFeedReader(p)
+  }
+}
+
+/** Reference parity: each alert fetch sits inside the per-alert
+  * try/catch (task.ts:626-878) — a dead link is logged and skipped
+  * after retries, it does not fail the run. failFast=true opts into
+  * strict propagation instead.
+  */
+private class SerialCapFeedReader(p: CapFeedPartition)
+    extends PartitionReader[InternalRow] {
+  private val it = p.urls.iterator
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val url = it.next()
+      try {
+        val xml = Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(url), UTF8String.fromString(xml)))
+        return true
+      } catch {
+        // NonFatal only — cancellation interrupts and VM errors
+        // must fail the task, not read as "skipped URL"
+        case scala.util.control.NonFatal(e) if !p.conf.failFast =>
+          System.err.println(s"[capfeed] skipping $url: ${e.getMessage}")
       }
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
     }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** `fetchConcurrency > 1`: up to that many alert fetches of THIS
+  * partition's slice run simultaneously on a private pool — I/O-bound
+  * latency hiding on top of the partition-level parallelism, where the
+  * reference is strictly serial (task.ts:626). Rows surface in fetch-
+  * COMPLETION order; downstream CAP semantics are per-alert, so intra-
+  * partition order carries no meaning (the order-preserving link dedup
+  * already happened at planning). Error semantics match the serial
+  * reader: log-and-skip per URL, or first failure propagates under
+  * failFast.
+  */
+private class ConcurrentCapFeedReader(p: CapFeedPartition)
+    extends PartitionReader[InternalRow] {
+  import java.util.concurrent.{Callable, ExecutorCompletionService, Executors, TimeUnit}
+
+  private val pool = Executors.newFixedThreadPool(
+    math.min(p.conf.fetchConcurrency, math.max(1, p.urls.size)),
+    r => { val t = new Thread(r, "capfeed-fetch"); t.setDaemon(true); t })
+  private val completion = new ExecutorCompletionService[(String, String)](pool)
+  p.urls.foreach { url =>
+    completion.submit(new Callable[(String, String)] {
+      override def call(): (String, String) =
+        url -> Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
+    })
+  }
+  private var remaining = p.urls.size
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remaining > 0) {
+      val f = completion.take(); remaining -= 1
+      try {
+        val (url, xml) = f.get()
+        current = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(url), UTF8String.fromString(xml)))
+        return true
+      } catch {
+        case e: java.util.concurrent.ExecutionException
+            if !p.conf.failFast && scala.util.control.NonFatal(e.getCause) =>
+          System.err.println(s"[capfeed] skipping url: ${e.getCause.getMessage}")
+        case e: java.util.concurrent.ExecutionException =>
+          close()
+          throw e.getCause
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = {
+    pool.shutdownNow()
+    pool.awaitTermination(5, TimeUnit.SECONDS)
   }
 }
 

@@ -10,17 +10,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * defaults, validation, and the published JSON schema are one
   * definition that cannot drift apart.
   *
-  * `failFast` is engine-only (strict error propagation instead of the
-  * reference's log-and-skip, CapFeedSource reader) and deliberately
-  * absent from the published input schema, which mirrors the reference
-  * environment surface.
+  * `failFast` and `fetchConcurrency` are engine-only (strict error
+  * propagation instead of the reference's log-and-skip; bounded
+  * per-partition async fetch instead of the reference's strictly
+  * serial loop) and deliberately absent from the published input
+  * schema, which mirrors the reference environment surface.
   */
 final case class EtlConfig(
     url: String,
     headers: Map[String, String] = Map.empty,
     timeoutMs: Long = EtlConfig.DefaultTimeoutMs,
     retries: Int = EtlConfig.DefaultRetries,
-    failFast: Boolean = false)
+    failFast: Boolean = false,
+    fetchConcurrency: Int = 1)
 
 object EtlConfig {
   /** Reference defaults (task.ts:15-22). */
@@ -38,8 +40,12 @@ object EtlConfig {
     val retries = options.getInt("retries", DefaultRetries)
     if (retries < 0)
       throw new IllegalArgumentException(s"$who: 'retries' must be >= 0, got $retries")
+    val fetchConcurrency = options.getInt("fetchConcurrency", 1)
+    if (fetchConcurrency < 1)
+      throw new IllegalArgumentException(
+        s"$who: 'fetchConcurrency' must be >= 1, got $fetchConcurrency")
     EtlConfig(url, Http.parseHeaders(options.getOrDefault("headers", "")),
-      timeoutMs, retries, options.getBoolean("failFast", false))
+      timeoutMs, retries, options.getBoolean("failFast", false), fetchConcurrency)
   }
 
   /** JSON-schema rendering of the input configuration — the engine's

@@ -68,6 +68,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       posts.add(body)
       respond(ex, 200, "ok")
     })
+    // without an executor the JDK server handles requests on ONE
+    // dispatcher thread, which would serialize the concurrency test
+    // server-side and hide client-side overlap
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
   }
 
@@ -139,6 +143,50 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("failFast", true)
         .load().count()
     }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains("HTTP 404"))))
+  }
+
+  test("capfeed: fetchConcurrency overlaps a partition's fetches and keeps skip/failFast semantics") {
+    // 6 deliberately slow alert endpoints + 1 dead link, all in ONE
+    // partition, so any speedup must come from intra-partition overlap
+    val slowMs = 150L
+    server.createContext("/slow/", (ex: HttpExchange) => {
+      Thread.sleep(slowMs)
+      val name = ex.getRequestURI.getPath.stripPrefix("/slow/")
+      if (name == "dead-alert.xml") respond(ex, 404, "not found")
+      else respond(ex, 200, Files.readString(Paths.get("fixtures/cap/metservice-polygon.xml")))
+    })
+    // filenames contain "alert" so the P2 link predicate keeps them
+    val links = ((1 to 6).map(i => s"alert-$i.xml") :+ "dead-alert.xml")
+      .map(f => s"<item><link>$base/slow/$f</link></item>").mkString
+    server.createContext("/slowfeed", (ex: HttpExchange) =>
+      respond(ex, 200, s"<rss><channel>$links</channel></rss>"))
+
+    def run(extra: (String, String)*): (Long, Array[org.apache.spark.sql.Row]) = {
+      var reader = spark.read.format("capfeed")
+        .option("url", s"$base/slowfeed")
+        .option("numPartitions", 1)
+        .option("timeout", 5000)
+        .option("retries", 0)
+      extra.foreach { case (k, v) => reader = reader.option(k, v) }
+      val t0 = System.nanoTime()
+      val rows = reader.load().collect()
+      ((System.nanoTime() - t0) / 1000000L, rows)
+    }
+
+    val (serialMs, serialRows) = run()
+    val (concMs, concRows) = run("fetchConcurrency" -> "7")
+    // same rows either way: 6 good, the dead link skipped
+    assert(serialRows.length == 6 && concRows.length == 6)
+    assert(concRows.map(_.getString(0)).toSet == serialRows.map(_.getString(0)).toSet)
+    // overlap: 7 × 150 ms serially vs ~1 × 150 ms concurrently; the
+    // 0.6 factor keeps the assertion robust to scheduler noise
+    assert(concMs < (serialMs * 6) / 10,
+      s"no intra-partition overlap: serial ${serialMs}ms vs concurrent ${concMs}ms")
+
+    // failFast still propagates the first failure under concurrency
+    val ex = intercept[Exception](run("fetchConcurrency" -> "4", "failFast" -> "true"))
     assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
       .exists(t => Option(t.getMessage).exists(_.contains("HTTP 404"))))
   }
