@@ -16,17 +16,13 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamQueries {
 
-  /** b43: EventStream.hourlyAgg materialized through an actual
-    * streaming query (memory sink, complete mode, AvailableNow) and
-    * returned as the sink's table. Runs the stream synchronously; the
-    * result is the micro-batch engine's own output, not a batch
-    * re-computation. */
-  def b43StreamParity(s: SparkSession, d: String): DataFrame = {
-    val sink = "b43_stream_parity_sink"
-    // idempotent across repeated calls in one session (Verify + Bench)
+  /** Materialize a streaming DataFrame through an actual micro-batch
+    * run: memory sink, complete mode, `Trigger.AvailableNow`, blocking
+    * until the source is drained. Idempotent across repeated calls in
+    * one session (Verify + Bench) via dropTempView. */
+  private def runToTable(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
-    val q = EventStream.hourlyAgg(EventStream.readEvents(s, d))
-      .writeStream
+    val q = df.writeStream
       .format("memory")
       .queryName(sink)
       .outputMode("complete")
@@ -34,12 +30,67 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    s.table(sink).orderBy("hour_epoch")
+    s.table(sink)
   }
+
+  /** b43: EventStream.hourlyAgg through the micro-batch engine — the
+    * result is the streaming runtime's own output, not a batch
+    * re-computation. */
+  def b43StreamParity(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "b43_stream_parity_sink",
+      EventStream.hourlyAgg(EventStream.readEvents(s, d)))
+      .orderBy("hour_epoch")
 
   /** Same result contract as batch b11 — deliberately the same SQL. */
   val b43Sql: String = graft.queries.Relational.b11Sql
 
+  /** b44: the stream-static broadcast enrichment (events × customer
+    * dimension → per-segment rollup) through the micro-batch engine.
+    * The static side is re-read per micro-batch and never stateful;
+    * the oracle is the plain batch join it must equal. */
+  def b44StreamSegment(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "b44_stream_segment_sink",
+      EventStream.segmentAgg(EventStream.readEvents(s, d),
+        graft.sources.Tables.customer(s, d)))
+      .orderBy("segment")
+
+  val b44Sql: String =
+    """SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** b45: native session windows (30-minute inactivity gap) through
+    * the micro-batch engine, oracled against the windowed-SQL
+    * sessionization. Spark's session_window is [start, end) with
+    * end = last event + gap, merging while the next event falls
+    * strictly inside the current end — i.e. a gap of exactly 30
+    * minutes STARTS a new session, which the oracle mirrors with
+    * `>= 1800000000` on the microsecond delta. */
+  def b45StreamSessions(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "b45_stream_sessions_sink",
+      EventStream.sessionAgg(EventStream.readEvents(s, d)))
+      .orderBy("user_id", "sess_start_us")
+
+  val b45Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsus, value FROM events),
+      |x AS (SELECT user_id, tsus, value,
+      |             CASE WHEN tsus - LAG(tsus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsus)),
+      |g AS (SELECT user_id, tsus, value,
+      |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsus
+      |                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM x)
+      |SELECT user_id, MIN(tsus) AS sess_start_us,
+      |       MAX(tsus) + 1800000000 AS sess_end_us,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start_us""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
-    ("b43_stream_parity", b43StreamParity _, b43Sql))
+    ("b43_stream_parity", b43StreamParity _, b43Sql),
+    ("b44_stream_segment", b44StreamSegment _, b44Sql),
+    ("b45_stream_sessions", b45StreamSessions _, b45Sql))
 }
