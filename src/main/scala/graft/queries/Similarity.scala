@@ -221,19 +221,38 @@ object Similarity {
   // so expected candidates ≈ 4n²/65536 (≈ 8 pairs at n=500) while a
   // true near-dup (cos ≥ 0.95, per-bit agreement ≈ 0.94) still matches
   // some band with ≈ 82% probability per band set — the high-threshold
-  // regime where bucket LSH actually prunes. All same-bucket pairs
-  // (da < db) are exact-verified; output is the corpus near-dup
-  // profile at thresholds 0.95 / 0.5 / 0.45 plus max similarity. On
-  // this corpus n_ge95 is 0 by construction (max cosine 0.479).
+  // regime where bucket LSH actually prunes. Buckets above 64 members
+  // are DROPPED before the self-join (the family-wide hot-bucket rule,
+  // same as d2/d3/d8/s1): a saturated sign-bucket means mass-duplicated
+  // embeddings, and joining it is quadratic in the duplication factor —
+  // so candidates stay ≤ nBuckets·C(64,2) under ANY adversarial corpus,
+  // at the documented cost of dropping near-dups inside saturated
+  // buckets (measured in Stress: 10× mass duplication). All surviving
+  // same-bucket pairs (da < db) are exact-verified; output is the
+  // corpus near-dup profile at thresholds 0.95 / 0.5 / 0.45 plus max
+  // similarity. On this corpus every bucket is far below the cap (the
+  // cap changes nothing here — it only engages adversarially) and
+  // n_ge95 is 0 by construction (max cosine 0.479).
   // -------------------------------------------------------------------
-  def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
-    ensureCosine(s)
-    val emb = Tables.embeddings(s, d)
+  private val D5BucketCap = 64
+
+  /** Capped candidate pairs (qid < vec_id), exposed for the Stress
+    * mass-duplication probe. */
+  private[queries] def d5Candidates(s: SparkSession, emb: DataFrame): DataFrame = {
     val b = bands(s, emb, 64, 16)
-    val cand = b.as("a").join(b.as("b"),
+    val ok = b.groupBy("band", "bval").count()
+      .filter(col("count") <= D5BucketCap).drop("count")
+    val capped = b.join(ok, Seq("band", "bval"))
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id")).distinct()
+  }
+
+  def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
+    val emb = Tables.embeddings(s, d)
+    val cand = d5Candidates(s, emb)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("e").as("qv")), "qid")
@@ -250,8 +269,11 @@ object Similarity {
   val d5Sql: String =
     s"""WITH ${duckPlanes(64)},
       |${duckBands(16)},
+      |capped AS (SELECT b.* FROM bands b
+      |           JOIN (SELECT band, bval FROM bands GROUP BY 1, 2
+      |                 HAVING COUNT(*) <= $D5BucketCap) ok USING (band, bval)),
       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
-      |         FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+      |         FROM capped a JOIN capped b ON a.band = b.band AND a.bval = b.bval
       |         WHERE a.vec_id < b.vec_id),
       |sims AS (
       |  SELECT c.qid, c.vec_id,

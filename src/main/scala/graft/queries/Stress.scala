@@ -53,6 +53,21 @@ object Stress {
         f"d3cand=$d3c (${d3t}%.1fs) d4cand=$d4c (${d4t}%.1fs) " +
         f"t4cand=$t4c (${t4t}%.1fs) d2pairs=$d2p (${d2pt}%.1fs)")
     }
+
+    // d5's sign-bucket cap: 10× duplication keeps every bucket under
+    // the cap (candidates grow ≤ C(10,2) per dup group — bounded by the
+    // duplication factor, never the corpus), 100× pushes dup groups
+    // PAST the cap and the saturated buckets must drop entirely.
+    val embBase = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    def embTimes(k: Int) = (0 until k)
+      .map(i => embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("embedding")))
+      .reduce(_ union _)
+    for ((tag, e) <- Seq(("1x", embBase), ("10x", embTimes(10)), ("100x", embTimes(100)))) {
+      val nVecs = e.count()
+      val (d5c, d5t) = time(Similarity.d5Candidates(spark, e).count())
+      println(f"[stress] $tag vecs=$nVecs d5cand=$d5c (${d5t}%.1fs)")
+    }
     spark.stop()
   }
 }
