@@ -44,6 +44,10 @@ object GoldenGen {
       "fixtures/golden/cap2_feed_links.parquet")
     write(SparkEntry.queries("cap3_quarantine")(spark, ""),
       "fixtures/golden/cap3_quarantine.parquet")
+    write(SparkEntry.queries("cap4_stream_lifecycle")(spark, ""),
+      "fixtures/golden/cap4_lifecycle.parquet")
+    write(SparkEntry.queries("cap5_stream_transitions")(spark, ""),
+      "fixtures/golden/cap5_transitions.parquet")
     spark.stop()
   }
 }

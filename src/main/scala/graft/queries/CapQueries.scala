@@ -25,6 +25,7 @@ object CapQueries {
   def fixtureDir: String = resolve("fixtures/cap")
   def feedDir: String = resolve("fixtures/feed")
   def badFixtureDir: String = resolve("fixtures/cap_bad")
+  def lifecycleFixtureDir: String = resolve("fixtures/cap_lifecycle")
 
   /** Full pipeline: alert XML fixtures → CoT features, projected to
     * (id, json) — `json` is the COMPLETE rendered feature (the
@@ -78,8 +79,60 @@ object CapQueries {
   val cap3Sql: String =
     s"SELECT identifier, error FROM '${golden("cap3_quarantine.parquet")}' ORDER BY identifier"
 
+  /** Run a streaming Dataset through the micro-batch engine (memory
+    * sink, Update mode — what mapGroupsWithState requires) and return
+    * the sink table. One AvailableNow batch over the fixture dir, so
+    * each alert id yields exactly one update row. */
+  private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+  }
+
+  /** cap4: the mapGroupsWithState alert lifecycle (Alert → Update* →
+    * Cancel, terminal cancel) over a fixture chain, run through the
+    * ACTUAL stateful streaming operator — the arbitrary-stateful-
+    * processing surface the reference cannot express, held to a golden
+    * oracle like every other query. */
+  def capLifecycle(s: SparkSession, d: String): DataFrame = {
+    val alerts = graft.streaming.CapStream.alerts(s, lifecycleFixtureDir)
+    runStream(s, "cap4_lifecycle_sink",
+      graft.streaming.CapStream.lifecycle(alerts).toDF()
+        .select(col("identifier"), col("status"),
+          concat_ws("|", col("msgTypes")).as("msg_chain"),
+          col("lastSent").as("last_sent")))
+      .orderBy("identifier")
+  }
+
+  /** cap5: the flatMapGroupsWithState per-transition audit log over
+    * the same fixture chain — one row per state transition. */
+  def capTransitions(s: SparkSession, d: String): DataFrame = {
+    val alerts = graft.streaming.CapStream.alerts(s, lifecycleFixtureDir)
+    runStream(s, "cap5_transitions_sink",
+      graft.streaming.CapStream.lifecycleTransitions(alerts).toDF()
+        .select(col("identifier"), col("fromStatus").as("from_status"),
+          col("toStatus").as("to_status"), col("msgType").as("msg_type"),
+          col("sent")))
+      .orderBy("identifier", "sent")
+  }
+
+  val cap4Sql: String =
+    s"SELECT identifier, status, msg_chain, last_sent FROM '${golden("cap4_lifecycle.parquet")}' ORDER BY identifier"
+
+  val cap5Sql: String =
+    s"SELECT identifier, from_status, to_status, msg_type, sent FROM '${golden("cap5_transitions.parquet")}' ORDER BY identifier, sent"
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("cap1_features", capFeatures _, cap1Sql),
     ("cap2_feed_links", capFeedLinks _, cap2Sql),
-    ("cap3_quarantine", capQuarantine _, cap3Sql))
+    ("cap3_quarantine", capQuarantine _, cap3Sql),
+    ("cap4_stream_lifecycle", capLifecycle _, cap4Sql),
+    ("cap5_stream_transitions", capTransitions _, cap5Sql))
 }
