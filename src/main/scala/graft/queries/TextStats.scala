@@ -927,19 +927,25 @@ object TextStats {
       explode(split(col("text"), " ")).as("word"))
     val df = words.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    // Both mean levels ride the exact integer round-half-up route in
+    // micro-units (the b35 recipe): ROUND(SUM(DECIMAL)/COUNT, 6) is a
+    // DuckDB double division, and at rarity magnitudes (~n·1e6) a mean
+    // eventually lands within an ulp of a .5 rounding boundary — it
+    // did at sf0.1. Only the final avg divides (the SAME integer) by
+    // 1e6 in double, so both engines emit identical bits.
     val perDoc = words.join(df, "word").crossJoin(broadcast(n))
       .withColumn("rarity", expr("(n * 1000000) div df"))
       .groupBy("doc_id", "source")
       .agg(
-        round(sum(col("rarity").cast(DecimalType(30, 6))) / count(lit(1)), 6)
-          .cast("double").as("doc_rarity"),
+        expr("(2000000 * cast(sum(rarity) as decimal(38,0)) + count(1)) div (2 * count(1))")
+          .as("doc_r1e6"),
         max(col("rarity")).as("max_rarity"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
     perDoc.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(sum(col("doc_rarity").cast(DecimalType(30, 6))) / count(lit(1)), 6)
-          .cast("double").as("avg_rarity"),
+        (expr("(2 * cast(sum(doc_r1e6) as decimal(38,0)) + count(1)) div (2 * count(1))")
+          / lit(1000000.0)).as("avg_rarity"),
         max(col("max_rarity")).as("max_rarity"),
         sum(col("n_hapax")).as("n_hapax"))
       .orderBy("source")
@@ -950,13 +956,15 @@ object TextStats {
       |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
       |pd AS (SELECT w.doc_id, w.source,
-      |              CAST(ROUND(SUM(CAST((n.n * 1000000) // df.df AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS doc_rarity,
+      |              (2000000 * CAST(SUM((n.n * 1000000) // df.df) AS HUGEINT) + COUNT(*))
+      |                // (2 * COUNT(*)) AS doc_r1e6,
       |              MAX((n.n * 1000000) // df.df) AS max_rarity,
       |              CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
       |       FROM w JOIN df USING (word) CROSS JOIN n
       |       GROUP BY 1, 2)
       |SELECT source, COUNT(*) AS n_docs,
-      |       CAST(ROUND(SUM(CAST(doc_rarity AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_rarity,
+      |       CAST((2 * CAST(SUM(doc_r1e6) AS HUGEINT) + COUNT(*))
+      |            // (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS avg_rarity,
       |       MAX(max_rarity) AS max_rarity,
       |       CAST(SUM(n_hapax) AS BIGINT) AS n_hapax
       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
