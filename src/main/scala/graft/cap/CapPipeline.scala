@@ -226,6 +226,19 @@ object CapPipeline {
     }
   }
 
+  /** Both sides of the fused fan-out plus the lifecycle handle for the
+    * persisted tagged intermediate. `unpersist()` releases the cache
+    * entry (a no-op when the fan-out ran with `persist = false`) — call
+    * it once both sides are materialized, so long-lived sessions don't
+    * accumulate cache entries across repeated pipeline runs.
+    */
+  final case class QuarantineFanOut(
+      features: Dataset[CotFeature],
+      quarantine: Dataset[QuarantinedAlert],
+      private val tagged: Option[Dataset[FanOutRow]]) {
+    def unpersist(): Unit = tagged.foreach(_.unpersist())
+  }
+
   /** F2 with a quarantine side-channel — the engine's improvement over
     * the reference, which only console-logs and drops (task.ts:876-878):
     * alerts whose fan-out throws (e.g. an unparseable `sent` making
@@ -235,19 +248,22 @@ object CapPipeline {
     * Fused via [[fanOutTagged]]: ONE pass evaluates the fan-out, and
     * with `persist` (the default) the tagged intermediate is cached so
     * materializing both outputs scans the alerts source exactly once
-    * (plan-asserted in PlanShapeSpec). Pass `persist = false` when only
-    * one side will be materialized, or manage [[fanOutTagged]] and its
-    * lifecycle directly.
+    * (plan-asserted in PlanShapeSpec). The returned [[QuarantineFanOut]]
+    * owns the cache entry — call `unpersist()` when done. Pass
+    * `persist = false` when only one side will be materialized, or
+    * manage [[fanOutTagged]] and its lifecycle directly.
     */
   def toFeaturesWithQuarantine(alerts: Dataset[CapAlert], persist: Boolean = true)
-      : (Dataset[CotFeature], Dataset[QuarantinedAlert]) = {
+      : QuarantineFanOut = {
     val spark = alerts.sparkSession
     import spark.implicits._
     val tagged0 = fanOutTagged(alerts)
     val tagged =
       if (persist) tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else tagged0
-    (tagged.flatMap(_.feature), tagged.flatMap(_.quarantined))
+    QuarantineFanOut(
+      tagged.flatMap(_.feature), tagged.flatMap(_.quarantined),
+      if (persist) Some(tagged) else None)
   }
 
   /** End-to-end over a directory of CAP alert XML files (one alert per

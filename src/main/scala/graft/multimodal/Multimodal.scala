@@ -40,9 +40,12 @@ case class MediaFrame(asset_id: Long, frame_idx: Int, frame_hash: Long)
   * (UTF-8 text bytes as stand-in payloads, kind = doc_id mod 3), which
   * keeps the whole path DuckDB-oracle-checkable byte for byte. NOTE:
   * the oracle SQL iterates CHARACTERS (string_split/unicode) while
-  * this side iterates BYTES — equivalent only because the synthetic
-  * corpus is pure ASCII (verified); a non-ASCII corpus would need a
-  * blob-based oracle, not a code change here. Empty documents are
+  * the byte_sum/frame_hash paths iterate BYTES — equivalent only
+  * because the synthetic corpus is pure ASCII (verified); a non-ASCII
+  * corpus would need a blob-based oracle for those, not a code change
+  * here. The stub WIDTH/HEIGHT branches, by contrast, are computed
+  * from UTF-8 CODE POINTS on this side (see `decodeContainer`), so
+  * they match the oracle's unicode() on any corpus. Empty documents are
   * guarded on BOTH sides (DuckDB's string_split('','') is [''] and
   * unicode('') is -1, which would otherwise diverge from the guarded
   * decoder).
@@ -151,7 +154,15 @@ object Multimodal {
         tag(p, 12, "fmt ") && leU16(p, 20) == 1)
       (leU16(p, 22), leI32(p, 24) / 1000, 44)
     else if (p.isEmpty) (0, 0, 0)
-    else (16 + (p(0) & 0xff) % 64, 16 + (p(p.length - 1) & 0xff) % 64, 0)
+    else {
+      // Stub dims from the first/last UNICODE CODE POINTS of the
+      // payload decoded as UTF-8 — matching the oracle's
+      // unicode(substr(text, …)) exactly, so the parity holds on
+      // non-ASCII corpora too (a last-BYTE formula would diverge the
+      // moment any document ends in a multi-byte character).
+      val s = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+      (16 + s.codePointAt(0) % 64, 16 + s.codePointBefore(s.length) % 64, 0)
+    }
 
   /** Binary corpus wrapped in REAL containers: image payloads become
     * well-formed BMP files, audio payloads canonical PCM WAVs (both

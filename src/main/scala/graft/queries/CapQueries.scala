@@ -57,7 +57,7 @@ object CapQueries {
     import s.implicits._
     val xml = s.read.option("wholetext", "true").text(badFixtureDir).as[String]
     val alerts = CapPipeline.filterActive(CapPipeline.parseAlerts(xml), asOf)
-    val (_, quarantine) = CapPipeline.toFeaturesWithQuarantine(alerts, persist = false)
+    val quarantine = CapPipeline.toFeaturesWithQuarantine(alerts, persist = false).quarantine
     quarantine.toDF().select(col("identifier"), col("error")).orderBy("identifier")
   }
 
@@ -82,7 +82,12 @@ object CapQueries {
   /** Run a streaming Dataset through the micro-batch engine (memory
     * sink, Update mode — what mapGroupsWithState requires) and return
     * the sink table. One AvailableNow batch over the fixture dir, so
-    * each alert id yields exactly one update row. */
+    * each alert id yields exactly one update row — the golden compare
+    * DEPENDS on that (update mode emits one row per key per batch), so
+    * the single-data-batch premise is asserted loudly: if a future
+    * maxFilesPerTrigger default or added fixtures ever split the source
+    * into multiple batches, this fails here instead of silently
+    * diverging from the golden with duplicate per-id rows. */
   private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
     val q = df.writeStream
@@ -93,6 +98,10 @@ object CapQueries {
       .start()
     try q.awaitTermination()
     finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"$sink: expected exactly 1 data micro-batch (update-mode golden " +
+        s"premise), saw $dataBatches — fixture dir split across batches?")
     s.table(sink)
   }
 

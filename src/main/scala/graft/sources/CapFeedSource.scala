@@ -140,37 +140,63 @@ private class SerialCapFeedReader(p: CapFeedPartition)
   * already happened at planning). Error semantics match the serial
   * reader: log-and-skip per URL, or first failure propagates under
   * failFast.
+  *
+  * Submission is throttled: at most `fetchConcurrency` URLs are ever
+  * in the pool at once, and the next URL is submitted only when a
+  * completed fetch is CONSUMED — so completed XML payloads never
+  * accumulate unbounded in the completion queue when the consumer
+  * drains slower than the pool fetches. Retained memory is bounded by
+  * fetchConcurrency payloads, independent of the partition's URL count.
   */
 private class ConcurrentCapFeedReader(p: CapFeedPartition)
     extends PartitionReader[InternalRow] {
   import java.util.concurrent.{Callable, ExecutorCompletionService, Executors, TimeUnit}
 
+  // Either[(url, failure), (url, xml)] — the URL travels with the
+  // failure so the skip log can name it (a bare ExecutionException
+  // loses it once the Callable throws).
+  private type Fetched = Either[(String, Throwable), (String, String)]
+
   private val pool = Executors.newFixedThreadPool(
     math.min(p.conf.fetchConcurrency, math.max(1, p.urls.size)),
     r => { val t = new Thread(r, "capfeed-fetch"); t.setDaemon(true); t })
-  private val completion = new ExecutorCompletionService[(String, String)](pool)
-  p.urls.foreach { url =>
-    completion.submit(new Callable[(String, String)] {
-      override def call(): (String, String) =
-        url -> Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries)
+  private val completion = new ExecutorCompletionService[Fetched](pool)
+  private val pending = p.urls.iterator
+  private var inFlight = 0
+
+  private def submitNext(): Unit = if (pending.hasNext) {
+    val url = pending.next()
+    completion.submit(new Callable[Fetched] {
+      override def call(): Fetched =
+        try Right(url -> Http.fetchWithRetry(url, p.conf.headers, p.conf.timeoutMs, p.conf.retries))
+        catch { case scala.util.control.NonFatal(e) => Left(url -> e) }
     })
+    inFlight += 1
   }
-  private var remaining = p.urls.size
+  // prime the pool: at most fetchConcurrency ahead of consumption
+  (1 to math.min(p.conf.fetchConcurrency, p.urls.size)).foreach(_ => submitNext())
+
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (remaining > 0) {
-      val f = completion.take(); remaining -= 1
+    while (inFlight > 0) {
+      val f = completion.take(); inFlight -= 1
+      submitNext() // one consumed → one submitted: bounded retention
       try {
-        val (url, xml) = f.get()
-        current = new GenericInternalRow(Array[Any](
-          UTF8String.fromString(url), UTF8String.fromString(xml)))
-        return true
+        f.get() match {
+          case Right((url, xml)) =>
+            current = new GenericInternalRow(Array[Any](
+              UTF8String.fromString(url), UTF8String.fromString(xml)))
+            return true
+          case Left((url, e)) if !p.conf.failFast =>
+            System.err.println(s"[capfeed] skipping $url: ${e.getMessage}")
+          case Left((_, e)) =>
+            close()
+            throw e
+        }
       } catch {
-        case e: java.util.concurrent.ExecutionException
-            if !p.conf.failFast && scala.util.control.NonFatal(e.getCause) =>
-          System.err.println(s"[capfeed] skipping url: ${e.getCause.getMessage}")
         case e: java.util.concurrent.ExecutionException =>
+          // only fatal (non-NonFatal) Callable errors reach here
           close()
           throw e.getCause
       }

@@ -51,10 +51,11 @@ class ParseRobustnessSpec extends AnyFunSuite {
         Seq("nonsense", "", "1,2"), "circle nonsense", "#zzz", "not-base64!"),
       CapAlert("id2", "s", "2024-01-01T00:00:00Z", "", "", "", "", "", "", "", "",
         "", "", "", "", "", "", "", "", "", Seq.empty, "", "", ""))
-    val (features, quarantine) = CapPipeline.toFeaturesWithQuarantine(weird.toDS())
+    val fanOut = CapPipeline.toFeaturesWithQuarantine(weird.toDS())
     // must evaluate without throwing; id1 (bad sent) quarantined, id2 emits
-    val q = quarantine.collect().map(_.identifier).toSet
-    val f = features.collect().map(_.id)
+    val q = fanOut.quarantine.collect().map(_.identifier).toSet
+    val f = fanOut.features.collect().map(_.id)
+    fanOut.unpersist()
     assert(q == Set("id1"))
     assert(f.nonEmpty && f.forall(_.startsWith("id2")))
   }

@@ -29,7 +29,8 @@ class QuarantineSpec extends AnyFunSuite {
       alert("ok-1", "2024-05-01T10:00:00Z"),
       alert("bad-1", "not a date"),
       alert("ok-2", "2024-05-02T10:00:00Z")).toDS()
-    val (features, quarantine) = CapPipeline.toFeaturesWithQuarantine(alerts)
+    val fanOut = CapPipeline.toFeaturesWithQuarantine(alerts)
+    val (features, quarantine) = (fanOut.features, fanOut.quarantine)
 
     val q = quarantine.collect()
     assert(q.map(_.identifier).toSeq == Seq("bad-1"))
@@ -42,14 +43,15 @@ class QuarantineSpec extends AnyFunSuite {
     assert(!featIds.exists(_.startsWith("bad-1")))
     // identical to the plain toFeatures output
     assert(featIds == CapPipeline.toFeatures(alerts).collect().map(_.id).toSet)
+    fanOut.unpersist()
   }
 
   test("fixture corpus quarantines nothing (all failures are handled fallbacks)") {
     import spark.implicits._
     val xml = spark.read.option("wholetext", "true").text("fixtures/cap").as[String]
-    val (_, quarantine) = CapPipeline.toFeaturesWithQuarantine(
-      CapPipeline.parseAlerts(xml))
-    assert(quarantine.count() == 0,
-      s"unexpected quarantine: ${quarantine.collect().toSeq}")
+    val fanOut = CapPipeline.toFeaturesWithQuarantine(
+      CapPipeline.parseAlerts(xml), persist = false)
+    assert(fanOut.quarantine.count() == 0,
+      s"unexpected quarantine: ${fanOut.quarantine.collect().toSeq}")
   }
 }

@@ -171,8 +171,8 @@ class PlanShapeSpec extends AnyFunSuite {
       .text(CapQueries.badFixtureDir).as[String]
     val alerts = graft.cap.CapPipeline.filterActive(
       graft.cap.CapPipeline.parseAlerts(xml), CapQueries.asOf)
-    val (features, quarantine) =
-      graft.cap.CapPipeline.toFeaturesWithQuarantine(alerts)
+    val fanOut = graft.cap.CapPipeline.toFeaturesWithQuarantine(alerts)
+    val (features, quarantine) = (fanOut.features, fanOut.quarantine)
     try {
       // first action builds the persisted tagged union; the second must
       // read the cache, NOT re-run the fan-out over the alerts source
@@ -190,9 +190,9 @@ class PlanShapeSpec extends AnyFunSuite {
           "tagged union rows must populate exactly one side")
       }
     } finally {
-      // the persisted Dataset is the internal tagged union — drop it via
-      // the cache manager so later plan-shape tests see a clean session
-      spark.sharedState.cacheManager.clearCache()
+      // release the tagged-union cache entry via the result's own
+      // lifecycle handle so later plan-shape tests see a clean session
+      fanOut.unpersist()
     }
   }
 }
