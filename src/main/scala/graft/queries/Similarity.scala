@@ -325,7 +325,11 @@ object Similarity {
   // filtering a multimodal corpus: text-duplicates whose embeddings
   // disagree flag an embedding-pipeline defect. Composes the Dedup and
   // Similarity surfaces in one plan (inner join drops pairs without an
-  // embedding, deterministic).
+  // embedding, deterministic). Consumes Dedup's SHARED persisted pair
+  // relation: in a session that also ran d2 (or d7), the MinHash
+  // subtree is not planned twice — this side reads the cached pairs
+  // (InMemoryTableScan, plan-asserted in PlanShapeSpec) and joins only
+  // the embeddings table.
   // -------------------------------------------------------------------
   def d6CrossModal(s: SparkSession, d: String): DataFrame = {
     ensureCosine(s)

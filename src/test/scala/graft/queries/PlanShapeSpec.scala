@@ -165,6 +165,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"null-safe equality must not degrade to a nested loop:\n$p")
   }
 
+  test("d6 consumes d2's shared pair relation — the MinHash subtree is planned once") {
+    // materialize d2 first: builds + persists the shared pair relation
+    assert(graft.queries.Dedup.d2MinhashLsh(spark, sf).count() >= 0)
+    try {
+      // assert on the OPTIMIZED LOGICAL plan: InMemoryRelation is a leaf
+      // there, so its stored build plan (which legitimately scanned
+      // documents once) is not traversed — any documents relation found
+      // means the shingle→minhash→band subtree was planned a SECOND time
+      val opt = graft.queries.Similarity.d6CrossModal(spark, sf)
+        .queryExecution.optimizedPlan
+      val cacheReads = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cacheReads.nonEmpty,
+        s"d6 must read the cached shared pair relation:\n$opt")
+      def scansDocuments(rel: org.apache.spark.sql.sources.BaseRelation): Boolean =
+        rel match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",").contains("documents")
+          case _ => false
+        }
+      val docScans = opt.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if scansDocuments(l.relation) => l
+      }
+      assert(docScans.isEmpty,
+        s"d6 re-planned the MinHash subtree (${docScans.length} documents scans):\n$opt")
+    } finally graft.queries.Dedup.releaseSharedPairs(spark)
+  }
+
   test("fused fan-out: materializing features AND quarantine scans the alerts source once") {
     import spark.implicits._
     val xml = spark.read.option("wholetext", "true")
