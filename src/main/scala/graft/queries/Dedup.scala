@@ -655,27 +655,30 @@ object Dedup {
   // member-expansion semantics as d2, so the two formulations are
   // provably row-identical.
   // -------------------------------------------------------------------
-  def d10IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // base = t6's train bucket — the same split contract as d9/t7/t13
-    val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
+  /** (doc_id, th, is_base, shingled) member relation of the d10 split
+    * — base = t6's train bucket, the same split contract as d9/t7/t13. */
+  private def d10Members(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("th"),
       TextStats.isBaseCol.as("is_base"), (size(split(col("text"), " ")) >= 3).as("shingled"))
-    val reps = d2Reps(docs)
+
+  /** Capped rep band relation tagged has-base (`hb`) / has-delta
+    * (`hd`) from each rep's member set — the join input of BOTH d10
+    * formulations. */
+  private def d10TaggedBands(docs: DataFrame, members: DataFrame): DataFrame = {
     val repFlags = members.groupBy("th").agg(
         max(when(col("is_base"), 1).otherwise(0)).as("hb"),
         max(when(!col("is_base"), 1).otherwise(0)).as("hd"))
-      .join(reps.select(col("th"), col("doc_id")), "th")
+      .join(d2Reps(docs).select(col("th"), col("doc_id")), "th")
       .select("doc_id", "hb", "hd")
-    val capped = cappedBands(d2Bands(docs)).join(repFlags, "doc_id")
-    val cand = capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          ((col("a.hd") === 1 && col("b.hb") === 1) ||
-            (col("a.hb") === 1 && col("b.hd") === 1)))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    cappedBands(d2Bands(docs)).join(repFlags, "doc_id")
+  }
+
+  /** Verify candidate rep pairs and expand to boundary-crossing member
+    * pairs — the shared back half of both d10 formulations. */
+  private def d10VerifyExpand(docs: DataFrame, members: DataFrame,
+      cand: DataFrame): DataFrame = {
     val repPairs = verifyJaccard(cand, repShingles(docs), "shingle")
-    val memRep = members.join(reps.select(col("th"), col("doc_id").as("rep")), "th")
+    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")), "th")
       .select(col("doc_id"), col("rep"), col("is_base"))
     val cross = repPairs
       .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma"),
@@ -690,6 +693,76 @@ object Dedup {
           col("x.shingled") && col("x.is_base") =!= col("y.is_base"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(1.0).as("jacc"))
     cross.union(intra).orderBy("da", "db")
+  }
+
+  def d10IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val members = d10Members(docs)
+    val capped = d10TaggedBands(docs, members)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          ((col("a.hd") === 1 && col("b.hb") === 1) ||
+            (col("a.hb") === 1 && col("b.hd") === 1)))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    d10VerifyExpand(docs, members, cand)
+  }
+
+  // -------------------------------------------------------------------
+  // D10b: the STANDING-BASE-CORPUS formulation of d10 — the shape the
+  // d10 scaladoc promises for 100 TB, implemented, not prose: the base
+  // corpus' band relation is WRITTEN ONCE as a bucketed table
+  // (bucketBy on the join key (band, sig)), and each delta batch
+  // equi-joins against it. Because the bucketed scan already provides
+  // hashpartitioning(band, sig), the standing side is read WITHOUT an
+  // Exchange — zero shuffled bytes for the (huge) base, only the
+  // (small) delta shuffles to align (plan-asserted in PlanShapeSpec).
+  // Row-identical to d10 by construction (same tagged bands, same
+  // verify + expansion; only the candidate join's physical access path
+  // differs), and held to the SAME DuckDB oracle, so hash-equality to
+  // d10 is re-proven every round.
+  // -------------------------------------------------------------------
+  private val D10BaseTable = "graft_d10_base_bands"
+  private val D10BaseBuckets = 8
+
+  def d10BucketedBase(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val members = d10Members(docs)
+    val capped = d10TaggedBands(docs, members)
+    // the standing corpus: bands of base-bearing reps, materialized as
+    // a bucketed table (the "write once per ingest epoch" side).
+    // Drop both the catalog entry AND any orphaned location first — a
+    // managed-table dir left by another session (different catalog)
+    // fails CTAS with LOCATION_ALREADY_EXISTS even under overwrite.
+    s.sql(s"DROP TABLE IF EXISTS $D10BaseTable")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(D10BaseTable)))
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    capped.filter(col("hb") === 1)
+      .write.mode("overwrite")
+      .bucketBy(D10BaseBuckets, "band", "sig")
+      .sortBy("band", "sig")
+      .saveAsTable(D10BaseTable)
+    val base = s.table(D10BaseTable)
+    // the daily delta: bands of delta-bearing reps; the `merge` hint
+    // pins SMJ so the bucketed access path (not a broadcast) is what
+    // the plan assertion exercises
+    val delta = capped.filter(col("hd") === 1)
+    val cand = delta.as("a").hint("merge").join(base.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          // orientation guard ≡ d10's disjunction: the delta row must
+          // contribute delta-ness or the base row base-ness is implied;
+          // a rep with BOTH flags appears on both sides — doc_id
+          // inequality plus least/greatest below dedup the orientations
+          ((col("a.hd") === 1 && col("b.hb") === 1) ||
+            (col("a.hb") === 1 && col("b.hd") === 1)))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    d10VerifyExpand(docs, members, cand)
   }
 
   val d10Sql: String =
@@ -708,5 +781,6 @@ object Dedup {
     ("d4_ngram_jaccard", d4NgramJaccard _, d4Sql),
     ("d7_dup_clusters", d7DupClusters _, d7Sql),
     ("d9_bloom_decontam", d9BloomDecontam _, d9Sql),
-    ("d10_incremental_neardup", d10IncrementalNeardup _, d10Sql))
+    ("d10_incremental_neardup", d10IncrementalNeardup _, d10Sql),
+    ("d10b_bucketed_base", d10BucketedBase _, d10Sql))
 }

@@ -165,6 +165,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"null-safe equality must not degrade to a nested loop:\n$p")
   }
 
+  test("d10b: the standing base band table is scanned bucketed, zero Exchange above it") {
+    // AQE off for this build so the physical tree is directly walkable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = graft.queries.Dedup.d10BucketedBase(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // the candidate join: the LOWEST SMJ with the bucketed base scan
+      // on one side (no nested join below that side)
+      val smjSides = exec.collect { case j: SortMergeJoinExec => j }
+        .flatMap(j => Seq(j.left, j.right))
+      val baseSides = smjSides.filter { side =>
+        side.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }.isDefined &&
+          side.collectFirst { case jj: SortMergeJoinExec => jj }.isEmpty
+      }
+      assert(baseSides.nonEmpty,
+        s"no SMJ reads the bucketed base band table directly:\n$exec")
+      baseSides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"the standing base side must shuffle ZERO bytes, found Exchange:\n$side")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("d6 consumes d2's shared pair relation — the MinHash subtree is planned once") {
     // materialize d2 first: builds + persists the shared pair relation
     assert(graft.queries.Dedup.d2MinhashLsh(spark, sf).count() >= 0)
