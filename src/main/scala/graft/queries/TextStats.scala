@@ -624,13 +624,15 @@ object TextStats {
   // documents are majority-boilerplate. Distinct per-doc shingles →
   // document frequency per shingle (one linear shuffle on the shingle
   // key) → joined back to score each document. The distinct() subtree
-  // feeds both branches of the self-join, so Spark plans one Exchange
-  // and a ReusedExchange for the second consumer (asserted in
-  // PlanShapeSpec) — the corpus is scanned and exploded once. The
-  // join back on the shingle key inherits the shingle-frequency skew
-  // (a mega-boilerplate shingle = one hot key), which is exactly the
-  // shape AQE skew-join splits at runtime; the groupBy+join form is
-  // chosen over a count-window for that reason.
+  // feeds both branches of the self-join through a shared persisted
+  // relation (asserted in PlanShapeSpec) — the corpus is scanned and
+  // exploded once. The join back on the shingle key inherits the
+  // shingle-frequency skew (a mega-boilerplate shingle = one hot key),
+  // and is deliberately shaped so AQE's OptimizeSkewedJoin CAN split
+  // it at runtime (see the lineage-cut note below; executed-plan-
+  // asserted in ScaleSpec); the groupBy+join form is chosen over a
+  // count-window for that reason — a window over the hot key could
+  // never be split.
   // -------------------------------------------------------------------
   private val T12ShingleK = 5
 
@@ -644,8 +646,27 @@ object TextStats {
           s"transform(sequence(1, size(ws) - ${k - 1}), i -> array_join(slice(ws, i, $k), ' '))"))
           .as("shingle"))
       .distinct()
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(df, "shingle")
+    // The lazy localCheckpoint cuts the df relation's lineage so it
+    // enters the join as a plain scan: OptimizeSkewedJoin only matches
+    // a sort-merge join whose BOTH children are bare shuffle stages,
+    // and without the cut the final HashAggregate sits directly under
+    // the join and silently blocks the split — a hot boilerplate
+    // shingle's partition could then never be divided, no matter the
+    // AQE settings. (A same-key repartition can't stage it either:
+    // EnsureRequirements.optimizeOutRepartition strips user shuffles
+    // on the join keys.) Executed-plan-asserted in ScaleSpec against a
+    // planted mega-hot shingle. The persist keeps the one-corpus-scan
+    // property the ReusedExchange used to provide (the cut would
+    // otherwise re-scan the corpus for the df build); CacheManager
+    // dedupes the entry across repeated calls, so the builder stays
+    // idempotent. Cost: caching the shingle relation (disk-backed,
+    // the same trade d7 makes for its pair graph) plus one row per
+    // distinct shingle for the checkpoint — what buys a splittable
+    // hot-key join-back at 100 TB.
+    val shShared = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = shShared.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    shShared.join(df, "shingle")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -876,10 +897,15 @@ object TextStats {
   // score tf * 1e6 * N / df (BIGINT div — no floating log, so the
   // ranking is bit-deterministic on every engine). Top-3 terms for the
   // first 20 docs keeps the output small while the df/N statistics
-  // exercise the full corpus. Scale shape: the df aggregate is
-  // vocab-sized and joins back on the word key (hot stopwords are
-  // AQE-splittable skew keys); the per-doc ranking window partitions
-  // by doc_id, so no global sort anywhere.
+  // exercise the full corpus. Scale shape: the join-back on the word
+  // key is structurally skew-IMMUNE — the doc_id < 20 output filter
+  // pushes below the window and the join into the tf-side scan
+  // (partition-key pushdown, plan-asserted in ScaleSpec), so the probe
+  // side is a handful of docs, and the corpus-sized df side has UNIQUE
+  // word keys after its aggregate, so no hot partition can exist on
+  // either input; the per-doc ranking window partitions by doc_id, so
+  // no global sort anywhere. (t12 is the query whose join-back really
+  // inherits corpus skew — see its AQE skew-split recipe.)
   // -------------------------------------------------------------------
   def t16Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

@@ -210,6 +210,64 @@ class ScaleSpec extends AnyFunSuite {
       "the hot shingle must contribute exactly one shared count per doc")
   }
 
+  test("t12/t16 join-back: AQE splits the planted hot-shingle partition (OptimizeSkewedJoin fires)") {
+    // The t12 scaladoc claims its join-back on the shingle key is
+    // "exactly the shape AQE skew-join splits at runtime". This
+    // executes that claim on the REAL query builder: plant ONE shingle
+    // into every document so its join-key partition dwarfs the rest,
+    // shrink the skew thresholds so the test corpus qualifies, and
+    // assert the FINAL adaptive plan actually split the skewed
+    // partition (SortMergeJoin(skew=true)). Fails if a future rewrite
+    // (a count-window instead of groupBy+join, a fused pre-aggregate,
+    // or losing the df-side lineage cut) stops being skew-splittable.
+    // t16 is asserted for the opposite, equally load-bearing property:
+    // its join-back CANNOT skew, because the doc_id output filter
+    // pushes into the tf-side scan (probe side = a handful of docs)
+    // and the df side has unique word keys after aggregation.
+    import spark.implicits._
+    val boiler = "omega kappa sigma theta lambda"
+    // ids start at 0 so t16's doc_id < 20 output filter keeps rows
+    val docs = (0 until 4000).map(i =>
+      (i.toLong, s"$boiler unq$i tail$i word$i here$i more$i", "en", "srcS", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("skewshingle").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // both queries' downstream re-partitions on doc_id (groupBy /
+      // window), so the split adds no extra shuffle; force only guards
+      // against the planner's conservative veto on borderline stats
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // the vocab-sized df side must not broadcast, or there is no
+      // shuffle join to split
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t12 = TextStats.t12Boilerplate(spark, dir)
+      assert(t12.collect().length == 1)
+      val p12 = t12.queryExecution.executedPlan.toString
+      assert(p12.contains("isFinalPlan=true"))
+      assert(p12.contains("skew=true"),
+        s"t12's shingle join-back was not skew-split:\n$p12")
+
+      val t16 = TextStats.t16Tfidf(spark, dir)
+      assert(t16.collect().nonEmpty)
+      val p16 = t16.queryExecution.executedPlan.toString
+      assert(p16.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,20)]"),
+        s"t16's probe-side pruning regressed — skew immunity depends on it:\n$p16")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("d7 reads the checkpointed pair graph, not parquet, in its final plan") {
     // connectedComponents localCheckpoints the d2 pair relation, so the
     // expensive LSH+verify subtree runs exactly once per d7 invocation;
