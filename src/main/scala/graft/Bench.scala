@@ -28,6 +28,14 @@ object Bench {
     "b5_window_topn", "b6_topk", "b7_distinct", "b8_setop",
     "b9_json_extract", "b10_explode", "b11_time_window", "b12_cosine_topk")
 
+  /** Queries whose builder RUNS an AvailableNow stream during DataFrame
+    * construction: their sweep medians time only the memory-sink read,
+    * so the real micro-batch wall-time (builder start → stream
+    * termination) is measured separately and reported as stream_wall. */
+  private val streaming: Seq[String] = Seq(
+    "b43_stream_parity", "b44_stream_segment", "b45_stream_sessions",
+    "cap4_stream_lifecycle", "cap5_stream_transitions")
+
   private def jnum(v: Double): String = f"$v%.4f"
 
   def main(args: Array[String]): Unit = {
@@ -70,13 +78,31 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val headSum = results.collect { case (k, v) if headline.contains(k) && v >= 0 => v }.sum
 
+    // Honest streaming latency: one fresh builder call per streaming
+    // query, timing the whole AvailableNow run (start→awaitTermination
+    // happens inside the builder) — the number the sweep medians above
+    // deliberately exclude.
+    val streamWall: Seq[(String, Double)] = streaming
+      .filter(SparkEntry.queries.contains)
+      .map { name =>
+        val t =
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        println(s"""{"stream_q":"$name","wall_sec":${jnum(t)}}""")
+        name -> t
+      }
+
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
 
     // Durable full artifact — every query, plus totals.
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
-        s""""n_queries":${results.size},"queries":${queriesJson(results)},"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"queries":${queriesJson(results)},""" +
+        s""""stream_wall":${queriesJson(streamWall)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"), fullJson.getBytes(StandardCharsets.UTF_8))
 
     // Final compact driver line — must survive a ~1.9 KB stdout tail.
@@ -84,7 +110,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(headQueries)},""" +
-        s""""full":"bench_out.json","sf":"$sfDir"}""")
+        s""""stream_wall":${queriesJson(streamWall)},"full":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
