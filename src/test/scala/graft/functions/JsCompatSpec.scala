@@ -86,4 +86,27 @@ class JsCompatSpec extends AnyFunSuite {
     val s = toNzLocaleString(Instant.parse("2026-01-15T02:30:05Z"))
     assert(s == "15/01/2026, 3:30:05 pm", s)
   }
+
+  test("toNzLocaleString: DST transition boundaries (spring-forward gap, fall-back ambiguity)") {
+    // NZDT starts the last Sunday of September: 02:00 NZST jumps to
+    // 03:00 NZDT (2026-09-27, i.e. 2026-09-26T14:00Z). The 2 am wall
+    // hour never exists — one second before the gap renders 1:59:59,
+    // the gap instant itself 3:00:00, matching JS/ICU.
+    assert(toNzLocaleString(Instant.parse("2026-09-26T13:59:59Z"))
+      == "27/09/2026, 1:59:59 am")
+    assert(toNzLocaleString(Instant.parse("2026-09-26T14:00:00Z"))
+      == "27/09/2026, 3:00:00 am")
+    // NZDT ends the first Sunday of April: 03:00 NZDT falls back to
+    // 02:00 NZST (2026-04-05, i.e. 2026-04-04T14:00Z). The 2:00-2:59
+    // wall hour occurs TWICE; both instants must render the same
+    // ambiguous local time, exactly as JS toLocaleString does.
+    assert(toNzLocaleString(Instant.parse("2026-04-04T13:30:00Z"))
+      == "5/04/2026, 2:30:00 am") // first pass, still NZDT (UTC+13)
+    assert(toNzLocaleString(Instant.parse("2026-04-04T14:30:00Z"))
+      == "5/04/2026, 2:30:00 am") // second pass, NZST (UTC+12)
+    // and the instant the clock falls back: 03:00:00 NZDT == 14:00Z
+    // re-renders as 2:00:00 am NZST
+    assert(toNzLocaleString(Instant.parse("2026-04-04T14:00:00Z"))
+      == "5/04/2026, 2:00:00 am")
+  }
 }
