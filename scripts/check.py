@@ -7,13 +7,30 @@ Reads each <outDir>/<name>/ parquet (Spark output) and runs
 tables; compares row counts, sorted-row value hashes, and prints a diff
 sample on mismatch.
 """
-import sys, json, glob, hashlib
+import os, re, sys, json, glob, hashlib
 import duckdb
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+only = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
 con = duckdb.connect()
+# cap DuckDB and spill to disk instead of OOMing the machine on the
+# heavy UNNEST-based oracles at large synthetic SFs
+con.sql(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
+con.sql("SET temp_directory='/tmp/duck_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
+    if t == "events":
+        # driver SFs carry ts as timestamp[ns]; Spark-rewritten scale
+        # probes (graft.ScaleGen) carry the same nanos as BIGINT —
+        # normalize so every oracle sees one ts type
+        tstype = con.sql(f"SELECT typeof(ts) FROM '{sfdir}/events.parquet' LIMIT 1").fetchone()[0]
+        if tstype == "BIGINT":
+            # micros is the precision every consumer uses (Spark reads
+            # the ns column via `ts div 1000`), so a micros TIMESTAMP
+            # view is exactly equivalent for the oracles
+            con.sql(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{sfdir}/events.parquet'")
+            continue
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -30,6 +47,8 @@ def rows_of(df_rows, cols):
 
 fails = 0
 for name in sorted(oracle):
+    if only and not only.search(name):
+        continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator: tiles an sf directory N× with rekeyed
+  * ids into a new sf directory, for empirical scaling runs above the
+  * largest driver-provided SF (the "sf1-synth" probe).
+  *
+  * Design constraints, in order:
+  *  - JOIN STRUCTURE PRESERVED: every entity key (custkey, orderkey,
+  *    partkey, suppkey, event/user id, doc/vec id) is offset by
+  *    tile*10M, so each tile is a self-consistent copy and the foreign
+  *    keys never cross tiles; nation/region stay single-copy (25/5-row
+  *    dimensions are global, and the nationkey FKs still resolve).
+  *  - MOSTLY-UNIQUE CONTENT: tiled documents get a per-tile token
+  *    appended (distinct shingle sets, distinct md5) and tiled
+  *    embeddings are component-ROTATED by the tile index (near-zero
+  *    cosine to the original, same norm) — a 10× corpus of copies
+  *    would otherwise turn every near-dup family into one giant
+  *    cluster and measure cluster-size growth, not corpus growth.
+  *  - PLANTED DUP CLUSTERS: doc_id % 100 == 0 rows keep their text and
+  *    embedding verbatim in EVERY tile — known 10-copy exact/near-dup
+  *    clusters the dedup family must find, bounded in number so
+  *    candidate counts stay linear in the corpus.
+  *
+  * Usage: runMain graft.ScaleGen [srcSfDir] [outDir] [tiles]
+  */
+object ScaleGen {
+
+  /** Per-tile key offset — far above every key in any driver SF, far
+    * below integer overflow even ×10 tiles. */
+  private val K = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "scaledata/sf1-synth"
+    val tiles = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, tiles)
+    spark.stop()
+  }
+
+  def generate(s: SparkSession, src: String, out: String, tiles: Int): Unit = {
+    def read(t: String): DataFrame = {
+      // events.parquet declares timestamp[ns] — same shim as Tables
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$src/$t.parquet")
+    }
+    // single-FILE tables, matching the driver's sf layout (and what
+    // the DuckDB oracle can open without a glob)
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$out/$t.parquet")
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+
+    /** Explode each row into `tiles` copies and offset `keys` by
+      * tile*K, preserving each key column's original type. */
+    def tile(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val tiled = df.withColumn("tile", explode(sequence(lit(0L), lit(tiles - 1L))))
+      keys.foldLeft(tiled) { (d, k) =>
+        val dt = df.schema(k).dataType
+        d.withColumn(k, (col(k) + col("tile") * K).cast(dt))
+      }
+    }
+
+    // single-copy global dimensions
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    // tiled relational entities — FKs offset in lockstep
+    write(tile(read("customer"), Seq("c_custkey")).drop("tile"), "customer")
+    write(tile(read("supplier"), Seq("s_suppkey")).drop("tile"), "supplier")
+    write(tile(read("part"), Seq("p_partkey")).drop("tile"), "part")
+    write(tile(read("orders"), Seq("o_orderkey", "o_custkey")).drop("tile"), "orders")
+    write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .drop("tile"), "lineitem")
+    write(tile(read("events"), Seq("event_id", "user_id")).drop("tile"), "events")
+
+    // documents: tiled text is unique per tile EXCEPT the planted
+    // doc_id % 100 == 0 clusters (10 exact copies each); n_chars is
+    // recomputed so the length invariant survives the suffix
+    val docs = tile(read("documents"), Seq.empty)
+      .withColumn("text",
+        when(col("tile") === 0 || col("doc_id") % 100 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" tile"), col("tile"))))
+      .withColumn("n_chars", length(col("text")).cast(read("documents").schema("n_chars").dataType))
+      .withColumn("doc_id",
+        (col("doc_id") + col("tile") * K).cast(read("documents").schema("doc_id").dataType))
+      .drop("tile")
+    write(docs, "documents")
+
+    // embeddings: tiled vectors are ROTATED by the tile index (same
+    // norm, near-zero cosine to the original) except the planted
+    // vec_id % 100 == 0 near-dup clusters, which stay verbatim;
+    // vec_id offsets mirror doc_id so the doc↔vec alignment d6 uses
+    // survives tiling
+    val dims = read("embeddings").selectExpr("size(embedding)").first().getInt(0)
+    val emb = tile(read("embeddings"), Seq.empty)
+      .withColumn("embedding",
+        when(col("tile") === 0 || col("vec_id") % 100 === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), (col("tile") + 1).cast("int"), lit(dims) - col("tile").cast("int")),
+            slice(col("embedding"), lit(1), col("tile").cast("int")))))
+      .withColumn("vec_id",
+        (col("vec_id") + col("tile") * K).cast(read("embeddings").schema("vec_id").dataType))
+      .drop("tile")
+    write(emb, "embeddings")
+
+    println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src"}""")
+  }
+}

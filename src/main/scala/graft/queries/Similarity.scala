@@ -82,12 +82,21 @@ object Similarity {
       .agg(sum(col("bit") * element_at(weights, (col("p") % bandBits).cast("int") + 1)).as("bval"))
   }
 
+  /** The projection is computed as a per-(vector, plane) 64-element
+    * list dot rather than the naive `ex JOIN planes GROUP BY` — the
+    * join shape materializes |corpus|·64·nPlanes rows before the
+    * aggregate (2.46B at the 10× scale probe, which OOMed DuckDB);
+    * the list shape is bit-identical because every term is cast to
+    * DECIMAL(30,12) first, making the sum exactly order-independent. */
   private def duckBands(bandBits: Int) = {
     val weights = (0 until bandBits).map(b => 1L << b).mkString("[", ",", "]")
     s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
       |       FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
-      |dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(30,12))) AS proj
-      |         FROM ex JOIN planes USING (d) GROUP BY 1, 2),
+      |plv AS (SELECT p, list(w ORDER BY d) AS wv FROM planes GROUP BY p),
+      |dots AS (SELECT vec_id, p,
+      |         list_sum(list_transform(range(1, 65), i ->
+      |           CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * wv[CAST(i AS INT)] AS DECIMAL(30,12)))) AS proj
+      |         FROM embeddings CROSS JOIN plv),
       |bits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
       |bands AS (SELECT vec_id, p // $bandBits AS band,
       |                 SUM(bit * ($weights)[(p % $bandBits) + 1]) AS bval
