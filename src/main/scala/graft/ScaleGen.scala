@@ -50,6 +50,11 @@ object ScaleGen {
   }
 
   def generate(s: SparkSession, src: String, out: String, tiles: Int): Unit = {
+    // the embedding rotation shifts by the tile index, so tiles beyond
+    // the vector dimensionality would slice past the array and write
+    // corrupt embeddings — fail loudly instead
+    require(tiles >= 1 && tiles <= 64,
+      s"tiles must be in [1, 64] (embedding rotation is bounded by the 64 dims), got $tiles")
     def read(t: String): DataFrame = {
       // events.parquet declares timestamp[ns] — same shim as Tables
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
