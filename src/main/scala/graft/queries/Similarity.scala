@@ -455,13 +455,14 @@ object Similarity {
   // -------------------------------------------------------------------
   private val D8ClusterCap = 64
 
-  /** (cid, da, db): capped within-cluster candidate pairs, da < db. */
-  private[queries] def d8Candidates(emb: DataFrame): DataFrame = {
+  /** (cid, da, db): capped within-cluster candidate pairs, da < db,
+    * for any centroid-selection predicate over vec_id. */
+  private def cellCandidates(emb: DataFrame, centPred: Column): DataFrame = {
     // entry point in its own right (ScaleSpec drives it directly), so it
     // must register the native cosine itself, not rely on its caller
     ensureCosine(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
+    val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("e").as("cv"))
     val rn = row_number().over(
       Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
@@ -479,17 +480,38 @@ object Similarity {
         col("a.vec_id").as("da"), col("b.vec_id").as("db"))
   }
 
-  def d8SemanticDedup(s: SparkSession, d: String): DataFrame = {
+  private[queries] def d8Candidates(emb: DataFrame): DataFrame =
+    cellCandidates(emb, col("vec_id") >= 100 && col("vec_id") < 132)
+
+  /** D8b's codebook: a fixed corpus FRACTION (5%) instead of d8's fixed
+    * 32 seeds, so K grows with n and expected cell size stays ~20 at
+    * every SF — the scale recipe the d8 scaladoc prescribes, as code.
+    * (At the 10× probe d8's fixed codebook puts ~640 members in every
+    * cell, all above the 64 cap, and correctly verifies nothing; d8b
+    * keeps verifying.) Planted dup decades can never be centroids
+    * (id ≡ 10 mod 20 excludes id ≡ 0 mod 100), and identical vectors
+    * always share a cell (identical csim + cid tie-break). */
+  private[queries] def d8bCandidates(emb: DataFrame): DataFrame =
+    cellCandidates(emb, col("vec_id") % 20 === 10)
+
+  private def cellVerify(s: SparkSession, d: String,
+      cand: DataFrame => DataFrame): DataFrame = {
     ensureCosine(s)
     val emb = Tables.embeddings(s, d)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    d8Candidates(emb)
+    cand(emb)
       .join(e.select(col("vec_id").as("da"), col("e").as("ea")), "da")
       .join(e.select(col("vec_id").as("db"), col("e").as("eb")), "db")
       .select(col("cid"), col("da"), col("db"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy("da", "db")
   }
+
+  def d8SemanticDedup(s: SparkSession, d: String): DataFrame =
+    cellVerify(s, d, d8Candidates)
+
+  def d8bScaledCodebook(s: SparkSession, d: String): DataFrame =
+    cellVerify(s, d, d8bCandidates)
 
   val d8Sql: String =
     s"""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
@@ -511,6 +533,35 @@ object Similarity {
       |                CAST(ROUND(SUM(x1.x * x2.x) / (SQRT(SUM(x1.x * x1.x)) * SQRT(SUM(x2.x * x2.x))), 6) AS DOUBLE) AS sim
       |         FROM pairs p JOIN ex x1 ON x1.vec_id = p.da JOIN ex x2 ON x2.vec_id = p.db AND x2.d = x1.d
       |         GROUP BY 1, 2, 3)
+      |SELECT cid, da, db, sim FROM sims WHERE sim >= 0.4
+      |ORDER BY da, db""".stripMargin
+
+  /** d8Sql with the fraction codebook, in the list form throughout —
+    * the ex⋈cents assignment shape would materialize |ex|·K rows
+    * (1.3B at the 10× probe with its ~1k centroids). */
+  val d8bSql: String =
+    s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |             FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 20 = 10),
+      |asg_sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+      |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+      |                       * SQRT(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS DOUBLE) AS csim
+      |  FROM vecs e CROSS JOIN cents c),
+      |assign AS (SELECT vec_id, cid FROM (
+      |             SELECT vec_id, cid,
+      |                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |             FROM asg_sims) WHERE rn = 1),
+      |small AS (SELECT cid FROM assign GROUP BY cid HAVING COUNT(*) <= $D8ClusterCap),
+      |bounded AS (SELECT a.vec_id, a.cid FROM assign a JOIN small USING (cid)),
+      |pairs AS (SELECT a.cid, a.vec_id AS da, b.vec_id AS db
+      |          FROM bounded a JOIN bounded b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |sims AS (SELECT p.cid, p.da, p.db,
+      |                CAST(ROUND(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+      |                           / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+      |                              * SQRT(list_sum(list_transform(b.v, x -> x * x)))), 6) AS DOUBLE) AS sim
+      |         FROM pairs p JOIN vecs a ON a.vec_id = p.da JOIN vecs b ON b.vec_id = p.db)
       |SELECT cid, da, db, sim FROM sims WHERE sim >= 0.4
       |ORDER BY da, db""".stripMargin
 
@@ -859,6 +910,7 @@ object Similarity {
     ("d5_embedding_neardup", d5EmbeddingNeardup _, d5Sql),
     ("d6_crossmodal", d6CrossModal _, d6Sql),
     ("d8_semantic_dedup", d8SemanticDedup _, d8Sql),
+    ("d8b_scaled_codebook", d8bScaledCodebook _, d8bSql),
     ("s8_kmeans", s8Kmeans _, s8Sql),
     ("s9_recall_eval", s9RecallEval _, s9Sql),
     ("s10_jl_projection", s10JlProjection _, s10Sql))

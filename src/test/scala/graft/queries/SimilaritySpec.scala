@@ -204,6 +204,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cids.forall(c => c >= 100 && c < 132), "cluster ids are the seed centroids")
   }
 
+  test("d8b: the fraction codebook scales K with n and keeps verifying where d8 loses recall") {
+    import spark.implicits._
+    // the 10×-probe failure mode in miniature: 4096 DISTINCT vectors
+    // (d8's fixed 32 seeds → ~128 per cell, over the 64 cap) plus 26
+    // planted exact-duplicate decades (base id ≡ 0 mod 160, 9 extra
+    // copies each at ids ≥ 100_000 chosen ∉ the codebook). d8b's 5%
+    // codebook (~205 centroids) keeps cells ~20–30 and must recover
+    // EVERY planted pair; d8's saturated cells must lose some.
+    // NOT sin(a·i + b·j): any f(aᵢ + bⱼ) sinusoid corpus is rank-2, so
+    // unrelated vectors hit cosine ≈ 1 — hash-mix instead for a
+    // genuinely spread (near-orthogonal) corpus
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    val distinct = (0 until 4096).map { i =>
+      (i.toLong, Array.tabulate(64)(j => h(i, j)))
+    }
+    val planted = distinct.filter(_._1 % 160 == 0).flatMap { case (id, v) =>
+      (1 to 9).map(k => (100000L + id * 16 + k, v)) // 100000+16id+k ≢ 10 (mod 20) for k ∈ 1..9
+    }
+    val sfDir = java.nio.file.Files.createTempDirectory("d8bsf").toString
+    (distinct ++ planted).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+
+    def plantedPairs(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.collect {
+        case r if r.getAs[Double]("sim") == 1.0 =>
+          (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      }.toSet
+    val wantPairs = distinct.map(_._1).filter(_ % 160 == 0).flatMap { base =>
+      val ids = (base +: (1 to 9).map(k => 100000L + base * 16 + k)).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(wantPairs.size == 26 * 45, s"fixture arithmetic: ${wantPairs.size}")
+
+    val d8Found = plantedPairs(Similarity.d8SemanticDedup(spark, sfDir).collect())
+    val d8bFound = plantedPairs(Similarity.d8bScaledCodebook(spark, sfDir).collect())
+    assert(d8bFound == wantPairs,
+      s"fraction codebook must recover every planted pair (got ${d8bFound.size}/${wantPairs.size})")
+    assert(d8Found.size < wantPairs.size,
+      s"fixed codebook should lose planted pairs to cap saturation at this n (found all ${d8Found.size})")
+  }
+
   test("s6: a constant vector quantizes to q=0 with zero error, not NaN") {
     // hi == lo makes the naive scale division 0/0; the guard must pin
     // q = 0 so the reconstruction is exact and the label aggregates
