@@ -774,6 +774,70 @@ object Dedup {
       |WHERE a.is_base <> b.is_base
       |ORDER BY da, db""".stripMargin
 
+  // -------------------------------------------------------------------
+  // D11: exact substring-span dedup — the span-LEVEL modality the
+  // doc-level family (d1–d10) lacks. Lee et al. 2022 ("Deduplicating
+  // Training Data Makes Language Models Better") remove every ≥50-token
+  // substring shared across documents via a corpus suffix array; a
+  // suffix array is a single sequential structure that does not shard,
+  // so the Spark-scalable equivalent is the fixed-width rolling-window
+  // form: hash every W-word window (stride 1), find window hashes seen
+  // in ≥2 distinct docs, and report per-doc duplicated-span coverage
+  // (union of [p, p+W) over duplicated windows). Every stage is linear
+  // in corpus tokens: window explode (narrow), groupBy window-hash
+  // (one shuffle with map-side combine), equi-join back on the hash,
+  // and two doc-keyed aggs. No self-join ever forms — a window string
+  // repeated k× costs k rows, not O(k²) pairs, so a mass-duplicated
+  // boilerplate span is exactly as cheap as a unique one. W = 16 words
+  // (the 50-BPE-token threshold scaled to this corpus's short docs).
+  // -------------------------------------------------------------------
+  private val D11W = 16
+
+  def d11SubstringSpans(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val win = ws.filter(size(col("ws")) >= D11W)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (D11W - 1))).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("ws"), col("p"), lit(D11W)))).as("h"))
+    val dup = win.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dw = win.join(dup, "h").select("doc_id", "p")
+    val agg = dw.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val cov = dw
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (D11W - 1))).as("c"))
+      .groupBy("doc_id").agg(countDistinct(col("c")).as("covered_tokens"))
+    val tot = ws.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      (size(col("ws")) - (D11W - 1)).cast("long").as("n_windows"))
+    tot.join(agg, "doc_id").join(cov, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("n_dup_windows"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS p FROM w),
+      |win AS (SELECT doc_id, p, md5(array_to_string(ws[p:p+15], ' ')) AS h FROM pos),
+      |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dw AS (SELECT win.doc_id, win.p FROM win JOIN dup USING (h)),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dw GROUP BY doc_id),
+      |cov AS (SELECT doc_id, COUNT(DISTINCT c) AS covered_tokens
+      |        FROM (SELECT doc_id, unnest(generate_series(p, p + 15)) AS c FROM dw)
+      |        GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |               CAST(len(ws) - 15 AS BIGINT) AS n_windows FROM w)
+      |SELECT t.doc_id, t.n_tokens, t.n_windows, a.n_dup_windows, c.covered_tokens,
+      |       ROUND(CAST(c.covered_tokens AS DOUBLE) / t.n_tokens, 6) AS dup_frac
+      |FROM tot t JOIN agg a USING (doc_id) JOIN cov c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("d1_exact_dedup", d1ExactDedup _, d1Sql),
     ("d2_minhash_lsh", d2MinhashLsh _, d2Sql),
@@ -782,5 +846,6 @@ object Dedup {
     ("d7_dup_clusters", d7DupClusters _, d7Sql),
     ("d9_bloom_decontam", d9BloomDecontam _, d9Sql),
     ("d10_incremental_neardup", d10IncrementalNeardup _, d10Sql),
-    ("d10b_bucketed_base", d10BucketedBase _, d10Sql))
+    ("d10b_bucketed_base", d10BucketedBase _, d10Sql),
+    ("d11_substring_spans", d11SubstringSpans _, d11Sql))
 }

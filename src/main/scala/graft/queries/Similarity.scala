@@ -899,6 +899,111 @@ object Similarity {
       |       CAST(SUM(CASE WHEN ABS(ratio - 1) <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_25pct
       |FROM r""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S11: IVF-PQ search with asymmetric distance (ADC) — s2's coarse
+  // quantizer composed with s7's product codebook into the structure
+  // FAISS calls IVFADC (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search"; non-residual variant). The scale story is
+  // the whole point: the searched relation is the CODES table (8 small
+  // ints per vector — the compressed index), never the full-precision
+  // embeddings; per query, only the top-2 probed cells' codes are
+  // scanned, and distances come from a per-query 8×16 lookup table of
+  // subspace distances (tiny by construction, broadcast), so a query
+  // costs |probed codes| lookup-joins + one agg — no full-precision
+  // vector is touched anywhere in the search path. Determinism: each
+  // LUT entry is s7's round-6 subspace distance cast DECIMAL(30,6);
+  // the ADC sum is exact decimal addition of 8 such entries, so the
+  // (adc, vec_id) ranking never wobbles across engines/partitionings.
+  // -------------------------------------------------------------------
+  def s11IvfPq(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
+    val emb = Tables.embeddings(s, d)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // coarse: s2's 32 seed centroids, cosine argmax, top-2 probe
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 132)
+      .select(col("vec_id").as("cid"), col("e").as("cv"))
+    val asgSims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+    val rn = row_number().over(
+      Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
+    val assign = asgSims.withColumn("rn", rn).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val probes = asgSims.filter(col("vec_id") < 10)
+      .withColumn("rn", rn).filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    // PQ: s7's 8 subspaces × 16 seed codes; sub-distance per (vec, sub, code)
+    val ex = emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dpos", "x")
+      .select(col("vec_id"), floor(col("dpos") / 8).cast("long").as("sub"),
+        (col("dpos") % 8).cast("long").as("dim"), col("x"))
+    val pqCents = ex.filter(col("vec_id") >= 200 && col("vec_id") < 216)
+      .select((col("vec_id") - 200).as("code"), col("sub"), col("dim"),
+        col("x").as("cx"))
+    val dist = ex.join(broadcast(pqCents), Seq("sub", "dim"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
+    val wAsg = Window.partitionBy("vec_id", "sub").orderBy(col("sqerr"), col("code"))
+    val codes = dist.withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select("vec_id", "sub", "code")
+    // per-query ADC lookup table: distance from each query sub-vector to
+    // every codebook entry — 8×16 rows per query, broadcast
+    val lut = dist.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sub"), col("code"),
+        col("sqerr").cast(DecimalType(30, 6)).as("qerr"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qerr")).as("adcd"))
+    val wTop = Window.partitionBy("qid").orderBy(col("adcd").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("adcd").cast("double").as("adc"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  val s11Sql: String =
+    """WITH exd AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cents AS (SELECT vec_id AS cid, d AS cd, x AS cx FROM exd WHERE vec_id >= 100 AND vec_id < 132),
+      |asg_sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(ROUND(SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))), 6) AS DOUBLE) AS csim
+      |  FROM exd e JOIN cents c ON c.cd = e.d GROUP BY 1, 2),
+      |ranked_asg AS (SELECT vec_id, cid,
+      |                      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |               FROM asg_sims),
+      |assign AS (SELECT vec_id, cid FROM ranked_asg WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM ranked_asg WHERE vec_id < 10 AND rn <= 2),
+      |exs AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS sub,
+      |               CAST((i - 1) % 8 AS BIGINT) AS dim,
+      |               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |        FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |pqc AS (SELECT vec_id - 200 AS code, sub, dim, x AS cx
+      |        FROM exs WHERE vec_id >= 200 AND vec_id < 216),
+      |dist AS (SELECT e.vec_id, e.sub, c.code,
+      |                ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS sqerr
+      |         FROM exs e JOIN pqc c ON c.sub = e.sub AND c.dim = e.dim
+      |         GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |            SELECT vec_id, sub, code,
+      |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY sqerr, code) AS rn
+      |            FROM dist) WHERE rn = 1),
+      |lut AS (SELECT vec_id AS qid, sub, code, CAST(sqerr AS DECIMAL(30,6)) AS qerr
+      |        FROM dist WHERE vec_id < 10),
+      |cand AS (SELECT DISTINCT p.qid, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+      |         WHERE p.qid <> a.vec_id),
+      |adc AS (SELECT c.qid, c.vec_id, SUM(l.qerr) AS adcd
+      |        FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+      |                    JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.code = k.code
+      |        GROUP BY 1, 2),
+      |ranked AS (SELECT qid, vec_id, CAST(adcd AS DOUBLE) AS adc,
+      |                  row_number() OVER (PARTITION BY qid ORDER BY adcd ASC, vec_id ASC) AS rank
+      |           FROM adc QUALIFY rank <= 5)
+      |SELECT qid, vec_id, adc, rank FROM ranked ORDER BY qid, rank""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -913,5 +1018,6 @@ object Similarity {
     ("d8b_scaled_codebook", d8bScaledCodebook _, d8bSql),
     ("s8_kmeans", s8Kmeans _, s8Sql),
     ("s9_recall_eval", s9RecallEval _, s9Sql),
-    ("s10_jl_projection", s10JlProjection _, s10Sql))
+    ("s10_jl_projection", s10JlProjection _, s10Sql),
+    ("s11_ivfpq", s11IvfPq _, s11Sql))
 }

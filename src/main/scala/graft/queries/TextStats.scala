@@ -1037,6 +1037,66 @@ object TextStats {
       |       CAST(SUM(CASE WHEN score < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
       |FROM q GROUP BY split ORDER BY split""".stripMargin
 
+  // -------------------------------------------------------------------
+  // T19: character-bigram LM fluency score — the CCNet-style statistical
+  // LM quality filter (Wenzek et al. 2020 score corpora with a KenLM
+  // n-gram model; the engine-native form trains the model ON the corpus
+  // in the same job). Model: MLE conditional probability
+  // P(c2|c1) = cnt(c1c2)/cnt(c1·) over all character bigrams. Score:
+  // per-doc arithmetic mean of its bigrams' conditional probabilities —
+  // a gibberish doc full of corpus-rare transitions scores low. No
+  // logarithms anywhere: log() is not bit-reproducible across engines,
+  // while cnt/cnt is a single IEEE division of exact integers and is.
+  // The mean takes the exact-integer route (the b35/t17 recipe): each
+  // probability is floored to integer ppm (FLOOR of an identical double
+  // is identical), summed as BIGINT, and the mean rounds half-up in
+  // integer space — (2·Σ + n) div (2n) — with ONE final division by
+  // 1e6. A DECIMAL(30,6) accumulator divided by COUNT(*) looks
+  // equivalent but DuckDB demotes that division to DOUBLE, and at 5,000
+  // docs a rounding-boundary hit materialized at sf0.1 (doc 276,
+  // ±1e-6). Scale shape: the bigram explode is
+  // narrow and linear in corpus chars; the model agg is one shuffle
+  // with map-side combine onto ≤|alphabet|² keys; the model is then a
+  // BROADCAST join back onto the bigram stream (asserted tiny), and the
+  // per-doc agg is one doc-keyed shuffle. Nothing is quadratic and no
+  // state exceeds the alphabet.
+  // -------------------------------------------------------------------
+  def t19BigramLm(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 2)").as("bg"))
+    val m = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val pre = m.groupBy(expr("substr(bg, 1, 1)").as("c1"))
+      .agg(sum(col("cnt")).as("pcnt"))
+    val p = m.join(pre, expr("substr(bg, 1, 1)") === pre("c1"))
+      .select(col("bg"),
+        floor(col("cnt").cast("double") / col("pcnt") * lit(1000000.0))
+          .as("ppm"))
+    bi.join(broadcast(p), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("(2 * sppm + n_bigrams) DIV (2 * n_bigrams)").cast("double")
+          / lit(1000000.0)).as("avg_cond_p"))
+      .orderBy("doc_id")
+  }
+
+  val t19Sql: String =
+    """WITH bi AS (SELECT doc_id, substr(text, i, 2) AS bg
+      |            FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 1)) AS i
+      |                  FROM documents WHERE len(text) >= 2)),
+      |m AS (SELECT bg, COUNT(*) AS cnt FROM bi GROUP BY bg),
+      |pre AS (SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM m GROUP BY 1),
+      |p AS (SELECT m.bg, CAST(FLOOR(CAST(m.cnt AS DOUBLE) / pre.pcnt * 1000000.0) AS BIGINT) AS ppm
+      |      FROM m JOIN pre ON substr(m.bg, 1, 1) = pre.c1),
+      |sc AS (SELECT doc_id, COUNT(*) AS nb, CAST(SUM(ppm) AS BIGINT) AS sppm
+      |       FROM bi JOIN p USING (bg) GROUP BY doc_id)
+      |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+      |       CAST((2 * sppm + nb) // (2 * nb) AS DOUBLE) / 1000000.0 AS avg_cond_p
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("t1_lang_id", t1LangId _, t1Sql),
     ("t2_quality", t2Quality _, t2Sql),
@@ -1055,5 +1115,6 @@ object TextStats {
     ("t15_seq_pack", t15SeqPack _, t15Sql),
     ("t16_tfidf", t16Tfidf _, t16Sql),
     ("t17_rarity", t17Rarity _, t17Sql),
-    ("t18_curation_report", t18CurationReport _, t18Sql))
+    ("t18_curation_report", t18CurationReport _, t18Sql),
+    ("t19_bigram_lm", t19BigramLm _, t19Sql))
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming surfaces exposed on the driver's oracled queries list.
@@ -89,8 +90,74 @@ object StreamQueries {
       |FROM g GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start_us""".stripMargin
 
+  /** Append-mode twin of [[runToTable]] for surfaces the complete-mode
+    * memory sink cannot run (stream-stream joins support append only).
+    * Each matched row is emitted exactly once across micro-batches, so
+    * reading the sink table after AvailableNow drains the source yields
+    * the full join result. */
+  private def runToTableAppend(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    s.table(sink)
+  }
+
+  /** b46: the stream-stream interval join (every error joined to the
+    * same user's clicks in the preceding 30 minutes) through the
+    * micro-batch engine. Both sides are the SAME streaming source
+    * (a streaming self-join); the 2-hour watermarks inside
+    * clickErrorJoin bound the buffered state, and the inner join emits
+    * each match exactly once as both sides arrive. The oracle is the
+    * equivalent batch interval self-join on microsecond epochs. */
+  def b46StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val events = EventStream.readEvents(s, d)
+    runToTableAppend(s, "b46_stream_interval_join_sink",
+      EventStream.clickErrorJoin(events, events))
+      .orderBy("error_id", "click_id")
+  }
+
+  val b46Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsus, event_type FROM events)
+      |SELECT err.event_id AS error_id, clk.event_id AS click_id,
+      |       err.user_id AS user_id, err.tsus - clk.tsus AS gap_us
+      |FROM e err JOIN e clk ON err.user_id = clk.user_id
+      |WHERE err.event_type = 'error' AND clk.event_type = 'click'
+      |  AND err.tsus >= clk.tsus AND err.tsus <= clk.tsus + 1800000000
+      |ORDER BY error_id, click_id""".stripMargin
+
+  /** b47: bounded-state stream dedup under the oracle — the SAME event
+    * source is read twice and unioned (every event arrives exactly
+    * twice), then dropDuplicatesWithinWatermark collapses the doubled
+    * stream. The oracle is the raw events table itself: dedup is
+    * correct iff the doubled stream reproduces it exactly. Both copies
+    * of a key are identical rows, so first-seen-wins is deterministic;
+    * state is bounded by the 2-hour watermark (keys evict once the
+    * watermark passes), which is what distinguishes this from a plain
+    * dropDuplicates that grows state forever on an unbounded stream. */
+  def b47StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = EventStream.readEvents(s, d)
+      .unionAll(EventStream.readEvents(s, d))
+    runToTableAppend(s, "b47_stream_dedup_sink",
+      EventStream.dedupedEvents(doubled)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsus"),
+          col("user_id"), col("event_type"), col("value")))
+      .orderBy("event_id")
+  }
+
+  val b47Sql: String =
+    """SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b43_stream_parity", b43StreamParity _, b43Sql),
     ("b44_stream_segment", b44StreamSegment _, b44Sql),
-    ("b45_stream_sessions", b45StreamSessions _, b45Sql))
+    ("b45_stream_sessions", b45StreamSessions _, b45Sql),
+    ("b46_stream_interval_join", b46StreamIntervalJoin _, b46Sql),
+    ("b47_stream_dedup", b47StreamDedup _, b47Sql))
 }

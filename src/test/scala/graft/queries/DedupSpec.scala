@@ -212,4 +212,35 @@ class DedupSpec extends AnyFunSuite {
     assert(fp == flagged - exact)
     assert(flagged <= nTrain)
   }
+
+  test("d11: span coverage equals the brute-force rolling-window ground truth") {
+    val W = 16
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // ground truth: every W-word window string → set of docs containing it
+    val occ = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ws) <- texts; p <- 0 to ws.length - W)
+      occ.getOrElseUpdate(ws.slice(p, p + W).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val dupWins = occ.filter(_._2.size >= 2).keySet
+    val want = texts.flatMap { case (id, ws) =>
+      val dupPos = (0 to ws.length - W)
+        .filter(p => dupWins(ws.slice(p, p + W).mkString(" ")))
+      if (dupPos.isEmpty) None
+      else Some(id -> (dupPos.size.toLong,
+        dupPos.flatMap(p => p until p + W).distinct.size.toLong))
+    }
+    val got = Dedup.d11SubstringSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("covered_tokens"))).toMap
+    assert(got == want.toMap,
+      s"span dedup diverges from brute force: got=$got want=${want.toMap}")
+    // coverage can never exceed the doc and a duplicated window implies
+    // at least W covered tokens
+    Dedup.d11SubstringSpans(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("covered_tokens") >= W)
+    }
+  }
 }

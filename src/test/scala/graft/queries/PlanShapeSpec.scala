@@ -84,8 +84,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // the O(n²) plan that dies at scale. (b12/s1/s2 intentionally
     // broadcast a tiny build side via crossJoin and are excluded.)
     for (q <- Seq("d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
-        "d7_dup_clusters", "t4_fingerprint", "t7_contamination", "s4_knn_graph",
-        "t12_boilerplate")) {
+        "d7_dup_clusters", "d11_substring_spans", "t4_fingerprint",
+        "t7_contamination", "s4_knn_graph", "t12_boilerplate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
@@ -161,6 +161,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the 1024-row codebook must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"s7 plans a cartesian product:\n$p")
+  }
+
+  test("t19: the bigram LM model joins back via broadcast; scoring is never all-pairs") {
+    // the model is ≤|alphabet|² rows by construction — the join back
+    // onto the per-position bigram stream must broadcast it, keeping
+    // the scoring side shuffle-free until the doc-keyed agg
+    val p = plan("t19_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bigram model must broadcast onto the scoring stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t19 plans a cartesian product:\n$p")
   }
 
   test("b36: the nation dim joins via broadcast") {

@@ -369,4 +369,53 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.s8Kmeans(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("s11: IVF-PQ ADC search equals the brute-force recompute of the whole pipeline") {
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // coarse: round-6 cosine argmax over the 32 seed centroids (the
+    // kernel's left-to-right fold), top-2 probe for the queries
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val cids = (100L until 132L).filter(emb.contains)
+    def rankedCells(v: Array[Double]): Seq[Long] =
+      cids.sortBy(c => (-cos(v, emb(c)), c))
+    val assign = emb.map { case (id, v) => id -> rankedCells(v).head }
+    // PQ: per (vec, sub) argmin round-6 subspace L2² over the 16 codes
+    def subErr(v: Array[Double], codeVec: Array[Double], sub: Int): Double =
+      round6((0 until 8).map(k => { val dx = v(sub * 8 + k) - codeVec(sub * 8 + k); dx * dx }).sum)
+    val codeVecs = (0 until 16).map(c => emb(200L + c))
+    def codesOf(v: Array[Double]): Array[Int] =
+      (0 until 8).map(sub => (0 until 16).minBy(c => (subErr(v, codeVecs(c), sub), c))).toArray
+    // ADC in exact micro-units (the engine sums DECIMAL(30,6) entries)
+    val want = (0L until 10L).filter(emb.contains).flatMap { qid =>
+      val lut = Array.tabulate(8, 16)((sub, c) =>
+        math.round(subErr(emb(qid), codeVecs(c), sub) * 1e6))
+      val cells = rankedCells(emb(qid)).take(2).toSet
+      val cand = assign.collect {
+        case (id, cell) if cells(cell) && id != qid => id
+      }
+      val scored = cand.map { id =>
+        val ks = codesOf(emb(id))
+        id -> (0 until 8).map(sub => lut(sub)(ks(sub))).sum
+      }.toSeq.sortBy { case (id, adc) => (adc, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, adcMicro), i) =>
+        (qid, i + 1L) -> (id, adcMicro)
+      }
+    }.toMap
+    val got = Similarity.s11IvfPq(spark, sf).collect().map { r =>
+      (r.getAs[Long]("qid"), r.getAs[Int]("rank").toLong) ->
+        (r.getAs[Long]("vec_id"), math.round(r.getAs[Double]("adc") * 1e6))
+    }.toMap
+    assert(got == want, s"ADC search diverges from brute force")
+    // and the search is genuinely pruned: candidates came from 2 of 32
+    // cells, so each query returns at most 5 of a strict corpus subset
+    assert(got.keys.map(_._1).toSet.forall(q => got.count(_._1._1 == q) <= 5))
+  }
 }

@@ -348,4 +348,41 @@ class TextStatsSpec extends AnyFunSuite {
     assert(top1Df.forall(_ < corpusMaxDf),
       s"a stopword-class term (df=$corpusMaxDf) won a doc's top-1 slot")
   }
+
+  test("t19: per-doc scores equal the brute-force bigram LM; the model is a proper conditional") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // corpus model, driver-side
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- texts; i <- 0 until t.length - 1)
+      cnt.updateWith(t.substring(i, i + 2))(c => Some(c.getOrElse(0L) + 1))
+    val pre = cnt.groupMapReduce(_._1.substring(0, 1))(_._2)(_ + _)
+    // P(·|c1) sums to 1 for every prefix — an MLE conditional by construction
+    for ((c1, tot) <- pre) {
+      val s = cnt.collect { case (bg, c) if bg.startsWith(c1) => c.toDouble / tot }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"P(.|$c1) sums to $s")
+    }
+    val got = TextStats.t19BigramLm(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_cond_p"))).toMap
+    assert(got.keySet == texts.filter(_._2.length >= 2).keySet)
+    for ((id, t) <- texts if t.length >= 2) {
+      val ppm = (0 until t.length - 1).map { i =>
+        val bg = t.substring(i, i + 2)
+        math.floor(cnt(bg).toDouble / pre(bg.substring(0, 1)) * 1000000.0).toLong
+      }
+      val (nb, score) = got(id)
+      assert(nb == ppm.length)
+      // the engine takes the exact-integer route (floor to ppm, integer
+      // round-half-up mean, one final division) — so equality is EXACT
+      val wantPpm = (2 * ppm.sum + nb) / (2 * nb)
+      assert(score == wantPpm.toDouble / 1000000.0,
+        s"doc $id: engine=$score brute=${wantPpm.toDouble / 1000000.0}")
+      assert(score > 0.0 && score < 1.0)
+      // and the integer route stays within one ppm of the true mean
+      val trueMean = ppm.map(_.toDouble / 1e6).sum / nb
+      assert(math.abs(score - trueMean) <= 1e-6)
+    }
+  }
 }
