@@ -790,6 +790,13 @@ object Dedup {
   // repeated k× costs k rows, not O(k²) pairs, so a mass-duplicated
   // boilerplate span is exactly as cheap as a unique one. W = 16 words
   // (the 50-BPE-token threshold scaled to this corpus's short docs).
+  //
+  // The shuffled window key is NOT the md5 hex string (32–40 bytes per
+  // row on the wire for the biggest shuffle in the query) but two
+  // 60-bit integer folds of it (16 bytes, cheaper comparisons) — the
+  // repo-wide hash48/d3 recipe widened to a 120-bit pair, so key
+  // collisions stay negligible (≪1 expected) even at a 10^12-window
+  // corpus where a single 60-bit fold would merge distinct spans.
   // -------------------------------------------------------------------
   private val D11W = 16
 
@@ -800,11 +807,14 @@ object Dedup {
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - (D11W - 1))).as("p"))
       .select(col("doc_id"), col("p"),
-        md5(concat_ws(" ", slice(col("ws"), col("p"), lit(D11W)))).as("h"))
-    val dup = win.groupBy("h")
+        md5(concat_ws(" ", slice(col("ws"), col("p"), lit(D11W)))).as("hx"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hx"), 17, 15), 16, 10).cast("long").as("h2"))
+    val dup = win.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val dw = win.join(dup, "h").select("doc_id", "p")
+      .filter(col("nd") >= 2).select("h1", "h2")
+    val dw = win.join(dup, Seq("h1", "h2")).select("doc_id", "p")
     val agg = dw.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
     val cov = dw
       .select(col("doc_id"),
@@ -824,9 +834,13 @@ object Dedup {
   val d11Sql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS p FROM w),
-      |win AS (SELECT doc_id, p, md5(array_to_string(ws[p:p+15], ' ')) AS h FROM pos),
-      |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-      |dw AS (SELECT win.doc_id, win.p FROM win JOIN dup USING (h)),
+      |winx AS (SELECT doc_id, p, md5(array_to_string(ws[p:p+15], ' ')) AS hx FROM pos),
+      |win AS (SELECT doc_id, p,
+      |               list_reduce(list_transform(string_split(substr(hx,1,15),''), c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c) AS h1,
+      |               list_reduce(list_transform(string_split(substr(hx,17,15),''), c -> strpos('0123456789abcdef',c)-1), (h,c) -> h*16+c) AS h2
+      |        FROM winx),
+      |dup AS (SELECT h1, h2 FROM win GROUP BY h1, h2 HAVING COUNT(DISTINCT doc_id) >= 2),
+      |dw AS (SELECT win.doc_id, win.p FROM win JOIN dup USING (h1, h2)),
       |agg AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM dw GROUP BY doc_id),
       |cov AS (SELECT doc_id, COUNT(DISTINCT c) AS covered_tokens
       |        FROM (SELECT doc_id, unnest(generate_series(p, p + 15)) AS c FROM dw)
