@@ -50,11 +50,13 @@ object ScaleGen {
   }
 
   def generate(s: SparkSession, src: String, out: String, tiles: Int): Unit = {
-    // the embedding rotation shifts by the tile index, so tiles beyond
-    // the vector dimensionality would slice past the array and write
-    // corrupt embeddings — fail loudly instead
-    require(tiles >= 1 && tiles <= 64,
-      s"tiles must be in [1, 64] (embedding rotation is bounded by the 64 dims), got $tiles")
+    // the embedding variation composes a cyclic rotation (tile % dims)
+    // with a per-group deterministic sign-flip pattern (tile / dims), so
+    // up to dims * dims = 4096 tiles each get a distinct norm-preserving
+    // transform; beyond that the transforms would repeat and silently
+    // inflate the planted near-dup families — fail loudly instead
+    require(tiles >= 1 && tiles <= 4096,
+      s"tiles must be in [1, 4096] (64 rotations x 64 sign-flip groups), got $tiles")
     def read(t: String): DataFrame = {
       // events.parquet declares timestamp[ns] — same shim as Tables
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -110,18 +112,28 @@ object ScaleGen {
       .drop("tile")
     write(docs, "documents")
 
-    // embeddings: tiled vectors are ROTATED by the tile index (same
-    // norm, near-zero cosine to the original) except the planted
-    // vec_id % 100 == 0 near-dup clusters, which stay verbatim;
+    // embeddings: tiled vectors are ROTATED by tile % dims and, for
+    // tiles beyond the dimensionality, SIGN-FLIPPED by a deterministic
+    // per-group murmur3 parity pattern (tile / dims) — both transforms
+    // preserve the norm exactly while pushing cross-tile cosine to
+    // ~zero, so every tile is distinct content up to 4096 tiles.
+    // Planted vec_id % 100 == 0 near-dup clusters stay verbatim;
     // vec_id offsets mirror doc_id so the doc↔vec alignment d6 uses
-    // survives tiling
+    // survives tiling. Groups ≤ 64 tiles reduce to the pure rotation,
+    // keeping earlier probe corpora bit-reproducible.
     val dims = read("embeddings").selectExpr("size(embedding)").first().getInt(0)
+    val rot = (col("tile") % dims).cast("int")
+    val grp = (col("tile") / dims).cast("int")
+    val rotated = concat(
+      slice(col("embedding"), rot + lit(1), lit(dims) - rot),
+      slice(col("embedding"), lit(1), rot))
+    val flipped = when(grp === 0, rotated).otherwise(
+      transform(rotated, (x, i) =>
+        when(pmod(hash(i, grp), lit(2)) === 1, -x).otherwise(x)))
     val emb = tile(read("embeddings"), Seq.empty)
       .withColumn("embedding",
         when(col("tile") === 0 || col("vec_id") % 100 === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), (col("tile") + 1).cast("int"), lit(dims) - col("tile").cast("int")),
-            slice(col("embedding"), lit(1), col("tile").cast("int")))))
+          .otherwise(flipped))
       .withColumn("vec_id",
         (col("vec_id") + col("tile") * K).cast(read("embeddings").schema("vec_id").dataType))
       .drop("tile")

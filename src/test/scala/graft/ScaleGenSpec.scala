@@ -89,4 +89,33 @@ class ScaleGenSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("string").as("em_src"))
     assert(t0.join(s0, "vec_id").filter(col("em") =!= col("em_src")).count() === 0L)
   }
+
+  test("beyond 64 tiles, sign-flip groups keep every copy distinct and |component|-preserving") {
+    val bigTiles = 66 // crosses the 64-rotation boundary into group 1
+    val dir = Files.createTempDirectory("scalegen-flip").toString
+    ScaleGen.generate(spark, src, dir, bigTiles)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").select(
+      (col("vec_id") % 10000000L).as("src_id"),
+      col("embedding"))
+    val bySrc = e.groupBy("src_id").agg(
+      countDistinct(array_sort(transform(col("embedding"), x => abs(x))).cast("string"))
+        .as("abs_multisets"),
+      countDistinct(col("embedding").cast("string")).as("verbatims"))
+    // rotation + sign flip both preserve the |component| multiset (and
+    // therefore the norm) exactly, for every copy in every group
+    assert(bySrc.filter(col("abs_multisets") =!= 1).count() === 0L)
+    // every non-planted tile copy is distinct content — tile 64 (group 1,
+    // rotation 0) must NOT collapse onto tile 0, nor 65 onto 1
+    assert(bySrc.filter(col("src_id") % 100 =!= 0 && col("verbatims") =!= bigTiles).count() === 0L)
+    // planted decades stay verbatim across all 66 copies
+    assert(bySrc.filter(col("src_id") % 100 === 0 && col("verbatims") =!= 1).count() === 0L)
+  }
+
+  test("tile counts past the 4096 transform family are rejected loudly") {
+    val dir = Files.createTempDirectory("scalegen-reject").toString
+    val err = intercept[IllegalArgumentException] {
+      ScaleGen.generate(spark, src, dir, 4097)
+    }
+    assert(err.getMessage.contains("4096"))
+  }
 }
