@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -10,11 +11,15 @@ import org.apache.spark.sql.functions._
   * returned DataFrame and let pushdown do its job (verified via
   * `.explain("formatted")` → `PushedFilters`/`ReadSchema`).
   *
-  * The only special case is `events`: its parquet footer declares
-  * `ts: timestamp[ns]`, which Spark 4 rejects (`PARQUET_TYPE_ILLEGAL`)
-  * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set; the raw
-  * nanosecond long is then rewrapped to a proper TimestampType via
-  * `timestamp_micros(ts div 1000)`.
+  * The only special case is `events`: its `ts` column has shipped with
+  * two different parquet footers across driver data generations —
+  * `timestamp[ns]`, which Spark 4 rejects (`PARQUET_TYPE_ILLEGAL`)
+  * unless `spark.sql.legacy.parquet.nanosAsLong=true` is set and then
+  * surfaces as a raw nanosecond long, and `timestamp[us]`
+  * (isAdjustedToUTC=false), which surfaces as TIMESTAMP_NTZ. Both are
+  * normalized to a session-TZ TimestampType here (all entry points run
+  * with `spark.sql.session.timeZone=UTC`, so the NTZ wall time and the
+  * raw epoch nanos agree on the same instant).
   */
 object Tables {
 
@@ -33,9 +38,14 @@ object Tables {
       // here because events.parquet is the only ns-timestamp input and
       // every events access goes through this method.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // ns footer: raw epoch nanos under the legacy conf
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // us footer, isAdjustedToUTC=false
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw // already a session-TZ timestamp
+      }
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Streaming mode for the relational/events surface — the same hourly
   * tumbling-window aggregation as B11, runnable over either the batch
@@ -20,28 +20,36 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType
   */
 object EventStream {
 
-  /** Raw parquet schema of events.parquet: `ts` arrives as raw
-    * nanosecond longs (the footer declares timestamp[ns], which Spark 4
-    * only admits via the nanosAsLong legacy conf — same shim as
-    * `Tables.events`, applied to the streaming reader). */
-  private val rawSchema = StructType(Seq(
+  /** Raw parquet schema of events.parquet, parameterized by the footer's
+    * `ts` representation: raw nanosecond longs (timestamp[ns] footer
+    * under the nanosAsLong legacy conf — same shim as `Tables.events`)
+    * or TIMESTAMP_NTZ (timestamp[us] footer, isAdjustedToUTC=false). */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming view of the events table (nanos shim applied). */
+  /** Streaming view of the events table, `ts` normalized to a session-TZ
+    * TimestampType whichever footer variant the driver generated (the
+    * streaming source needs an explicit schema, so the footer is probed
+    * once through the batch reader — schema resolution only, no scan). */
   def readEvents(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     // the streaming file source wants a directory; the glob filter
     // narrows the listing to the events table inside the sf dir
-    s.readStream
-      .schema(rawSchema)
+    val stream = s.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** Watermarked stream dedup on event_id (SURVEY §2.9 "dedup across
