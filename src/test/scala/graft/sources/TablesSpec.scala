@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** The events table's `ts` column has shipped with different parquet
+  * footers across driver data generations (timestamp[ns] → raw longs
+  * under the nanosAsLong legacy conf; timestamp[us] with
+  * isAdjustedToUTC=false → TIMESTAMP_NTZ). The readers must normalize
+  * every variant to the SAME session-TZ TimestampType instants — a
+  * footer change must never shift event time (the round-8 regression:
+  * the unconditional `ts div 1000` shim compressed us-footer event
+  * time 1000×, collapsing 720 hourly windows to 2).
+  */
+class TablesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("tables-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Write the same logical events under a given ts writer expression,
+    * as the single-file `events.parquet` layout the sf dirs use. */
+  private def writeFixture(tsCol: String): String = {
+    val dir = Files.createTempDirectory("tables-spec-").toFile
+    val out = new java.io.File(dir, "events.parquet")
+    val tmp = new java.io.File(dir, "_tmp")
+    val df = spark.range(0, 100)
+      .select(
+        col("id").as("event_id"),
+        expr(tsCol).as("ts"),
+        (col("id") % 7).as("user_id"),
+        concat(lit("type_"), col("id") % 3).as("event_type"),
+        (col("id") * 1.5).as("value"),
+        lit("{}").as("props"))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, out.toPath)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    dir.getAbsolutePath
+  }
+
+  // one event per hour starting 2024-03-01T00:00Z — us-precision micros
+  private val baseUs = 1709251200000000L
+  private def epochs(df: DataFrame): Seq[Long] = {
+    assert(df.schema("ts").dataType == TimestampType,
+      s"ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+  }
+  private val want: Seq[Long] = (0L until 100L).map(baseUs + _ * 3600000000L)
+
+  private lazy val ntzDir = writeFixture(
+    s"timestamp_micros($baseUs + id * 3600000000) :: timestamp_ntz")
+  private lazy val tzDir = writeFixture(
+    s"timestamp_micros($baseUs + id * 3600000000)")
+
+  test("batch events reader normalizes NTZ and UTC-adjusted footers to the same instants") {
+    assert(epochs(Tables.events(spark, ntzDir)) == want)
+    assert(epochs(Tables.events(spark, tzDir)) == want)
+  }
+
+  test("streaming events reader agrees with the batch reader on both footers") {
+    for (d <- Seq(ntzDir, tzDir)) {
+      val stream = EventStream.readEvents(spark, d)
+      assert(stream.isStreaming)
+      val sink = "tables_spec_sink"
+      spark.catalog.dropTempView(sink)
+      val q = stream.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "stream did not finish within 120s")
+      finally q.stop()
+      assert(epochs(spark.table(sink)) == want)
+    }
+  }
+}
