@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout/stderr in forked runs instead of the
+// "[info] "-prefixing logger: the driver tail-captures Bench's stdout
+// and json-parses the final metrics line, which the prefix breaks
+// (BENCH_r07/r08 both recorded parsed:null because every line arrived
+// as "[info] {...}").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
