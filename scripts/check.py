@@ -19,19 +19,24 @@ con.sql(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GB')}'")
 con.sql("SET temp_directory='/tmp/duck_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
+    # driver SFs are single files; graft.ScaleGen probes are
+    # <table>.parquet/ directories of part files — glob the latter
+    tpath = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(tpath):
+        tpath = f"{tpath}/*.parquet"
     if t == "events":
         # driver SFs carry ts as timestamp[ns]; Spark-rewritten scale
         # probes (graft.ScaleGen) carry the same nanos as BIGINT —
         # normalize so every oracle sees one ts type
-        tstype = con.sql(f"SELECT typeof(ts) FROM '{sfdir}/events.parquet' LIMIT 1").fetchone()[0]
+        tstype = con.sql(f"SELECT typeof(ts) FROM '{tpath}' LIMIT 1").fetchone()[0]
         if tstype == "BIGINT":
             # micros is the precision every consumer uses (Spark reads
             # the ns column via `ts div 1000`), so a micros TIMESTAMP
             # view is exactly equivalent for the oracles
             con.sql(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                    f"FROM '{sfdir}/events.parquet'")
+                    f"FROM '{tpath}'")
             continue
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tpath}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 

@@ -46,6 +46,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split multi-row-group files across cores: the probe tables are
+      // single 50-400 MB files, and the 128 MB default put their whole
+      // scan-side work on one task (8 MB ~ the probes' row-group size)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

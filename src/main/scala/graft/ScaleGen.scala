@@ -62,18 +62,21 @@ object ScaleGen {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$src/$t.parquet")
     }
-    // single-FILE tables, matching the driver's sf layout (and what
-    // the DuckDB oracle can open without a glob)
+    // MULTI-file tables (a `<t>.parquet/` directory of part files) —
+    // the layout a real deployment has at any scale, and what lets a
+    // scan hand distinct files to distinct tasks. The probes' original
+    // single-file layout put each table's whole map-side work on ONE
+    // core (the r9 finding: the 30x documents table compressed to
+    // 4 MB / 1 row group, so every shingle/regex stage ran serially
+    // regardless of spark.sql.files.maxPartitionBytes). Spark's batch
+    // and streaming readers and DuckDB (via a part glob in
+    // scripts/check.py) all open the directory form; small tables stay
+    // single-part via the size-aware partition count below.
     def write(df: DataFrame, t: String): Unit = {
-      val tmp = s"$out/_tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val dir = new java.io.File(tmp)
-      val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(s"$out/$t.parquet")
-      if (dst.exists()) dst.delete()
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+      val parts = math.max(1, math.min(32, tiles / 2))
+      df.repartition(parts).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(s"$out/$t.parquet")
     }
 
     /** Explode each row into `tiles` copies and offset `keys` by

@@ -38,13 +38,16 @@ object EventStream {
     * once through the batch reader — schema resolution only, no scan). */
   def readEvents(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = s.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
-    // the streaming file source wants a directory; the glob filter
-    // narrows the listing to the events table inside the sf dir
-    val stream = s.readStream
-      .schema(rawSchema(tsType))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val evPath = s"$sfDir/events.parquet"
+    val tsType = s.read.parquet(evPath).schema("ts").dataType
+    // the streaming file source wants a directory: for the driver SFs'
+    // single-FILE layout that is the sf dir + a glob narrowing the
+    // listing to the events table; ScaleGen probes write events.parquet
+    // as a directory of part files, streamable directly
+    val reader = s.readStream.schema(rawSchema(tsType))
+    val stream =
+      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
     tsType match {
       case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
