@@ -56,9 +56,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY: optional regex narrowing the sweep to matching
+    // query names — for probing one query's wall/stream cost at a big
+    // synthetic SF without paying the full 101-query sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+
     // Baseline methodology (BASELINE.md): build the DataFrame once,
     // 1 warmup collect, then median of timed collects.
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results: Seq[(String, Double)] = selected.map {
       case (name, fn) =>
         val t =
           try {
@@ -89,6 +96,7 @@ object Bench {
     // deliberately exclude.
     val streamWall: Seq[(String, Double)] = streaming
       .filter(SparkEntry.queries.contains)
+      .filter(name => only.forall(_.findFirstIn(name).isDefined))
       .map { name =>
         val t =
           try {
