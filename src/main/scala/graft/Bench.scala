@@ -111,11 +111,18 @@ object Bench {
     def queriesJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
 
+    // A SPARK_GRAFT_ONLY-filtered sweep has silently partial totals —
+    // stamp the filter into both artifacts so a tail capture can never
+    // mistake it for a full sweep.
+    val filteredTag = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(re => s""","filtered":true,"filter":"${re.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+      .getOrElse("")
+
     // Durable full artifact — every query, plus totals.
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(results)},""" +
-        s""""stream_wall":${queriesJson(streamWall)},"sf":"$sfDir"}"""
+        s""""stream_wall":${queriesJson(streamWall)}$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"), fullJson.getBytes(StandardCharsets.UTF_8))
 
     // Final compact driver line — must survive a ~1.9 KB stdout tail.
@@ -123,7 +130,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(headQueries)},""" +
-        s""""stream_wall":${queriesJson(streamWall)},"full":"bench_out.json","sf":"$sfDir"}""")
+        s""""stream_wall":${queriesJson(streamWall)}$filteredTag,"full":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

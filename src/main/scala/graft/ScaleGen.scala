@@ -57,11 +57,12 @@ object ScaleGen {
     // inflate the planted near-dup families — fail loudly instead
     require(tiles >= 1 && tiles <= 4096,
       s"tiles must be in [1, 4096] (64 rotations x 64 sign-flip groups), got $tiles")
-    def read(t: String): DataFrame = {
-      // events.parquet declares timestamp[ns] — same shim as Tables
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$src/$t.parquet")
-    }
+    def read(t: String): DataFrame =
+      // events goes through the footer probe/shim (ns/NTZ/us → session-TZ
+      // timestamp), so the synth corpus is written with a MODERN footer
+      // whatever the source generation shipped
+      if (t == "events") graft.sources.Tables.table(s, src, t)
+      else s.read.parquet(s"$src/$t.parquet")
     // MULTI-file tables (a `<t>.parquet/` directory of part files) —
     // the layout a real deployment has at any scale, and what lets a
     // scan hand distinct files to distinct tasks. The probes' original
@@ -70,10 +71,19 @@ object ScaleGen {
     // 4 MB / 1 row group, so every shingle/regex stage ran serially
     // regardless of spark.sql.files.maxPartitionBytes). Spark's batch
     // and streaming readers and DuckDB (via a part glob in
-    // scripts/check.py) all open the directory form; small tables stay
-    // single-part via the size-aware partition count below.
-    def write(df: DataFrame, t: String): Unit = {
-      val parts = math.max(1, math.min(32, tiles / 2))
+    // scripts/check.py) all open the directory form.
+    def srcBytes(t: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$src/$t.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    }
+    // Size-aware partition count: target ~8 MB of (estimated) output
+    // bytes per part file — source bytes × copy factor, since tiling
+    // compresses about like the source. Big tables fan out to 32 parts;
+    // the KB-scale dimension tables stay ONE part instead of 32
+    // mostly-empty files.
+    def write(df: DataFrame, t: String, copies: Int): Unit = {
+      val parts = math.max(1, math.min(32,
+        (srcBytes(t) * copies / (8L * 1024 * 1024)).toInt))
       df.repartition(parts).write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
         .parquet(s"$out/$t.parquet")
@@ -90,17 +100,17 @@ object ScaleGen {
     }
 
     // single-copy global dimensions
-    write(read("region"), "region")
-    write(read("nation"), "nation")
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
 
     // tiled relational entities — FKs offset in lockstep
-    write(tile(read("customer"), Seq("c_custkey")).drop("tile"), "customer")
-    write(tile(read("supplier"), Seq("s_suppkey")).drop("tile"), "supplier")
-    write(tile(read("part"), Seq("p_partkey")).drop("tile"), "part")
-    write(tile(read("orders"), Seq("o_orderkey", "o_custkey")).drop("tile"), "orders")
+    write(tile(read("customer"), Seq("c_custkey")).drop("tile"), "customer", tiles)
+    write(tile(read("supplier"), Seq("s_suppkey")).drop("tile"), "supplier", tiles)
+    write(tile(read("part"), Seq("p_partkey")).drop("tile"), "part", tiles)
+    write(tile(read("orders"), Seq("o_orderkey", "o_custkey")).drop("tile"), "orders", tiles)
     write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      .drop("tile"), "lineitem")
-    write(tile(read("events"), Seq("event_id", "user_id")).drop("tile"), "events")
+      .drop("tile"), "lineitem", tiles)
+    write(tile(read("events"), Seq("event_id", "user_id")).drop("tile"), "events", tiles)
 
     // documents: tiled text is unique per tile EXCEPT the planted
     // doc_id % 100 == 0 clusters (10 exact copies each); n_chars is
@@ -113,7 +123,7 @@ object ScaleGen {
       .withColumn("doc_id",
         (col("doc_id") + col("tile") * K).cast(read("documents").schema("doc_id").dataType))
       .drop("tile")
-    write(docs, "documents")
+    write(docs, "documents", tiles)
 
     // embeddings: tiled vectors are ROTATED by tile % dims and, for
     // tiles beyond the dimensionality, SIGN-FLIPPED by a deterministic
@@ -140,7 +150,7 @@ object ScaleGen {
       .withColumn("vec_id",
         (col("vec_id") + col("tile") * K).cast(read("embeddings").schema("vec_id").dataType))
       .drop("tile")
-    write(emb, "embeddings")
+    write(emb, "embeddings", tiles)
 
     println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src"}""")
   }

@@ -90,6 +90,7 @@ object CapQueries {
     * diverging from the golden with duplicate per-id rows. */
   private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
+    graft.streaming.StateBackend.enableRocksDb(s)
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
@@ -98,6 +99,8 @@ object CapQueries {
       .start()
     try q.awaitTermination()
     finally q.stop()
+    graft.streaming.StateBackend.assertRocksDb(q)
+    graft.streaming.StateBackend.reportState(q)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches == 1,
       s"$sink: expected exactly 1 data micro-batch (update-mode golden " +

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -27,25 +27,60 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** True iff the failure (anywhere in the cause chain) is Spark 4
+    * rejecting a parquet `timestamp[ns]` footer without the legacy
+    * conf (error class PARQUET_TYPE_ILLEGAL, "Illegal Parquet type"). */
+  private def isIllegalNanos(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type")
+    }
+
+  /** Probe events.parquet's RAW in-scan `ts` type, enabling the legacy
+    * nanosAsLong conf ONLY when the footer is actually `timestamp[ns]`.
+    *
+    * The probe runs WITHOUT the conf first: a modern us/NTZ footer
+    * resolves cleanly and the conf is never touched, so an unrelated
+    * ns-parquet read elsewhere in the session still fails loudly
+    * (PARQUET_TYPE_ILLEGAL) instead of silently yielding raw longs —
+    * the round-9 "spooky action at a distance" trap, removed. Only a
+    * genuine ns events footer flips the conf, and then it must STAY
+    * set: the scan consults it lazily at both schema resolution and
+    * execution, so restoring it would break the very DataFrame the
+    * caller holds (that residual, ns-corpus-only side effect is
+    * documented here and spec-pinned in TablesSpec).
+    */
+  def probeEventsTs(spark: SparkSession, evPath: String): DataType = {
+    val resolved =
+      try Some(spark.read.parquet(evPath).schema("ts").dataType)
+      catch { case e: Throwable if isIllegalNanos(e) => None }
+    resolved match {
+      case Some(t) => t // LongType here means the legacy conf is already on
+      case None =>
+        spark.conf.set(NanosKey, "true")
+        spark.read.parquet(evPath).schema("ts").dataType // LongType
+    }
+  }
+
+  /** Normalize a raw-footer `ts` column to a session-TZ TimestampType
+    * (all entry points run with session TZ = UTC, so the NTZ wall time
+    * and the raw epoch nanos agree on the same instant). */
+  def normalizeTs(df: DataFrame, rawType: DataType): DataFrame = rawType match {
+    case LongType => // ns footer: raw epoch nanos under the legacy conf
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => // us footer, isAdjustedToUTC=false
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df // already a session-TZ timestamp
+  }
+
   /** Read one table from an sf directory, applying per-table shims. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // Runtime-settable SQL conf; must be in place when the scan's
-      // schema is resolved AND when it executes (both lazy), so it is
-      // deliberately NOT restored afterwards. Session-wide side effect:
-      // any later parquet read of ns-timestamp columns in this session
-      // will also see them as raw longs instead of failing — acceptable
-      // here because events.parquet is the only ns-timestamp input and
-      // every events access goes through this method.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw.schema("ts").dataType match {
-        case LongType => // ns footer: raw epoch nanos under the legacy conf
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => // us footer, isAdjustedToUTC=false
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw // already a session-TZ timestamp
-      }
+      val evPath = s"$sfDir/events.parquet"
+      val rawType = probeEventsTs(spark, evPath)
+      normalizeTs(spark.read.parquet(evPath), rawType)
     case other =>
       spark.read.parquet(s"$sfDir/$other.parquet")
   }

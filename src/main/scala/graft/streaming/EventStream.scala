@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Streaming mode for the relational/events surface — the same hourly
   * tumbling-window aggregation as B11, runnable over either the batch
@@ -37,22 +37,23 @@ object EventStream {
     * streaming source needs an explicit schema, so the footer is probed
     * once through the batch reader — schema resolution only, no scan). */
   def readEvents(s: SparkSession, sfDir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evPath = s"$sfDir/events.parquet"
-    val tsType = s.read.parquet(evPath).schema("ts").dataType
+    // shared footer probe: enables the legacy ns conf only when the
+    // footer is actually timestamp[ns] (see Tables.probeEventsTs)
+    val tsType = graft.sources.Tables.probeEventsTs(s, evPath)
     // the streaming file source wants a directory: for the driver SFs'
     // single-FILE layout that is the sf dir + a glob narrowing the
     // listing to the events table; ScaleGen probes write events.parquet
-    // as a directory of part files, streamable directly
+    // as a directory of part files, streamable directly. Directory-ness
+    // is resolved through the Hadoop FileSystem of the path (not
+    // java.io.File), so an hdfs:///s3a:// sfDir takes the right branch.
+    val hPath = new org.apache.hadoop.fs.Path(evPath)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val reader = s.readStream.schema(rawSchema(tsType))
     val stream =
-      if (new java.io.File(evPath).isDirectory) reader.parquet(evPath)
+      if (fs.getFileStatus(hPath).isDirectory) reader.parquet(evPath)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    tsType match {
-      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => stream
-    }
+    graft.sources.Tables.normalizeTs(stream, tsType)
   }
 
   /** Watermarked stream dedup on event_id (SURVEY §2.9 "dedup across

@@ -23,6 +23,7 @@ object StreamQueries {
     * one session (Verify + Bench) via dropTempView. */
   private def runToTable(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
+    StateBackend.enableRocksDb(s)
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
@@ -31,6 +32,8 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally q.stop()
+    StateBackend.assertRocksDb(q)
+    StateBackend.reportState(q)
     s.table(sink)
   }
 
@@ -97,6 +100,7 @@ object StreamQueries {
     * the full join result. */
   private def runToTableAppend(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
+    StateBackend.enableRocksDb(s)
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
@@ -105,6 +109,8 @@ object StreamQueries {
       .start()
     try q.awaitTermination()
     finally q.stop()
+    StateBackend.assertRocksDb(q)
+    StateBackend.reportState(q)
     s.table(sink)
   }
 

@@ -111,6 +111,16 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(bySrc.filter(col("src_id") % 100 === 0 && col("verbatims") =!= 1).count() === 0L)
   }
 
+  test("part counts are size-aware: KB-scale dimension tables stay single-part") {
+    // 5-row region / 25-row nation must not fan out into dozens of
+    // mostly-empty part files whatever the tile count
+    for (t <- Seq("region", "nation")) {
+      val parts = new java.io.File(s"$out/$t.parquet")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1, s"$t should be one part file, got $parts")
+    }
+  }
+
   test("tile counts past the 4096 transform family are rejected loudly") {
     val dir = Files.createTempDirectory("scalegen-reject").toString
     val err = intercept[IllegalArgumentException] {

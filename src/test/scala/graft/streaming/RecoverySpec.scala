@@ -16,11 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * exists but the batch never committed), restarted from the same
   * checkpoint, must replay exactly the uncommitted batch into
   * IdempotentSink and converge to the same committed output as a run
-  * that never failed. A stretch test re-runs the cap4
-  * mapGroupsWithState lifecycle on the RocksDB state store provider,
-  * pinning that the stateful operators are provider-agnostic (the
-  * provider a 1000-executor deployment would use for state larger
-  * than heap).
+  * that never failed. The cap4 mapGroupsWithState lifecycle gets the
+  * same treatment on the ROCKSDB provider (the engine default since
+  * round 10 — [[StateBackend]]): killed mid-stream under a real
+  * checkpoint, its per-alert state must restore from the RocksDB
+  * changelog and converge to the uninterrupted run's final state.
+  * A provider-parity test pins that the heap provider produces the
+  * identical lifecycle, so the RocksDB default changes no result.
   */
 class RecoverySpec extends AnyFunSuite {
 
@@ -127,22 +129,94 @@ class RecoverySpec extends AnyFunSuite {
       "a window was emitted more than once after recovery")
   }
 
-  test("cap4 lifecycle is state-store-provider agnostic (RocksDB == default HDFS provider)") {
+  test("cap4 lifecycle is state-store-provider agnostic (RocksDB == heap HDFS provider)") {
+    // capLifecycle runs on RocksDB (the engine default via runStream);
+    // re-run the same pipeline on the legacy heap provider and compare.
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = graft.queries.CapQueries.capLifecycle(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
     val prev = spark.conf.getOption(key)
-    def runLifecycle(): Seq[String] =
-      graft.queries.CapQueries.capLifecycle(spark, sf)
-        .collect().map(_.toString).sorted.toSeq
-    val default = runLifecycle()
-    try {
+    val heap = try {
       spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val rocks = runLifecycle()
-      assert(rocks == default && default.nonEmpty,
-        "mapGroupsWithState lifecycle differs between state store providers")
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      spark.catalog.dropTempView("cap4_heap_sink")
+      val q = CapStream.lifecycle(
+          CapStream.alerts(spark, graft.queries.CapQueries.lifecycleFixtureDir))
+        .toDF()
+        .select(col("identifier"), col("status"),
+          concat_ws("|", col("msgTypes")).as("msg_chain"),
+          col("lastSent").as("last_sent"))
+        .writeStream.format("memory").queryName("cap4_heap_sink")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "heap-provider run did not finish")
+      finally q.stop()
+      spark.table("cap4_heap_sink").orderBy("identifier")
+        .collect().map(_.toString).sorted.toSeq
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+    assert(rocks == heap && rocks.nonEmpty,
+      "mapGroupsWithState lifecycle differs between state store providers")
+  }
+
+  test("cap4 lifecycle killed mid-stream resumes from the RocksDB checkpoint") {
+    StateBackend.enableRocksDb(spark)
+    val fixtures = graft.queries.CapQueries.lifecycleFixtureDir
+
+    // one fixture file per micro-batch: per-alert state must survive
+    // the crash between batches via the RocksDB changelog checkpoint
+    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+      val q = CapStream.lifecycle(
+          CapStream.alerts(spark, fixtures, maxFilesPerTrigger = 1))
+        .toDF()
+        .writeStream
+        .foreachBatch(sinkFn)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(180000) }
+      catch { case _: StreamingQueryException => false }
+      finally q.stop()
+    }
+
+    // final lifecycle = latest emitted row per identifier (update mode
+    // emits one refreshed row per alert per batch that touches it)
+    def finalState(outDir: String): Map[String, String] =
+      spark.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+        .collect()
+        .groupBy(_.getAs[String]("identifier"))
+        .map { case (id, rows) =>
+          val last = rows.maxBy(_.getAs[Int]("batch_id"))
+          id -> (last.getAs[String]("status") + "|" +
+            last.getAs[scala.collection.Seq[String]]("msgTypes").mkString(",") +
+            "|" + last.getAs[String]("lastSent"))
+        }
+
+    val controlDir = java.nio.file.Files.createTempDirectory("cap4_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+      "control lifecycle stream did not finish")
+    val control = finalState(controlDir)
+    assert(control.nonEmpty, "control lifecycle emitted nothing")
+
+    // crash AFTER batch 2's sink write (worst case: output exists but
+    // the batch never committed) — replay must overwrite, state must
+    // restore to batch 1's
+    val outDir = java.nio.file.Files.createTempDirectory("cap4_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(!run(ckpt, failingSink), "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+      "recovery lifecycle run did not finish")
+
+    assert(finalState(outDir) == control,
+      "recovered lifecycle state differs from the never-failed control")
   }
 }
