@@ -75,6 +75,87 @@ object Tables {
     case _ => df // already a session-TZ timestamp
   }
 
+  // -------------------------------------------------------------------
+  // Scan-layout compaction (auto-OPTIMIZE for pathological inputs).
+  //
+  // A parquet row group is the unit of scan parallelism: a 10 MB file
+  // written as ONE row group is decoded by ONE task no matter how low
+  // `maxPartitionBytes` goes, so every full-table query pays a
+  // single-threaded scan floor. Real deployments fix this at the
+  // storage layer (Delta OPTIMIZE / Iceberg rewriteDataFiles); this is
+  // the same idea as a read-side safety net — on first touch of a
+  // file whose average row group exceeds `spark.graft.compact.minBytes`
+  // (default 4 MB), rewrite it once into a local multi-file copy
+  // (~1.5 MB/part) keyed by (path, length, mtime) and serve every
+  // subsequent scan from that. Content-identical, order-insensitive
+  // (every consumer either sorts or is a set/agg semantics query — the
+  // determinism recipe is proven across partition-count changes, see
+  // BENCH_NOTES determinism runs). Disable with
+  // `spark.graft.compact.enabled=false`.
+  //
+  // `events` is deliberately NOT compacted: the streaming readers
+  // replay it as a micro-batch source, and physical row order there
+  // decides watermark lateness — a rewrite must not change stream
+  // semantics. At sf0.1 it is far below the threshold anyway.
+  // -------------------------------------------------------------------
+
+  private def conf(spark: SparkSession, key: String, dflt: String): String =
+    spark.conf.getOption(key).getOrElse(dflt)
+
+  /** (bytes, numRowGroups, mtime) for a single parquet FILE; None for
+    * directories (already multi-file — ScaleGen probe layout) or
+    * anything unreadable as parquet. */
+  private def fileLayout(spark: SparkSession, p: String): Option[(Long, Int, Long)] = {
+    import org.apache.hadoop.fs.Path
+    try {
+      val hPath = new Path(p)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(hPath)
+      if (st.isDirectory) None
+      else {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(hPath, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try Some((st.getLen, r.getRowGroups.size(), st.getModificationTime))
+        finally r.close()
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Resolve a table path to its compacted copy, rewriting on first
+    * touch. Returns the original path when the layout is already
+    * scan-parallel (or compaction is disabled). */
+  def maybeCompact(spark: SparkSession, p: String): String = {
+    if (conf(spark, "spark.graft.compact.enabled", "true") != "true") return p
+    val minBytes = conf(spark, "spark.graft.compact.minBytes", (4L << 20).toString).toLong
+    fileLayout(spark, p) match {
+      case Some((bytes, rgs, mtime)) if bytes > minBytes && bytes / math.max(rgs, 1) > minBytes =>
+        val cacheRoot = sys.env.getOrElse(
+          "GRAFT_COMPACT_DIR", s"${System.getProperty("java.io.tmpdir")}/graft-compact")
+        val key = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(s"$p|$bytes|$mtime".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val dst = new java.io.File(cacheRoot, key)
+        compactLock.synchronized {
+          if (!new java.io.File(dst, "_SUCCESS").isFile) {
+            // ~1.5 MB/part: enough scan tasks to fill the cores on a
+            // 10-20 MB table without drowning in task overhead
+            val parts = math.max(2, math.min(64, (bytes / (1500L << 10)).toInt))
+            val tmp = new java.io.File(cacheRoot, s"$key.tmp-${ProcessHandle.current.pid}")
+            spark.read.parquet(p).repartition(parts)
+              .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            if (!tmp.renameTo(dst)) { // lost a cross-process race: theirs is fine
+              org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
+            }
+          }
+        }
+        dst.getAbsolutePath
+      case _ => p
+    }
+  }
+
+  private val compactLock = new Object
+
   /** Read one table from an sf directory, applying per-table shims. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
@@ -82,7 +163,7 @@ object Tables {
       val rawType = probeEventsTs(spark, evPath)
       normalizeTs(spark.read.parquet(evPath), rawType)
     case other =>
-      spark.read.parquet(s"$sfDir/$other.parquet")
+      spark.read.parquet(maybeCompact(spark, s"$sfDir/$other.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
