@@ -91,14 +91,17 @@ object CapQueries {
   private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
     graft.streaming.StateBackend.enableRocksDb(s)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    val q = graft.streaming.StateBackend.withStatePartitions(s, lifecycleFixtureDir) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      q
+    }
     graft.streaming.StateBackend.assertRocksDb(q)
     graft.streaming.StateBackend.reportState(q)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)

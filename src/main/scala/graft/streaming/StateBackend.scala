@@ -45,6 +45,40 @@ object StateBackend {
       "true")
   }
 
+  /** Size the STATE partition count to the source volume instead of
+    * inheriting the batch shuffle width. The number of state stores a
+    * stateful query maintains is `shuffle.partitions × state operators`
+    * — fixed at the first checkpoint and paid as per-partition store
+    * open/commit/changelog cost on EVERY micro-batch. A 2 MB bench
+    * source under the session's 32 batch partitions opens 32 RocksDB
+    * instances per operator to hold a few thousand keys; ~8 MB of
+    * source per state partition (floor 4, ceiling = the session's
+    * batch width so a big corpus still fans out) keeps small runs
+    * cheap and large runs parallel. Real-cluster translation: pick
+    * state width from expected state volume, not from the batch
+    * shuffle default — it cannot be changed later without a state
+    * rebuild. */
+  def statePartitions(s: SparkSession, sourcePath: String): Int = {
+    val ceiling = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(sourcePath)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => return ceiling }
+    math.max(4, math.min(ceiling, (bytes / (8L << 20)).toInt))
+  }
+
+  /** Run `f` (a streaming start/awaitTermination) with the shuffle
+    * width sized to `sourcePath`, restoring the session's batch width
+    * after — the conf is consulted at query planning, so this scopes
+    * the state width to exactly the queries started inside. */
+  def withStatePartitions[T](s: SparkSession, sourcePath: String)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s, sourcePath).toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Progress rows that actually report state operators (AvailableNow
     * runs end with a possibly-empty flush batch; state metrics are
     * present on every batch once the operator exists). */

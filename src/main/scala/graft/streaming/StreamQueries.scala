@@ -21,17 +21,20 @@ object StreamQueries {
     * run: memory sink, complete mode, `Trigger.AvailableNow`, blocking
     * until the source is drained. Idempotent across repeated calls in
     * one session (Verify + Bench) via dropTempView. */
-  private def runToTable(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
+  private def runToTable(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
     StateBackend.enableRocksDb(s)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    val q = StateBackend.withStatePartitions(s, s"$d/events.parquet") {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      q
+    }
     StateBackend.assertRocksDb(q)
     StateBackend.reportState(q)
     s.table(sink)
@@ -41,7 +44,7 @@ object StreamQueries {
     * result is the streaming runtime's own output, not a batch
     * re-computation. */
   def b43StreamParity(s: SparkSession, d: String): DataFrame =
-    runToTable(s, "b43_stream_parity_sink",
+    runToTable(s, "b43_stream_parity_sink", d,
       EventStream.hourlyAgg(EventStream.readEvents(s, d)))
       .orderBy("hour_epoch")
 
@@ -53,7 +56,7 @@ object StreamQueries {
     * The static side is re-read per micro-batch and never stateful;
     * the oracle is the plain batch join it must equal. */
   def b44StreamSegment(s: SparkSession, d: String): DataFrame =
-    runToTable(s, "b44_stream_segment_sink",
+    runToTable(s, "b44_stream_segment_sink", d,
       EventStream.segmentAgg(EventStream.readEvents(s, d),
         graft.sources.Tables.customer(s, d)))
       .orderBy("segment")
@@ -73,7 +76,7 @@ object StreamQueries {
     * minutes STARTS a new session, which the oracle mirrors with
     * `>= 1800000000` on the microsecond delta. */
   def b45StreamSessions(s: SparkSession, d: String): DataFrame =
-    runToTable(s, "b45_stream_sessions_sink",
+    runToTable(s, "b45_stream_sessions_sink", d,
       EventStream.sessionAgg(EventStream.readEvents(s, d)))
       .orderBy("user_id", "sess_start_us")
 
@@ -98,17 +101,20 @@ object StreamQueries {
     * Each matched row is emitted exactly once across micro-batches, so
     * reading the sink table after AvailableNow drains the source yields
     * the full join result. */
-  private def runToTableAppend(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
+  private def runToTableAppend(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame = {
     s.catalog.dropTempView(sink)
     StateBackend.enableRocksDb(s)
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    val q = StateBackend.withStatePartitions(s, s"$d/events.parquet") {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      q
+    }
     StateBackend.assertRocksDb(q)
     StateBackend.reportState(q)
     s.table(sink)
@@ -123,7 +129,7 @@ object StreamQueries {
     * equivalent batch interval self-join on microsecond epochs. */
   def b46StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val events = EventStream.readEvents(s, d)
-    runToTableAppend(s, "b46_stream_interval_join_sink",
+    runToTableAppend(s, "b46_stream_interval_join_sink", d,
       EventStream.clickErrorJoin(events, events))
       .orderBy("error_id", "click_id")
   }
@@ -149,7 +155,7 @@ object StreamQueries {
   def b47StreamDedup(s: SparkSession, d: String): DataFrame = {
     val doubled = EventStream.readEvents(s, d)
       .unionAll(EventStream.readEvents(s, d))
-    runToTableAppend(s, "b47_stream_dedup_sink",
+    runToTableAppend(s, "b47_stream_dedup_sink", d,
       EventStream.dedupedEvents(doubled)
         .select(col("event_id"), unix_micros(col("ts")).as("tsus"),
           col("user_id"), col("event_type"), col("value")))
