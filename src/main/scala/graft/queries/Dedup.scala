@@ -187,7 +187,8 @@ object Dedup {
     * exposed for ScaleSpec's planted-cluster bound. */
   private[queries] def d2Candidates(docs: DataFrame): DataFrame = {
     val capped = cappedBands(d2Bands(docs))
-    capped.as("a").join(capped.as("b"),
+    // corpus-scaled self-join: pin to sort-merge (see verifyJaccard)
+    capped.as("a").join(capped.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -429,7 +430,9 @@ object Dedup {
     val keep = emit.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D4BucketCap).select("bucket")
     val capped = emit.join(keep, Seq("bucket"))
-    capped.as("a").join(capped.as("b"),
+    // both self-join sides scale with the corpus — pin to sort-merge
+    // (see verifyJaccard) so no side is ever built on the driver
+    capped.as("a").join(capped.as("b").hint("merge"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.n_chars") - col("b.n_chars")) <= 15)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -466,17 +469,26 @@ object Dedup {
 
   /** Shared candidate-verification: exact Jaccard over shared tokens,
     * threshold on the raw double, round for output. Unordered — the
-    * callers order (or expand) the final relation. */
+    * callers order (or expand) the final relation.
+    *
+    * Every relation here (candidate pairs, the per-doc item sets, the
+    * per-doc counts) scales WITH THE CORPUS, so every join is pinned to
+    * sort-merge: size estimates for post-shuffle/post-explode relations
+    * routinely land under the auto-broadcast threshold while the
+    * materialized build side does not — at the ×30 probe that planned
+    * driver-side broadcast builds that OOMed an 8 GB heap. SMJ spills
+    * gracefully at any scale; nothing in this subtree belongs on the
+    * driver. */
   private def verifyJaccard(cand: DataFrame, items: DataFrame, itemCol: String): DataFrame = {
     val counts = items.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(items.as("x"), col("x.doc_id") === col("da"))
-      .join(items.as("y"), col("y.doc_id") === col("db") && col(s"y.$itemCol") === col(s"x.$itemCol"))
+      .join(items.as("x").hint("merge"), col("x.doc_id") === col("da"))
+      .join(items.as("y").hint("merge"), col("y.doc_id") === col("db") && col(s"y.$itemCol") === col(s"x.$itemCol"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     val raw = col("c") / (col("ca.n") + col("cb.n") - col("c"))
     inter
-      .join(counts.as("ca"), col("ca.doc_id") === col("da"))
-      .join(counts.as("cb"), col("cb.doc_id") === col("db"))
+      .join(counts.as("ca").hint("merge"), col("ca.doc_id") === col("da"))
+      .join(counts.as("cb").hint("merge"), col("cb.doc_id") === col("db"))
       .filter(raw >= 0.5)
       .select(col("da"), col("db"), round(raw, 6).as("jacc"))
   }

@@ -206,13 +206,23 @@ object Relational {
   // B7: distinct / count-distinct. Exact distincts here (oracle-
   // comparable); the scale path at 100 TB is approx_count_distinct (HLL),
   // exposed separately in the ops surface.
+  //
+  // Deliberately NOT a single multi-distinct agg: two countDistincts on
+  // different columns make Catalyst plan an Expand (one padded row copy
+  // per distinct group → 3× the fact rows through the shuffle) with a
+  // combined (gid, partkey, suppkey) dedup map — the plan that OOMed
+  // the ×100 probe at 32-way concurrency in 8 GB. Per-column two-phase
+  // distincts (map-side partial dedup → one narrow int column each)
+  // hold bounded spillable state and joined 1-row results cost nothing.
   // -------------------------------------------------------------------
-  def b7Distinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        count(lit(1)).as("n_rows"))
+  def b7Distinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def nd(c: String, as: String): DataFrame =
+      li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+    nd("l_partkey", "n_parts")
+      .crossJoin(nd("l_suppkey", "n_supps"))
+      .crossJoin(li.agg(count(lit(1)).as("n_rows")))
+  }
 
   val b7Sql: String =
     """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
@@ -443,14 +453,24 @@ object Relational {
   // gated, now by a hash-checkable row.
   // -------------------------------------------------------------------
   def b16ApproxDistinct(s: SparkSession, d: String): DataFrame = {
-    def within(c: String): Column =
-      (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c))) <=
-        countDistinct(col(c)) * lit(0.05))
-    Tables.lineitem(s, d).agg(
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      countDistinct(col("l_suppkey")).as("exact_supps"),
-      within("l_partkey").as("parts_within_5pct"),
-      within("l_suppkey").as("supps_within_5pct"))
+    // Per-column two-phase distinct, same rationale as b7: the
+    // multi-distinct Expand plan OOMed the ×100 probe in 8 GB. The HLL
+    // sketch is built over the deduped values — identical estimate
+    // (HLL of a set == HLL of the multiset) at a fraction of the
+    // update cost, and the exact count rides the same 1-row agg.
+    val li = Tables.lineitem(s, d)
+    def stats(c: String, n: String): DataFrame =
+      li.select(col(c)).distinct().agg(
+        count(lit(1)).as(s"exact_$n"),
+        approx_count_distinct(col(c), 0.02).as(s"approx_$n"))
+    def within(n: String): Column =
+      (abs(col(s"approx_$n") - col(s"exact_$n")) <=
+        col(s"exact_$n") * lit(0.05))
+    stats("l_partkey", "parts").crossJoin(stats("l_suppkey", "supps"))
+      .select(
+        col("exact_parts"), col("exact_supps"),
+        within("parts").as("parts_within_5pct"),
+        within("supps").as("supps_within_5pct"))
   }
 
   val b16Sql: String =
@@ -1074,10 +1094,13 @@ object Relational {
       .agg(
         count(col("gap_us")).as("n_gaps"),
         max(col("gap_us")).as("max_gap_us"),
-        sum(col("gap_us")).as("sum_gap_us"),
+        // decimal accumulator: the long sum overflows at ×30 scale
+        // (micros gaps ~1e13 × millions of rows > Long.Max), where the
+        // oracle's HUGEINT sum sails on — sum wide, narrow at the end
+        sum(col("gap_us").cast(DecimalType(38, 0))).as("sum_gap_us"),
         sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last"))
       .select(col("o_orderpriority"), col("n_gaps"), col("max_gap_us"),
-        (expr("(cast(sum_gap_us as decimal(38,0)) * 2000 + n_gaps) div (2 * n_gaps)")
+        (expr("(sum_gap_us * 2000 + n_gaps) div (2 * n_gaps)")
           / lit(1000.0)).as("avg_gap_us"),
         col("n_last"))
       .orderBy("o_orderpriority")
