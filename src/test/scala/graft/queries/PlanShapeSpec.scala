@@ -53,6 +53,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"final agg must shuffle on the group keys:\n$p")
   }
 
+  test("b7/b16: multi-column distincts never plan an Expand") {
+    // two countDistincts on different columns in ONE aggregate make
+    // Catalyst plan an Expand — one padded row copy per distinct group
+    // (3× the fact rows through the shuffle) feeding a combined
+    // (gid, col…) dedup map. That exact plan OOMed the ×100 probe at
+    // 32-way concurrency in an 8 GB heap; the per-column two-phase
+    // rewrite holds one narrow spillable column per distinct instead.
+    // Pin the shape so a convenience rewrite can't bring Expand back.
+    for (q <- Seq("b7_distinct", "b16_approx_distinct")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"),
+        s"$q re-plans the multi-distinct Expand (the ×100 OOM shape):\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side partial dedup:\n$p")
+    }
+  }
+
   test("b21: the 5-row band table joins via broadcast nested loop, no fact shuffle") {
     val p = plan("b21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
