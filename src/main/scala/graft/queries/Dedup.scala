@@ -176,11 +176,13 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Hot buckets dropped (see [[BandBucketCap]]). */
+  /** Hot buckets dropped (see [[BandBucketCap]]). The bucket-stat side
+    * has one row per distinct (band, sig) — corpus-scaled, so the
+    * join-back is SMJ-pinned like everything else in this subtree. */
   private def cappedBands(bands: DataFrame): DataFrame = {
     val keep = bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= BandBucketCap).select("band", "sig")
-    bands.join(keep, Seq("band", "sig"))
+    bands.join(keep.hint("merge"), Seq("band", "sig"))
   }
 
   /** Candidate representative pairs from the capped band self-join —
@@ -203,19 +205,21 @@ object Dedup {
     val reps = d2Reps(docs)
     val sh = repShingles(docs)
     val repPairs = verifyJaccard(d2Candidates(docs), sh, "shingle")
-    val memRep = members.join(reps.select(col("th"), col("doc_id").as("rep")), "th")
+    // memRep (one row per document) and members both scale with the
+    // corpus — every join below is SMJ-pinned (see verifyJaccard)
+    val memRep = members.join(reps.select(col("th"), col("doc_id").as("rep")).hint("merge"), "th")
       .select(col("doc_id"), col("rep"))
     // cross-group expansion: every member pair inherits the verified
     // representative jacc (identical texts ⇒ identical shingle sets)
     val cross = repPairs
-      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")), "da")
-      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")), "db")
+      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")).hint("merge"), "da")
+      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")).hint("merge"), "db")
       .select(least(col("ma"), col("mb")).as("da"),
         greatest(col("ma"), col("mb")).as("db"), col("jacc"))
     // intra-group expansion: exact duplicates pair at jacc 1.0 — but
     // only when the text actually shingles (< 3 tokens ⇒ empty shingle
     // set ⇒ no Jaccard pair in the uncollapsed formulation either)
-    val intra = members.as("x").join(members.as("y"),
+    val intra = members.as("x").join(members.as("y").hint("merge"),
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
           col("x.shingled"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(1.0).as("jacc"))
@@ -340,8 +344,9 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("kb.k").as("k"), col("kb.band").as("band"))
     val keep = bands.groupBy("k", "band").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= BandBucketCap).select("k", "band")
-    val capped = bands.join(keep, Seq("k", "band"))
-    capped.as("a").join(capped.as("b"),
+    // both sides corpus-scaled — SMJ-pinned (see verifyJaccard)
+    val capped = bands.join(keep.hint("merge"), Seq("k", "band"))
+    capped.as("a").join(capped.as("b").hint("merge"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -359,18 +364,20 @@ object Dedup {
   private[queries] def d3Pairs(docs: DataFrame): DataFrame = {
     val members = docs.select(col("doc_id"), md5(col("text")).as("th"),
       (size(split(col("text"), " ")) >= 3).as("shingled"))
-    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")), "th")
+    // memRep/members scale with the corpus — SMJ-pinned throughout
+    // (see verifyJaccard)
+    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")).hint("merge"), "th")
       .select(col("doc_id"), col("rep"))
     val repPairs = d3Candidates(docs)
       .select(col("da"), col("db"),
         expr("bit_count(sa ^ sb)").cast("int").as("hd"))
       .filter(col("hd") <= 3)
     val cross = repPairs
-      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")), "da")
-      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")), "db")
+      .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma")).hint("merge"), "da")
+      .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb")).hint("merge"), "db")
       .select(least(col("ma"), col("mb")).as("da"),
         greatest(col("ma"), col("mb")).as("db"), col("hd"))
-    val intra = members.as("x").join(members.as("y"),
+    val intra = members.as("x").join(members.as("y").hint("merge"),
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
           col("x.shingled"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
@@ -429,7 +436,7 @@ object Dedup {
         explode(array(floor(col("n_chars") / 16), floor(col("n_chars") / 16) + 1)).as("bucket"))
     val keep = emit.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D4BucketCap).select("bucket")
-    val capped = emit.join(keep, Seq("bucket"))
+    val capped = emit.join(keep.hint("merge"), Seq("bucket"))
     // both self-join sides scale with the corpus — pin to sort-merge
     // (see verifyJaccard) so no side is ever built on the driver
     capped.as("a").join(capped.as("b").hint("merge"),
@@ -537,14 +544,17 @@ object Dedup {
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxRounds) {
-      val viaEdge = edges.join(labels, edges("dst") === labels("doc_id"))
+      // labels/edges scale with the corpus; localCheckpoint leaves the
+      // planner without reliable size stats — SMJ-pinned so no round
+      // ever builds a corpus-sized broadcast (see verifyJaccard)
+      val viaEdge = edges.join(labels.hint("merge"), edges("dst") === labels("doc_id"))
         .select(edges("src").as("doc_id"), col("label"))
       val viaJump = labels.as("a")
-        .join(labels.as("b"), col("a.label") === col("b.doc_id"))
+        .join(labels.as("b").hint("merge"), col("a.label") === col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id"), col("b.label").as("label"))
       val next = labels.union(viaEdge).union(viaJump)
         .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "doc_id")
+      converged = next.as("n").join(labels.as("o").hint("merge"), "doc_id")
         .filter(col("n.label") =!= col("o.label")).isEmpty
       labels = next
       iter += 1
@@ -613,9 +623,12 @@ object Dedup {
       .join(broadcast(bits), Seq("pos"), "left")
       .groupBy("doc_id")
       .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nhit"))
+    // hits/exactTexts scale with the corpus (unlike the constant-size
+    // bits relation above, which is the one intentional broadcast) —
+    // SMJ-pinned (see verifyJaccard)
     val exactTexts = test.select("text").distinct().withColumn("is_exact", lit(true))
-    val flags = train.join(hits, "doc_id")
-      .join(exactTexts, Seq("text"), "left")
+    val flags = train.join(hits.hint("merge"), "doc_id")
+      .join(exactTexts.hint("merge"), Seq("text"), "left")
       .select((col("nhit") === 3).as("flagged"),
         coalesce(col("is_exact"), lit(false)).as("exact"))
       .agg(count(lit(1)).as("n_train"),
@@ -680,9 +693,10 @@ object Dedup {
     val repFlags = members.groupBy("th").agg(
         max(when(col("is_base"), 1).otherwise(0)).as("hb"),
         max(when(!col("is_base"), 1).otherwise(0)).as("hd"))
-      .join(d2Reps(docs).select(col("th"), col("doc_id")), "th")
+      .join(d2Reps(docs).select(col("th"), col("doc_id")).hint("merge"), "th")
       .select("doc_id", "hb", "hd")
-    cappedBands(d2Bands(docs)).join(repFlags, "doc_id")
+    // both sides corpus-scaled — SMJ-pinned (see verifyJaccard)
+    cappedBands(d2Bands(docs)).join(repFlags.hint("merge"), "doc_id")
   }
 
   /** Verify candidate rep pairs and expand to boundary-crossing member
@@ -690,17 +704,19 @@ object Dedup {
   private def d10VerifyExpand(docs: DataFrame, members: DataFrame,
       cand: DataFrame): DataFrame = {
     val repPairs = verifyJaccard(cand, repShingles(docs), "shingle")
-    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")), "th")
+    // memRep/members scale with the corpus — SMJ-pinned (see
+    // verifyJaccard)
+    val memRep = members.join(d2Reps(docs).select(col("th"), col("doc_id").as("rep")).hint("merge"), "th")
       .select(col("doc_id"), col("rep"), col("is_base"))
     val cross = repPairs
       .join(memRep.select(col("rep").as("da"), col("doc_id").as("ma"),
-        col("is_base").as("ba")), "da")
+        col("is_base").as("ba")).hint("merge"), "da")
       .join(memRep.select(col("rep").as("db"), col("doc_id").as("mb"),
-        col("is_base").as("bb")), "db")
+        col("is_base").as("bb")).hint("merge"), "db")
       .filter(col("ba") =!= col("bb"))
       .select(least(col("ma"), col("mb")).as("da"),
         greatest(col("ma"), col("mb")).as("db"), col("jacc"))
-    val intra = members.as("x").join(members.as("y"),
+    val intra = members.as("x").join(members.as("y").hint("merge"),
         col("x.th") === col("y.th") && col("x.doc_id") < col("y.doc_id") &&
           col("x.shingled") && col("x.is_base") =!= col("y.is_base"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), lit(1.0).as("jacc"))
@@ -711,7 +727,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val members = d10Members(docs)
     val capped = d10TaggedBands(docs, members)
-    val cand = capped.as("a").join(capped.as("b"),
+    val cand = capped.as("a").join(capped.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id") &&
           ((col("a.hd") === 1 && col("b.hb") === 1) ||
@@ -826,7 +842,8 @@ object Dedup {
     val dup = win.groupBy("h1", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h1", "h2")
-    val dw = win.join(dup, Seq("h1", "h2")).select("doc_id", "p")
+    // dup (hot windows) scales with the corpus — SMJ-pinned
+    val dw = win.join(dup.hint("merge"), Seq("h1", "h2")).select("doc_id", "p")
     val agg = dw.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
     val cov = dw
       .select(col("doc_id"),
@@ -835,7 +852,7 @@ object Dedup {
     val tot = ws.select(col("doc_id"),
       size(col("ws")).cast("long").as("n_tokens"),
       (size(col("ws")) - (D11W - 1)).cast("long").as("n_windows"))
-    tot.join(agg, "doc_id").join(cov, "doc_id")
+    tot.join(agg.hint("merge"), "doc_id").join(cov.hint("merge"), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_windows"),
         col("n_dup_windows"), col("covered_tokens"),
         round(col("covered_tokens").cast("double") / col("n_tokens"), 6)

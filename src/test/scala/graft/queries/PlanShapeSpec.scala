@@ -69,6 +69,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d2/d4: corpus-scaled candidate joins plan sort-merge, never broadcast") {
+    // every relation in the candidate-verify subtree (banded pairs, the
+    // per-doc item sets, the per-doc counts) scales WITH the corpus;
+    // size underestimates on post-shuffle/post-explode relations planned
+    // driver-side broadcast builds that OOMed the ×30 probe at 8 GB.
+    // The merge hints must hold even at toy scale, where the optimizer
+    // would otherwise happily broadcast everything.
+    for (q <- Seq("d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard",
+        "d10_incremental_neardup", "d11_substring_spans")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q broadcasts a corpus-scaled relation (the ×30 OOM shape):\n$p")
+      assert(p.contains("SortMergeJoin"), s"$q lost the SMJ pin:\n$p")
+    }
+    graft.queries.Dedup.releaseSharedPairs(spark)
+  }
+
   test("b21: the 5-row band table joins via broadcast nested loop, no fact shuffle") {
     val p = plan("b21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
