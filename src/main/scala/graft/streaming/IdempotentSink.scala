@@ -35,4 +35,18 @@ object IdempotentSink {
   def readBack(s: SparkSession, outDir: String): DataFrame =
     s.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
       .drop("batch_id")
+
+  /** The LAST committed micro-batch only — the correct read-back for a
+    * COMPLETE-mode stream, where every batch directory holds the full
+    * updated result and earlier directories are superseded history
+    * (unioning them, as [[readBack]] does for append mode, would
+    * duplicate rows once the source spans several micro-batches). */
+  def readBackLast(s: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+      .max
+    s.read.parquet(s"$outDir/batch_id=$last")
+  }
 }

@@ -18,17 +18,30 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
 
   /** Materialize a streaming DataFrame through an actual micro-batch
-    * run: memory sink, complete mode, `Trigger.AvailableNow`, blocking
-    * until the source is drained. Idempotent across repeated calls in
-    * one session (Verify + Bench) via dropTempView. */
-  private def runToTable(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame = {
-    s.catalog.dropTempView(sink)
+    * run: exactly-once parquet files via [[IdempotentSink]], complete
+    * mode, `Trigger.AvailableNow`, blocking until the source is
+    * drained. File-backed on purpose — a memory sink holds the whole
+    * result as driver-resident rows which then re-enter downstream
+    * plans as parallelized-collection tasks; across the five streaming
+    * surfaces at the ×100 probe that accumulation OOMed an 8 GB heap.
+    * The sink write is per-partition parallel parquet and the read-back
+    * is an ordinary scan, so the result never lives on the driver —
+    * the same shape a real deployment uses (stream → files → consumers).
+    * Idempotent across repeated calls in one session (Verify + Bench):
+    * the sink directory is cleared before each run. */
+  private def sinkDir(sink: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stream_sink/$sink"
+
+  private def runToFiles(s: SparkSession, sink: String, d: String,
+      df: DataFrame, mode: String): DataFrame = {
+    val out = sinkDir(sink)
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     StateBackend.enableRocksDb(s)
     val q = StateBackend.withStatePartitions(s, s"$d/events.parquet") {
       val q = df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("complete")
+        .foreachBatch(IdempotentSink.parquetSink(out))
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination()
@@ -37,8 +50,14 @@ object StreamQueries {
     }
     StateBackend.assertRocksDb(q)
     StateBackend.reportState(q)
-    s.table(sink)
+    // complete mode: each batch directory holds the FULL result —
+    // read the last; append mode: batches partition the result — union
+    if (mode == "complete") IdempotentSink.readBackLast(s, out)
+    else IdempotentSink.readBack(s, out)
   }
+
+  private def runToTable(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame =
+    runToFiles(s, sink, d, df, "complete")
 
   /** b43: EventStream.hourlyAgg through the micro-batch engine — the
     * result is the streaming runtime's own output, not a batch
@@ -96,29 +115,13 @@ object StreamQueries {
       |FROM g GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start_us""".stripMargin
 
-  /** Append-mode twin of [[runToTable]] for surfaces the complete-mode
-    * memory sink cannot run (stream-stream joins support append only).
-    * Each matched row is emitted exactly once across micro-batches, so
-    * reading the sink table after AvailableNow drains the source yields
-    * the full join result. */
-  private def runToTableAppend(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame = {
-    s.catalog.dropTempView(sink)
-    StateBackend.enableRocksDb(s)
-    val q = StateBackend.withStatePartitions(s, s"$d/events.parquet") {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      q
-    }
-    StateBackend.assertRocksDb(q)
-    StateBackend.reportState(q)
-    s.table(sink)
-  }
+  /** Append-mode twin of [[runToTable]] for surfaces complete mode
+    * cannot run (stream-stream joins support append only). Each
+    * matched row is committed exactly once across micro-batches, so
+    * the union of batch directories after AvailableNow drains the
+    * source is the full join result. */
+  private def runToTableAppend(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame =
+    runToFiles(s, sink, d, df, "append")
 
   /** b46: the stream-stream interval join (every error joined to the
     * same user's clicks in the preceding 30 minutes) through the
