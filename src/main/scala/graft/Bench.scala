@@ -51,6 +51,17 @@ object Bench {
       // scan-side work on one task (8 MB ~ the probes' row-group size)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.adaptive.enabled", "true")
+      // decouple shuffle width from core count: AQE fans every exchange
+      // out to 8×cores map-output partitions and coalesces back to the
+      // 64 MB advisory target at runtime, so per-task sort/agg volume
+      // stays bounded as data grows (at the ×100 probe, 32-wide SMJ
+      // sorts meant ~500 MB/task whose spill-merge read-ahead buffers
+      // alone exceeded the 250 MB/core heap share) while small stages
+      // still coalesce to a handful of tasks. Streaming state width is
+      // pinned separately (StateBackend.withStatePartitions) and does
+      // not inherit this.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
