@@ -62,6 +62,14 @@ object Bench {
       // not inherit this.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // typed-Aggregator (ObjectHashAggregate) ops fall back to
+      // SORT-based aggregation after 128 distinct groups per partition
+      // by default — for the nearest-centroid argmax that re-creates
+      // the |n|·K-row sort the aggregator exists to avoid. Group
+      // buffers are ~16 bytes; 16M of them is ~1 GB worst-case and the
+      // real count per task is the scan slice's distinct keys (~10^4).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "16000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

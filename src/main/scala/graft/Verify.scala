@@ -16,6 +16,9 @@ object Verify {
       // hashes are unaffected
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // keep typed-Aggregator ops on the hash path — see Bench
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "16000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

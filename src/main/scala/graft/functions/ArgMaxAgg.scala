@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Input/buffer of [[ArgMaxAgg]]: one (ordering value, payload id)
+  * candidate. */
+final case class ArgMaxIn(v: Double, id: Long)
+
+/** `argmax_id(v, id)` — the id with the LARGEST v, smallest id on
+  * ties: exactly `ORDER BY v DESC, id ASC LIMIT 1` per group, as a
+  * one-pass hash aggregate.
+  *
+  * Exists because neither built-in form survives a corpus×codebook
+  * product at scale: a `row_number()` window ships the entire product
+  * through a shuffle into per-partition sorts, and `max_by` with a
+  * struct ordering key falls back to SORT-based aggregation (struct
+  * buffers are not hash-aggregable) — both sort |n|·K rows where the
+  * answer needs |n| buffers. A typed Aggregator runs on
+  * ObjectHashAggregate: true hash aggregation with map-side partials,
+  * so the nearest-centroid assignment streams the product inside the
+  * scan stage and shuffles one 16-byte buffer per (vector, partition).
+  * Merge is associative/commutative and totally ordered (ids are
+  * unique), so the pick is deterministic under any partitioning.
+  */
+object ArgMaxAgg extends Aggregator[ArgMaxIn, ArgMaxIn, Long] {
+
+  override def zero: ArgMaxIn = ArgMaxIn(Double.NegativeInfinity, Long.MaxValue)
+
+  private def better(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn =
+    if (b.v > a.v || (b.v == a.v && b.id < a.id)) b else a
+
+  override def reduce(b: ArgMaxIn, in: ArgMaxIn): ArgMaxIn = better(b, in)
+
+  override def merge(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn = better(a, b)
+
+  override def finish(b: ArgMaxIn): Long = b.id
+
+  override def bufferEncoder: Encoder[ArgMaxIn] = Encoders.product[ArgMaxIn]
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

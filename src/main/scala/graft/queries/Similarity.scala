@@ -464,11 +464,23 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("e").as("cv"))
-    val rn = row_number().over(
-      Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
+    // nearest-centroid assignment as a one-pass HASH argmax, not a
+    // window: the corpus×codebook product is |n|·K rows (2B at the
+    // ×100 probe with d8b's fraction codebook). A row_number window
+    // ships all of it through a shuffle into per-partition sorts, and
+    // max_by over a struct ordering key falls back to SORT-based
+    // aggregation — both OOMed 8 GB at 32-way concurrency sorting rows
+    // where the answer needs |n| 16-byte buffers. The typed argmax
+    // aggregator (see [[graft.functions.ArgMaxAgg]]) runs on
+    // ObjectHashAggregate with map-side partials, so the product
+    // streams inside the scan stage and only |n| buffers shuffle; the
+    // oracle's `ORDER BY csim DESC, cid ASC` tie-break is the
+    // aggregator's own total order.
+    val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
     val assign = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
-      .withColumn("rn", rn).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(nearest(col("csim"), col("cid")).as("cid"))
       .select("vec_id", "cid")
     val small = assign.groupBy("cid")
       .agg(count(lit(1)).as("cn")).filter(col("cn") <= D8ClusterCap)
