@@ -27,7 +27,7 @@ object ArgMaxAgg extends Aggregator[ArgMaxIn, ArgMaxIn, Long] {
 
   override def zero: ArgMaxIn = ArgMaxIn(Double.NegativeInfinity, Long.MaxValue)
 
-  private def better(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn =
+  private[functions] def better(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn =
     if (b.v > a.v || (b.v == a.v && b.id < a.id)) b else a
 
   override def reduce(b: ArgMaxIn, in: ArgMaxIn): ArgMaxIn = better(b, in)
@@ -39,4 +39,24 @@ object ArgMaxAgg extends Aggregator[ArgMaxIn, ArgMaxIn, Long] {
   override def bufferEncoder: Encoder[ArgMaxIn] = Encoders.product[ArgMaxIn]
 
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** [[ArgMaxAgg]] returning the whole winning `(v, id)` pair, for
+  * consumers that need the ordering value too (e.g. the PQ assignment
+  * keeps the winning squared error). Same order, same hash-aggregate
+  * execution. For an argMIN, pass `-v` and negate the returned `v`
+  * back — exact for IEEE doubles (sign-bit flip; `-(-0.0)` is `0.0`). */
+object ArgMaxPairAgg extends Aggregator[ArgMaxIn, ArgMaxIn, ArgMaxIn] {
+
+  override def zero: ArgMaxIn = ArgMaxIn(Double.NegativeInfinity, Long.MaxValue)
+
+  override def reduce(b: ArgMaxIn, in: ArgMaxIn): ArgMaxIn = ArgMaxAgg.better(b, in)
+
+  override def merge(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn = ArgMaxAgg.better(a, b)
+
+  override def finish(b: ArgMaxIn): ArgMaxIn = b
+
+  override def bufferEncoder: Encoder[ArgMaxIn] = Encoders.product[ArgMaxIn]
+
+  override def outputEncoder: Encoder[ArgMaxIn] = Encoders.product[ArgMaxIn]
 }

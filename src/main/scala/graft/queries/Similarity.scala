@@ -186,10 +186,16 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("e").as("cv"))
     val asgSims = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+    // full-corpus assignment as the hash argmax (see cellCandidates /
+    // ArgMaxAgg: the row_number form ships the n×K product through a
+    // shuffle into sorts); the top-2 probe window only ever sees the 10
+    // query vectors' rows, filtered BEFORE the window, so it stays a
+    // toy sort at any SF
+    val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
+    val assign = asgSims.groupBy("vec_id")
+      .agg(nearest(col("csim"), col("cid")).as("cid"))
     val rn = row_number().over(
       Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
-    val assign = asgSims.withColumn("rn", rn).filter(col("rn") === 1)
-      .select("vec_id", "cid")
     val probes = asgSims.filter(col("vec_id") < 10)
       .withColumn("rn", rn).filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("cid"))
@@ -664,8 +670,14 @@ object Similarity {
     val dist = ex.join(broadcast(cents), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
-    val wAsg = Window.partitionBy("vec_id", "sub").orderBy(col("sqerr"), col("code"))
-    dist.withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+    // argmin(sqerr, tie: min code) per (vector, subspace) as the hash
+    // argmax over negated error (exact: sign-bit flip) — the window
+    // form sorts the n×8×16 distance relation (see ArgMaxAgg)
+    val pick = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxPairAgg)
+    dist.groupBy("vec_id", "sub")
+      .agg(pick(-col("sqerr"), col("code")).as("p"))
+      .select(col("vec_id"), col("sub"), col("p.id").as("code"),
+        (-col("p.v")).as("sqerr"))
       .groupBy("sub", "code")
       .agg(count(lit(1)).as("cnt"), sum(col("sqerr").cast(DecimalType(30, 6))).as("serr"))
       .groupBy("sub")
@@ -936,10 +948,16 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("e").as("cv"))
     val asgSims = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+    // full-corpus assignment as the hash argmax (see cellCandidates /
+    // ArgMaxAgg: the row_number form ships the n×K product through a
+    // shuffle into sorts); the top-2 probe window only ever sees the 10
+    // query vectors' rows, filtered BEFORE the window, so it stays a
+    // toy sort at any SF
+    val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
+    val assign = asgSims.groupBy("vec_id")
+      .agg(nearest(col("csim"), col("cid")).as("cid"))
     val rn = row_number().over(
       Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc))
-    val assign = asgSims.withColumn("rn", rn).filter(col("rn") === 1)
-      .select("vec_id", "cid")
     val probes = asgSims.filter(col("vec_id") < 10)
       .withColumn("rn", rn).filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("cid"))
@@ -954,9 +972,11 @@ object Similarity {
     val dist = ex.join(broadcast(pqCents), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
-    val wAsg = Window.partitionBy("vec_id", "sub").orderBy(col("sqerr"), col("code"))
-    val codes = dist.withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-      .select("vec_id", "sub", "code")
+    // hash argmin per (vector, subspace) — same rationale as s7
+    val pick = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxPairAgg)
+    val codes = dist.groupBy("vec_id", "sub")
+      .agg(pick(-col("sqerr"), col("code")).as("p"))
+      .select(col("vec_id"), col("sub"), col("p.id").as("code"))
     // per-query ADC lookup table: distance from each query sub-vector to
     // every codebook entry — 8×16 rows per query, broadcast
     val lut = dist.filter(col("vec_id") < 10)
