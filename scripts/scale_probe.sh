@@ -1,8 +1,15 @@
 #!/usr/bin/env bash
-# Re-execute the round-9 scale evidence end to end:
+# Re-execute the scale evidence end to end:
 #   10x  — generate + full DuckDB-oracle compare (correctness at scale)
-#   30x  — generate + bench sweep (wall curve, default 8g heap)
-#   100x — generate + bench sweep (needs SPARK_DRIVER_MEM=48g)
+#   30x  — generate + bench sweep (wall curve)
+#   100x — generate + bench sweep
+# Every stage runs in the DEFAULT 8 GB heap since round 10 (the b7/b16
+# distinct rewrite, file-backed stream sinks, AQE-decoupled shuffle
+# width, and hash-argmax assignments removed every >8 GB consumer).
+# The 30x oracle compare also passes, but the near-dup-family oracles
+# need DuckDB babysitting — see "Scale probes" in
+# .claude/skills/verify/SKILL.md (DUCK_MEM=110GB one query at a time,
+# and scripts/check_d7_closure.py for d7's oracle).
 # Usage: scripts/scale_probe.sh [src_sf_dir]   (default /root/testdata/sf0.1)
 # Artifacts: scaledata/sf{1,3,10}-synth/, /tmp/scale_probe/, bench_out.json
 # per sweep (copy it between runs — each sweep overwrites it).
@@ -21,7 +28,7 @@ SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf3-synth" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" | tee /tmp/scale_probe/bench_30x.log
 cp bench_out.json /tmp/scale_probe/bench_out_30x.json
 
-SPARK_DRIVER_MEM=48g SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf10-synth" SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_SF_DIR="$PWD/scaledata/sf10-synth" SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" | tee /tmp/scale_probe/bench_100x.log
 cp bench_out.json /tmp/scale_probe/bench_out_100x.json
 
