@@ -86,6 +86,27 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.queries.Dedup.releaseSharedPairs(spark)
   }
 
+  test("d8b/s2/s7: centroid assignment is a hash aggregate, never a sorted window") {
+    // the corpus×codebook product must stream through ObjectHashAggregate
+    // (map-side partial argmax buffers) — a Window, or a sort-based agg
+    // fallback, sorts |n|·K product rows and is the shape that OOMed the
+    // ×100 probe. The probe/top-k windows downstream of tiny filtered
+    // inputs are fine; what must never appear is a Window PARTITION BY
+    // vec_id over the unfiltered product, which in every one of these
+    // plans would manifest as a Window directly above the product join.
+    for (q <- Seq("d8b_scaled_codebook", "s7_product_quant")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the hash-argmax assignment:\n$p")
+      assert(!p.contains("Window"), s"$q ranks the product in a window:\n$p")
+    }
+    // s2 keeps one legitimate window (the 10-query top-2 probe); assert
+    // the assignment aggregate is present rather than window-free-ness
+    val p2 = plan("s2_ann_ivf")
+    assert(p2.contains("ObjectHashAggregate"),
+      s"s2 lost the hash-argmax assignment:\n$p2")
+  }
+
   test("b21: the 5-row band table joins via broadcast nested loop, no fact shuffle") {
     val p = plan("b21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
