@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed running (prefix) sum — the scale-correct replacement for
+  * `sum().over(Window.partitionBy(lowCardKey).orderBy(...))` when the
+  * partition key has only a handful of values: the window form hashes
+  * each key's ENTIRE extent to one reducer, so a 3-way split of a
+  * 100 TB corpus funnels through 3 tasks no matter how many executors
+  * exist. The classic two-phase scan instead:
+  *
+  *   1. range-repartition + sort by (group, order) — a normal parallel
+  *      sort, every partition a contiguous slice of the global order;
+  *   2. first pass: per-(partition, group) value totals — a few rows
+  *      per partition, collected (operator metadata, like AQE stats —
+  *      never result rows) and prefix-folded into per-partition start
+  *      offsets, broadcast back;
+  *   3. second pass over the SAME shuffled rows (the exchange executes
+  *      once — both jobs share the lineage): a per-partition running
+  *      sum seeded at the partition's offset.
+  *
+  * The result value for a row depends only on the global (group, order)
+  * ordering, not on where range boundaries land, so the output is
+  * deterministic even though the sampled boundaries may vary.
+  * `orderCols` must be a unique key within each group (callers use
+  * primary-key-ish columns, e.g. doc_id), otherwise "all preceding
+  * rows" is ill-defined in any engine.
+  */
+object PrefixScan {
+
+  /** `df` plus a LongType `cumCol`: for each row, the sum of `valueCol`
+    * over all rows of the same `groupCol` at or before it in
+    * `orderCols` order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW
+    * semantics, current row included). `valueCol` must be LongType —
+    * exact integer arithmetic, bit-identical on any partitioning. */
+  def runningLongSum(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      valueCol: String, cumCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys = (groupCol +: orderCols).map(col)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    require(schema(vIdx).dataType == LongType,
+      s"runningLongSum needs a LongType value column, got ${schema(vIdx).dataType}")
+
+    // one shuffled+sorted RDD shared by both passes (shuffle reuse)
+    val rdd = sorted.rdd
+
+    // pass 1: per-(partition, group) totals — tiny; fold to offsets
+    val totals: Array[(Int, Any, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val g = r.get(gIdx)
+          sums.update(g, sums.getOrElse(g, 0L) + r.getLong(vIdx))
+        }
+        sums.iterator.map { case (g, s) => (pid, g, s) }
+      }
+      .collect()
+    val offsets: Map[(Int, Any), Long] = {
+      val byGroup = totals.groupBy(_._2)
+      byGroup.iterator.flatMap { case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, s) =>
+          val off = acc; acc += s; ((pid, g), off)
+        }
+      }.toMap
+    }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: seeded per-partition running sum over the same rows
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gIdx)
+        val cum = running.getOrElse(g, bOffsets.value.getOrElse((pid, g), 0L)) +
+          r.getLong(vIdx)
+        running.update(g, cum)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    spark.createDataFrame(outRdd,
+      StructType(schema.fields :+ StructField(cumCol, LongType, nullable = false)))
+  }
+}

@@ -517,22 +517,32 @@ object TextStats {
   // -------------------------------------------------------------------
   def t10StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val h = Dedup.hash48(concat(lit("strat"), col("doc_id").cast("string")))
-    val rn = row_number().over(
-      Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc))
-    Tables.documents(s, d)
-      .withColumn("rn", rn)
-      .withColumn("in_sample", col("rn") <= 15)
+    // rank-THEN-FILTER, not rank-into-flags: `filter(rn <= 15)` right
+    // after the window is the shape InferWindowGroupLimit rewrites into
+    // a two-phase group limit — each map task keeps only its own top-15
+    // per source, so the per-source window never sorts the corpus in
+    // |sources| giant partitions (the flag-column form computed rn for
+    // EVERY row and fed the whole table through the window; with a
+    // handful of sources that serializes the corpus onto a handful of
+    // reducers at scale). The stratum totals come from a plain
+    // hash-aggregate instead — plan-asserted in PlanShapeSpec.
+    val docs = Tables.documents(s, d)
+    val sampled = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)))
+      .filter(col("rn") <= 15)
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
-        min(when(col("in_sample"), col("doc_id"))).as("min_sampled_doc"),
-        max(when(col("in_sample"), col("doc_id"))).as("max_sampled_doc"),
+        count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_sampled_doc"),
+        max(col("doc_id")).as("max_sampled_doc"),
         round(
-          sum(when(col("in_sample"), col("n_chars")).otherwise(0L)
-            .cast(DecimalType(30, 6))) /
-            sum(when(col("in_sample"), 1L).otherwise(0L)), 6)
+          sum(col("n_chars").cast(DecimalType(30, 6))) / count(lit(1)), 6)
           .cast("double").as("avg_chars_sampled"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(sampled, "source")
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("min_sampled_doc"), col("max_sampled_doc"), col("avg_chars_sampled"))
       .orderBy("source")
   }
 
@@ -850,12 +860,17 @@ object TextStats {
   private val seqCap = 256
 
   def t15SeqPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("split").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), splitCol.as("split"),
-        size(split(col("text"), " ")).cast("long").as("tok"))
-      .withColumn("cum", sum(col("tok")).over(w))
+    // the running token offset is a PREFIX SCAN, not a window: with
+    // only 3 split values, `sum().over(partitionBy(split))` would hash
+    // each split's whole extent to one reducer — the corpus through 3
+    // tasks at any cluster size. PrefixScan.runningLongSum is the
+    // two-phase distributed scan (range-sort, per-partition totals,
+    // broadcast offsets), exact integer arithmetic, identical values.
+    val docs = graft.operators.PrefixScan.runningLongSum(
+      Tables.documents(s, d)
+        .select(col("doc_id"), splitCol.as("split"),
+          size(split(col("text"), " ")).cast("long").as("tok")),
+      "split", Seq("doc_id"), "tok", "cum")
       .withColumn("first_seq", expr(s"(cum - tok) div $seqCap"))
       .withColumn("crossing", (expr(s"(cum - 1) div $seqCap") =!= col("first_seq")).cast("long"))
     val perSeq = docs.groupBy("split", "first_seq").agg(count(lit(1)).as("n_started"))

@@ -107,6 +107,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"s2 lost the hash-argmax assignment:\n$p2")
   }
 
+  test("t10: the stratified sample is a two-phase WindowGroupLimit, not a corpus sort") {
+    // rank-then-FILTER lets InferWindowGroupLimit keep ≤15 rows per
+    // source on the map side; the flag-column form fed the whole
+    // corpus through |sources| window partitions (≈3 reducers at any
+    // cluster size). Same property as b5, pinned for the same reason.
+    val p = plan("t10_stratified_sample")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"t10 lost the two-phase group-limit pushdown:\n$p")
+  }
+
+  test("t15: the packing scan plans no Window at all") {
+    // the running token offset goes through PrefixScan (range-sort +
+    // per-partition offsets) — a sum().over(partitionBy(split)) window
+    // would funnel the corpus through 3 reducers. Nothing in t15's
+    // plan should be a window operator.
+    val p = plan("t15_seq_pack")
+    assert(!p.contains("Window"), s"t15 reintroduced a window scan:\n$p")
+  }
+
   test("b21: the 5-row band table joins via broadcast nested loop, no fact shuffle") {
     val p = plan("b21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
