@@ -27,8 +27,16 @@ object ArgMaxAgg extends Aggregator[ArgMaxIn, ArgMaxIn, Long] {
 
   override def zero: ArgMaxIn = ArgMaxIn(Double.NegativeInfinity, Long.MaxValue)
 
-  private[functions] def better(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn =
-    if (b.v > a.v || (b.v == a.v && b.id < a.id)) b else a
+  /** Spark's SORT total order for doubles (java.lang.Double.compare):
+    * NaN is GREATER than every value, so a NaN candidate (e.g. the
+    * cosine of a zero vector) wins the argmax exactly as it would win
+    * `ORDER BY v DESC` under the row_number form this aggregator
+    * replaced — never the zero-buffer sentinel. Primitive `>` would
+    * silently drop NaN candidates (all NaN comparisons are false). */
+  private[functions] def better(a: ArgMaxIn, b: ArgMaxIn): ArgMaxIn = {
+    val c = java.lang.Double.compare(b.v, a.v)
+    if (c > 0 || (c == 0 && b.id < a.id)) b else a
+  }
 
   override def reduce(b: ArgMaxIn, in: ArgMaxIn): ArgMaxIn = better(b, in)
 

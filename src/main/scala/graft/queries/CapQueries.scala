@@ -79,37 +79,21 @@ object CapQueries {
   val cap3Sql: String =
     s"SELECT identifier, error FROM '${golden("cap3_quarantine.parquet")}' ORDER BY identifier"
 
-  /** Run a streaming Dataset through the micro-batch engine (memory
-    * sink, Update mode — what mapGroupsWithState requires) and return
-    * the sink table. One AvailableNow batch over the fixture dir, so
+  /** Run a streaming Dataset through the micro-batch engine (Update
+    * mode — what mapGroupsWithState requires) and read the committed
+    * result back. Same [[graft.streaming.StreamRunner]] path as b43–b47
+    * (RocksDB state, exactly-once file sink, no driver-resident stream
+    * results — the memory-sink form this replaced was the last holdout
+    * of that pattern). One AvailableNow batch over the fixture dir, so
     * each alert id yields exactly one update row — the golden compare
     * DEPENDS on that (update mode emits one row per key per batch), so
-    * the single-data-batch premise is asserted loudly: if a future
-    * maxFilesPerTrigger default or added fixtures ever split the source
-    * into multiple batches, this fails here instead of silently
+    * StreamRunner asserts the single-data-batch premise loudly: if a
+    * future maxFilesPerTrigger default or added fixtures ever split the
+    * source into multiple batches, this fails here instead of silently
     * diverging from the golden with duplicate per-id rows. */
-  private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
-    s.catalog.dropTempView(sink)
-    graft.streaming.StateBackend.enableRocksDb(s)
-    val q = graft.streaming.StateBackend.withStatePartitions(s, lifecycleFixtureDir) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      q
-    }
-    graft.streaming.StateBackend.assertRocksDb(q)
-    graft.streaming.StateBackend.reportState(q)
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"$sink: expected exactly 1 data micro-batch (update-mode golden " +
-        s"premise), saw $dataBatches — fixture dir split across batches?")
-    s.table(sink)
-  }
+  private def runStream(s: SparkSession, sink: String, df: DataFrame): DataFrame =
+    graft.streaming.StreamRunner.run(s, sink, lifecycleFixtureDir, df,
+      "update", requireSingleDataBatch = true)
 
   /** cap4: the mapGroupsWithState alert lifecycle (Alert → Update* →
     * Cancel, terminal cancel) over a fixture chain, run through the

@@ -217,8 +217,12 @@ object Relational {
   // -------------------------------------------------------------------
   def b7Distinct(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // isNotNull before distinct: COUNT(DISTINCT c) ignores NULLs, but a
+    // distinct()+count(*) would count NULL as one extra value — free on
+    // non-null TPC-H keys, semantics-preserving if nulls ever appear
     def nd(c: String, as: String): DataFrame =
-      li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+      li.select(col(c)).filter(col(c).isNotNull)
+        .distinct().agg(count(lit(1)).as(as))
     nd("l_partkey", "n_parts")
       .crossJoin(nd("l_suppkey", "n_supps"))
       .crossJoin(li.agg(count(lit(1)).as("n_rows")))
@@ -459,8 +463,9 @@ object Relational {
     // (HLL of a set == HLL of the multiset) at a fraction of the
     // update cost, and the exact count rides the same 1-row agg.
     val li = Tables.lineitem(s, d)
+    // isNotNull before distinct: COUNT(DISTINCT c) semantics (see b7)
     def stats(c: String, n: String): DataFrame =
-      li.select(col(c)).distinct().agg(
+      li.select(col(c)).filter(col(c).isNotNull).distinct().agg(
         count(lit(1)).as(s"exact_$n"),
         approx_count_distinct(col(c), 0.02).as(s"approx_$n"))
     def within(n: String): Column =

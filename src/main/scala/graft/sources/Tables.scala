@@ -122,18 +122,83 @@ object Tables {
     } catch { case _: Throwable => None }
   }
 
+  /** Source table basenames (e.g. "lineitem") that resolved to a
+    * compacted copy in this JVM — Bench stamps this into its artifacts
+    * (`"compacted":[…]`) so a sweep on a rewritten layout is
+    * distinguishable from one on the raw producer layout post-hoc. */
+  val compactedTables: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap content fingerprint: SHA-1 of the file's LAST 64 KB — the
+    * parquet footer (schema, per-row-group offsets and column min/max
+    * stats), so a regenerated file with coincidentally identical size
+    * and a coarse (second-resolution) mtime still changes the cache key.
+    * Footer-only by design: no data pages are read. */
+  private def footerFingerprint(spark: SparkSession, p: String, len: Long): String = {
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = math.min(len, 64L << 10).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(hPath)
+    try in.readFully(len - n, buf) finally in.close()
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(buf).map("%02x".format(_)).mkString
+  }
+
+  /** Local cache root for compacted copies (conf > env > default).
+    * Deliberately NOT java.io.tmpdir by default: tmp reapers on long
+    * benches can delete a resolved copy between path resolution and
+    * scan execution. */
+  private def cacheRootDir(spark: SparkSession): java.io.File =
+    new java.io.File(conf(spark, "spark.graft.compact.dir",
+      sys.env.getOrElse("GRAFT_COMPACT_DIR",
+        s"${System.getProperty("user.home")}/.cache/graft-compact")))
+
+  /** One sweep per JVM per cache root: drop entries whose recorded
+    * source no longer exists (each driver data regeneration would
+    * otherwise leave a dead multi-MB copy behind forever), entries
+    * predating the `_SOURCE` marker (orphaned by cache-key format
+    * changes), and `.tmp-<pid>` debris of dead writer processes. */
+  private val evictedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def evictStale(root: java.io.File): Unit =
+    if (evictedRoots.add(root.getAbsolutePath)) {
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory).foreach { d =>
+          val tmpOf = ".*\\.tmp-(\\d+)$".r
+          val dead = d.getName match {
+            case tmpOf(pid) => // writer debris: gone unless its pid is alive
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+            case _ =>
+              val srcFile = new java.io.File(d, "_SOURCE")
+              if (!srcFile.isFile) true // pre-_SOURCE format: unreachable key
+              else {
+                val src = new String(java.nio.file.Files.readAllBytes(srcFile.toPath),
+                  "UTF-8").trim
+                // only local paths are cheaply checkable; keep remote-keyed entries
+                src.startsWith("/") && !new java.io.File(src).exists()
+              }
+          }
+          if (dead) org.apache.hadoop.fs.FileUtil.fullyDelete(d)
+        }
+    }
+
   /** Resolve a table path to its compacted copy, rewriting on first
     * touch. Returns the original path when the layout is already
-    * scan-parallel (or compaction is disabled). */
+    * scan-parallel (or compaction is disabled). The copy is keyed by
+    * (path, size, mtime, footer fingerprint) and re-verified via its
+    * `_SUCCESS` marker on every resolution, so a deleted or
+    * half-written cache entry is rebuilt instead of served. */
   def maybeCompact(spark: SparkSession, p: String): String = {
     if (conf(spark, "spark.graft.compact.enabled", "true") != "true") return p
     val minBytes = conf(spark, "spark.graft.compact.minBytes", (4L << 20).toString).toLong
     fileLayout(spark, p) match {
       case Some((bytes, rgs, mtime)) if bytes > minBytes && bytes / math.max(rgs, 1) > minBytes =>
-        val cacheRoot = sys.env.getOrElse(
-          "GRAFT_COMPACT_DIR", s"${System.getProperty("java.io.tmpdir")}/graft-compact")
+        val cacheRoot = cacheRootDir(spark)
+        evictStale(cacheRoot)
+        val fp = footerFingerprint(spark, p, bytes)
         val key = java.security.MessageDigest.getInstance("SHA-1")
-          .digest(s"$p|$bytes|$mtime".getBytes("UTF-8"))
+          .digest(s"$p|$bytes|$mtime|$fp".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(16)
         val dst = new java.io.File(cacheRoot, key)
         compactLock.synchronized {
@@ -144,11 +209,15 @@ object Tables {
             val tmp = new java.io.File(cacheRoot, s"$key.tmp-${ProcessHandle.current.pid}")
             spark.read.parquet(p).repartition(parts)
               .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            java.nio.file.Files.write(new java.io.File(tmp, "_SOURCE").toPath,
+              p.getBytes("UTF-8"))
             if (!tmp.renameTo(dst)) { // lost a cross-process race: theirs is fine
               org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
             }
           }
         }
+        compactedTables.add(
+          new org.apache.hadoop.fs.Path(p).getName.stripSuffix(".parquet"))
         dst.getAbsolutePath
       case _ => p
     }

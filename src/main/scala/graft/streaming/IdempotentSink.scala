@@ -44,9 +44,13 @@ object IdempotentSink {
   def readBackLast(s: SparkSession, outDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val last = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
-      .max
-    s.read.parquet(s"$outDir/batch_id=$last")
+    val ids =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+      else Array.empty[Long]
+    require(ids.nonEmpty,
+      s"$outDir: the stream committed zero micro-batches — empty source, " +
+        "or foreachBatch never ran; nothing to read back")
+    s.read.parquet(s"$outDir/batch_id=${ids.max}")
   }
 }

@@ -72,7 +72,17 @@ object StateBackend {
   /** Run `f` (a streaming start/awaitTermination) with the shuffle
     * width sized to `sourcePath`, restoring the session's batch width
     * after — the conf is consulted at query planning, so this scopes
-    * the state width to exactly the queries started inside. */
+    * the state width to exactly the queries started inside.
+    *
+    * SINGLE-THREADED BY CONTRACT: this mutates the session-global
+    * `spark.sql.shuffle.partitions` for the duration of `f`, so any
+    * query planned CONCURRENTLY on the same session would silently
+    * inherit the narrowed width (and an exception in `f` restores the
+    * width on this thread only). Verify/Bench run queries strictly
+    * sequentially, which is the regime this engine's entry points
+    * guarantee; a future parallel driver must plan concurrent batch
+    * work on `s.newSession()` (separate conf view, shared context)
+    * instead of sharing this session. */
   def withStatePartitions[T](s: SparkSession, sourcePath: String)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions(s, sourcePath).toString)

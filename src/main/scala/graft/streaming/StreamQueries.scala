@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming surfaces exposed on the driver's oracled queries list.
   *
@@ -18,43 +17,14 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
 
   /** Materialize a streaming DataFrame through an actual micro-batch
-    * run: exactly-once parquet files via [[IdempotentSink]], complete
-    * mode, `Trigger.AvailableNow`, blocking until the source is
-    * drained. File-backed on purpose — a memory sink holds the whole
-    * result as driver-resident rows which then re-enter downstream
-    * plans as parallelized-collection tasks; across the five streaming
-    * surfaces at the ×100 probe that accumulation OOMed an 8 GB heap.
-    * The sink write is per-partition parallel parquet and the read-back
-    * is an ordinary scan, so the result never lives on the driver —
-    * the same shape a real deployment uses (stream → files → consumers).
-    * Idempotent across repeated calls in one session (Verify + Bench):
-    * the sink directory is cleared before each run. */
-  private def sinkDir(sink: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stream_sink/$sink"
-
+    * run — see [[StreamRunner.run]] for the full contract (RocksDB
+    * state, exactly-once file sink, explicit checkpoint, AvailableNow,
+    * read-back scan). State width is sized to the events source these
+    * five surfaces all read. Idempotent across repeated calls in one
+    * session (Verify + Bench): the sink root is wiped per run. */
   private def runToFiles(s: SparkSession, sink: String, d: String,
-      df: DataFrame, mode: String): DataFrame = {
-    val out = sinkDir(sink)
-    val p = new org.apache.hadoop.fs.Path(out)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    StateBackend.enableRocksDb(s)
-    val q = StateBackend.withStatePartitions(s, s"$d/events.parquet") {
-      val q = df.writeStream
-        .foreachBatch(IdempotentSink.parquetSink(out))
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-      q
-    }
-    StateBackend.assertRocksDb(q)
-    StateBackend.reportState(q)
-    // complete mode: each batch directory holds the FULL result —
-    // read the last; append mode: batches partition the result — union
-    if (mode == "complete") IdempotentSink.readBackLast(s, out)
-    else IdempotentSink.readBack(s, out)
-  }
+      df: DataFrame, mode: String): DataFrame =
+    StreamRunner.run(s, sink, s"$d/events.parquet", df, mode)
 
   private def runToTable(s: SparkSession, sink: String, d: String, df: DataFrame): DataFrame =
     runToFiles(s, sink, d, df, "complete")
