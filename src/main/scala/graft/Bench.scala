@@ -82,6 +82,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
 
+    // Names measured under the extra-warmup median-of-7 protocol (vs
+    // the default median-of-5) — stamped into the artifacts so per-query
+    // numbers are comparable across rounds knowing which protocol
+    // produced them.
+    val remeasured = scala.collection.mutable.TreeSet.empty[String]
+
     // Baseline methodology (BASELINE.md): build the DataFrame once,
     // 1 warmup collect, then median of timed collects.
     val results: Seq[(String, Double)] = selected.map {
@@ -104,7 +110,10 @@ object Bench {
             // 83 vs 174 ms across sweeps), so re-measure those with 2
             // more warmups + median-of-7
             val m5 = median(5)
-            if (m5 < 0.1) { df.collect(); df.collect(); median(7) } else m5
+            if (m5 < 0.1) {
+              remeasured += name
+              df.collect(); df.collect(); median(7)
+            } else m5
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -164,19 +173,37 @@ object Bench {
       s""","compacted":${graft.sources.Tables.compactedTables.asScala.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
 
-    // Durable full artifact — every query, plus totals.
+    // Which queries were re-measured under the median-of-7 protocol
+    // (sub-100 ms medians get 2 extra warmups + median-of-7; the rest
+    // are plain median-of-5) — per-query methodology provenance.
+    val remeasuredTag =
+      s""","remeasured_mo7":${remeasured.toSeq
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+
+    // Durable full artifact — every query, plus totals. The full
+    // remeasured list lives only here; the compact driver line carries
+    // just its size (the list can be ~100 names — tail-window poison).
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(results)},""" +
-        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag,"sf":"$sfDir"}"""
+        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag$remeasuredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"), fullJson.getBytes(StandardCharsets.UTF_8))
+    // bench_out.json is clobbered by every sweep (including filtered
+    // probes), which has already destroyed two rounds' full per-query
+    // tables — archive each full sweep under bench_runs/ so the round
+    // commit preserves it.
+    val runsDir = Paths.get("bench_runs")
+    Files.createDirectories(runsDir)
+    Files.write(runsDir.resolve(s"bench_${System.currentTimeMillis / 1000}.json"),
+      fullJson.getBytes(StandardCharsets.UTF_8))
 
     // Final compact driver line — must survive a ~1.9 KB stdout tail.
     val headQueries = results.filter { case (k, _) => headline.contains(k) }
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(headQueries)},""" +
-        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag,"full":"bench_out.json","sf":"$sfDir"}""")
+        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag""" +
+        s""","remeasured_n":${remeasured.size},"full":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,14 @@ object PrefixScan {
     * `orderCols` order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW
     * semantics, current row included). `valueCol` must be LongType —
     * exact integer arithmetic, bit-identical on any partitioning. */
+  /** Hard ceiling on per-partition distinct groups in the metadata
+    * collect. The operator's contract is a LOW-cardinality `groupCol`
+    * (its raison d'être — a handful of splits/buckets); a caller who
+    * passes a high-cardinality key would otherwise collect
+    * partitions×groups rows to the driver. Enforced executor-side, so
+    * the driver never materializes the oversized array at all. */
+  val MaxGroupsPerPartition: Int = 10000
+
   def runningLongSum(df: DataFrame, groupCol: String, orderCols: Seq[String],
       valueCol: String, cumCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -57,6 +65,13 @@ object PrefixScan {
         val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
         it.foreach { r =>
           val g = r.get(gIdx)
+          if (!sums.contains(g) && sums.size >= MaxGroupsPerPartition)
+            throw new IllegalArgumentException(
+              s"PrefixScan.runningLongSum: partition $pid holds more than " +
+                s"$MaxGroupsPerPartition distinct '$groupCol' values — this " +
+                "operator's metadata collect requires a LOW-cardinality group " +
+                "key (splits/buckets); use a window partitioned on the " +
+                "high-cardinality key instead")
           sums.update(g, sums.getOrElse(g, 0L) + r.getLong(vIdx))
         }
         sums.iterator.map { case (g, s) => (pid, g, s) }

@@ -161,12 +161,16 @@ object Tables {
     * changes), and `.tmp-<pid>` debris of dead writer processes. */
   private val evictedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Test-only: forget which roots were swept so a spec can observe a
+    * second sweep in the same JVM (production runs sweep once per root). */
+  private[sources] def resetEvictionSweepForTests(): Unit = evictedRoots.clear()
+
   private def evictStale(root: java.io.File): Unit =
     if (evictedRoots.add(root.getAbsolutePath)) {
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.isDirectory).foreach { d =>
           val tmpOf = ".*\\.tmp-(\\d+)$".r
-          val dead = d.getName match {
+          val dead = try d.getName match {
             case tmpOf(pid) => // writer debris: gone unless its pid is alive
               !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
             case _ =>
@@ -178,6 +182,11 @@ object Tables {
                 // only local paths are cheaply checkable; keep remote-keyed entries
                 src.startsWith("/") && !new java.io.File(src).exists()
               }
+          } catch {
+            // cross-process race: another JVM's sweep removed the entry
+            // between the isFile check and the read — skip, don't fail
+            // the first query of the run over someone else's cleanup
+            case _: java.io.IOException => false
           }
           if (dead) org.apache.hadoop.fs.FileUtil.fullyDelete(d)
         }

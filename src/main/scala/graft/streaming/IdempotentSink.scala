@@ -31,10 +31,28 @@ object IdempotentSink {
 
   /** Everything the sink has committed, across all micro-batches; the
     * batch_id partition column is dropped so the read-back schema is
-    * the stream's own. */
-  def readBack(s: SparkSession, outDir: String): DataFrame =
-    s.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+    * the stream's own. Batch directories are enumerated explicitly
+    * rather than passed as a `batch_id=*` glob: `FileStreamSink
+    * .hasMetadata` stats the literal glob string, and the resulting
+    * FileNotFoundException — though swallowed — is WARN-logged with a
+    * full stack that pollutes the bench stdout tail. */
+  def readBack(s: SparkSession, outDir: String): DataFrame = {
+    val dirs = batchDirs(s, outDir)
+    require(dirs.nonEmpty,
+      s"$outDir: the stream committed zero micro-batches — empty source, " +
+        "or foreachBatch never ran; nothing to read back")
+    s.read.option("basePath", outDir).parquet(dirs.toIndexedSeq: _*)
       .drop("batch_id")
+  }
+
+  private def batchDirs(s: SparkSession, outDir: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).sorted.map(n => s"$outDir/$n")
+    else Array.empty[String]
+  }
 
   /** The LAST committed micro-batch only — the correct read-back for a
     * COMPLETE-mode stream, where every batch directory holds the full
@@ -42,12 +60,8 @@ object IdempotentSink {
     * (unioning them, as [[readBack]] does for append mode, would
     * duplicate rows once the source spans several micro-batches). */
   def readBackLast(s: SparkSession, outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(outDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val ids =
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
-      else Array.empty[Long]
+    val ids = batchDirs(s, outDir)
+      .map(_.split("=").last.toLong)
     require(ids.nonEmpty,
       s"$outDir: the stream committed zero micro-batches — empty source, " +
         "or foreachBatch never ran; nothing to read back")

@@ -58,14 +58,31 @@ object StreamRunner {
     // and reaped by a daemon thread instead (rename is O(1); a failed
     // rename falls back to the synchronous delete).
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val trash = new org.apache.hadoop.fs.Path(s"$out.trash-${System.nanoTime()}")
-      if (fs.rename(p, trash)) {
-        val t = new Thread(() => try fs.delete(trash, true) catch { case _: Throwable => () },
-          s"graft-sink-gc-$sink")
-        t.setDaemon(true)
-        t.start()
-      } else fs.delete(p, true)
+    // anything to reap: this run's renamed-aside sink, plus any stale
+    // `*.trash-*` siblings a previous JVM's best-effort daemon never
+    // got to delete before exit (otherwise they accumulate in tmpdir
+    // forever — nothing else ever looks at them)
+    val stale: Array[org.apache.hadoop.fs.Path] =
+      try {
+        val parent = p.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).map(_.getPath)
+            .filter(_.getName.contains(".trash-"))
+        else Array.empty
+      } catch { case _: Throwable => Array.empty }
+    val renamed: Option[org.apache.hadoop.fs.Path] =
+      if (fs.exists(p)) {
+        val trash = new org.apache.hadoop.fs.Path(s"$out.trash-${System.nanoTime()}")
+        if (fs.rename(p, trash)) Some(trash)
+        else { fs.delete(p, true); None }
+      } else None
+    val toReap = stale ++ renamed
+    if (toReap.nonEmpty) {
+      val t = new Thread(() => toReap.foreach { d =>
+        try fs.delete(d, true) catch { case _: Throwable => () }
+      }, s"graft-sink-gc-$sink")
+      t.setDaemon(true)
+      t.start()
     }
     StateBackend.enableRocksDb(s)
     val tClean = now()

@@ -57,6 +57,25 @@ class PrefixScanSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 1L, 5L), ("a", 2L, 12L), ("b", 1L, 11L)))
   }
 
+  test("a high-cardinality group key trips the metadata-collect guard") {
+    import spark.implicits._
+    // 7 range partitions over ~15×MaxGroupsPerPartition distinct groups:
+    // every partition exceeds the per-partition ceiling, so the contract
+    // violation must surface as a descriptive failure instead of a
+    // partitions×groups driver collect
+    val n = PrefixScan.MaxGroupsPerPartition * 15
+    val df = spark.range(0, n)
+      .select(concat(lit("g"), col("id")).as("grp"), col("id"), lit(1L).as("v"))
+    val e = intercept[Exception] {
+      PrefixScan.runningLongSum(df, "grp", Seq("id"), "v", "cum")
+    }
+    // the root cause propagates wrapped in SparkException
+    def chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+    assert(chain.exists(t =>
+      Option(t.getMessage).exists(_.contains("LOW-cardinality"))),
+      s"expected the guard's message in the failure chain, got: ${e.getMessage}")
+  }
+
   test("non-long value column is rejected loudly") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1.5)).toDF("grp", "id", "v")

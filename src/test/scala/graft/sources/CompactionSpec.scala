@@ -26,15 +26,21 @@ class CompactionSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** An sf-style dir holding a single-FILE, single-ROW-GROUP lineitem. */
-  private def writeSingleRowGroup(rows: Long): String = {
+  /** An sf-style dir holding a single-FILE, single-ROW-GROUP lineitem.
+    * `priceFactor` varies the VALUES (not the row count), so two calls
+    * with different factors yield same-shaped files with different
+    * content — same length in the common case (plain-encoded doubles),
+    * which is exactly what the footer-fingerprint test needs. */
+  private def writeSingleRowGroup(rows: Long, priceFactor: Double = 1.01,
+      compression: String = "snappy"): String = {
     val dir = Files.createTempDirectory("compact-spec-").toFile
     val out = new java.io.File(dir, "lineitem.parquet")
     val tmp = new java.io.File(dir, "_tmp")
     spark.range(0, rows)
       .select(col("id").as("l_orderkey"), (col("id") % 7).as("l_linenumber"),
-        (col("id") * 1.01).as("l_extendedprice"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        (col("id") * priceFactor).as("l_extendedprice"))
+      .coalesce(1).write.mode("overwrite").option("compression", compression)
+      .parquet(tmp.getAbsolutePath)
     val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
     Files.move(part.toPath, out.toPath)
     tmp.listFiles().foreach(_.delete()); tmp.delete()
@@ -96,31 +102,34 @@ class CompactionSpec extends AnyFunSuite {
   }
 
   test("the cache key includes a footer fingerprint: same size+mtime, different content → different entry") {
-    val dir = writeSingleRowGroup(60000)
+    // uncompressed: plain-encoded doubles make the length a function of
+    // the row count alone, so different values ⇒ same length
+    val dir = writeSingleRowGroup(60000, compression = "none")
     withConf("spark.graft.compact.minBytes", "100000") {
       val src = new java.io.File(s"$dir/lineitem.parquet")
+      val origMtime = src.lastModified()
+      val origLen = src.length()
       val first = Tables.maybeCompact(spark, src.getAbsolutePath)
-      // regenerate with different VALUES, then force byte-identical
-      // length via a same-size sibling trick is impractical — instead
-      // pin the mtime equal and rely on the footer stats differing;
-      // size differing is fine too (either way the key must change)
-      val dir2 = writeSingleRowGroup(60000)
+      // regenerate the same SHAPE (rows, schema, encoding) with
+      // different VALUES — the footer's column min/max stats differ, so
+      // the fingerprint must change even when length and mtime collide
+      val dir2 = writeSingleRowGroup(60000, priceFactor = 2.17, compression = "none")
       val src2 = new java.io.File(s"$dir2/lineitem.parquet")
-      // same basename, same rows; overwrite src with src2's bytes and
-      // restore the ORIGINAL mtime — a (path,size,mtime) key would now
-      // serve the stale copy iff sizes match; the fingerprint must not
+      assert(!java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(src.toPath),
+        java.nio.file.Files.readAllBytes(src2.toPath)),
+        "different priceFactor must change the file bytes")
+      // overwrite src in place and pin back the ORIGINAL mtime: a
+      // (path,size,mtime)-only key would now serve the stale copy
       java.nio.file.Files.copy(src2.toPath, src.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val sameMtime = first // mtime pinning below
-      src.setLastModified(new java.io.File(first, "_SOURCE").lastModified())
+      assert(src.setLastModified(origMtime))
+      if (src.length() != origLen)
+        cancel("regenerated file length differs — size alone would change " +
+          "the key, so this run can't isolate the fingerprint")
       val second = Tables.maybeCompact(spark, src.getAbsolutePath)
-      assert(sameMtime == first)
-      // identical generator → identical parquet bytes is possible; only
-      // assert divergence when the bytes actually differ
-      if (!java.util.Arrays.equals(
-          java.nio.file.Files.readAllBytes(src.toPath),
-          java.nio.file.Files.readAllBytes(src2.toPath)))
-        assert(second == first || second != first) // key is content-derived either way
+      assert(second != first,
+        "same size+mtime but different content must yield a new cache entry")
       assert(new java.io.File(second, "_SUCCESS").isFile)
     }
   }
@@ -135,16 +144,13 @@ class CompactionSpec extends AnyFunSuite {
         assert(entry.isDirectory && new java.io.File(entry, "_SOURCE").isFile)
         // source disappears (driver regenerated testdata elsewhere)
         assert(src.delete())
-        // a FRESH root triggers one eviction sweep per JVM — simulate a
-        // new process by pointing a second root at the same directory
-        // via a symlink-free rename: eviction is keyed per-root-path,
-        // so re-trigger through a path with a redundant segment
-        val rootAlias = new java.io.File(root.getParentFile,
-          root.getName + "/.").getCanonicalFile.getAbsolutePath + "/"
-        withConf("spark.graft.compact.dir", rootAlias) {
-          val other = writeSingleRowGroup(60000)
-          Tables.maybeCompact(spark, s"$other/lineitem.parquet")
-        }
+        // eviction sweeps once per JVM per root; simulate the next
+        // process via the test-only sweep reset (a path alias can't do
+        // it — File.getAbsolutePath normalizes any alias back to the
+        // same dedup key), then touch the root again to re-trigger
+        Tables.resetEvictionSweepForTests()
+        val other = writeSingleRowGroup(60000)
+        Tables.maybeCompact(spark, s"$other/lineitem.parquet")
         assert(!entry.exists(),
           "entry with a deleted _SOURCE must be evicted on the next sweep")
       }
