@@ -70,6 +70,14 @@ object Bench {
       // real count per task is the scan slice's distinct keys (~10^4).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "16000000")
+      // let AQE re-plan reads of persisted relations: a cached plan
+      // otherwise pins its final exchange's full initialPartitionNum
+      // fan-out (8×cores), so every read of the 256-row shared d2 pair
+      // cache launched 256 near-empty tasks (~760 ms of pure task
+      // overhead; ~100 ms with the conf, which AQE-coalesces to the
+      // 64 MB advisory target — a corpus-sized cache keeps its width)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -190,12 +198,15 @@ object Bench {
     Files.write(Paths.get("bench_out.json"), fullJson.getBytes(StandardCharsets.UTF_8))
     // bench_out.json is clobbered by every sweep (including filtered
     // probes), which has already destroyed two rounds' full per-query
-    // tables — archive each full sweep under bench_runs/ so the round
-    // commit preserves it.
-    val runsDir = Paths.get("bench_runs")
-    Files.createDirectories(runsDir)
-    Files.write(runsDir.resolve(s"bench_${System.currentTimeMillis / 1000}.json"),
-      fullJson.getBytes(StandardCharsets.UTF_8))
+    // tables — archive each FULL sweep under bench_runs/ so the round
+    // commit preserves it (filtered probes are partial by design and
+    // would only bury the real artifacts).
+    if (only.isEmpty) {
+      val runsDir = Paths.get("bench_runs")
+      Files.createDirectories(runsDir)
+      Files.write(runsDir.resolve(s"bench_${System.currentTimeMillis / 1000}.json"),
+        fullJson.getBytes(StandardCharsets.UTF_8))
+    }
 
     // Final compact driver line — must survive a ~1.9 KB stdout tail.
     val headQueries = results.filter { case (k, _) => headline.contains(k) }

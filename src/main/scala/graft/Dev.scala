@@ -21,6 +21,9 @@ object Dev {
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "8m")) // see Bench
 
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE-coalesced reads of persisted relations — see Bench
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

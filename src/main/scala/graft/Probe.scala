@@ -3,17 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch micro-probe for b6 top-k variants (dev-only, not in any gate). */
+/** Scratch micro-probe (dev-only, not in any gate) — currently dissecting
+  * why a cached 256-row d2 result costs 200-750 ms per collect. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]").appName("probe")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]").appName("probe")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_MAXPART", "8m"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16000000")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
 
     def time(tag: String)(f: => Unit): Unit = {
       f
@@ -21,30 +26,16 @@ object Probe {
       println(f"[probe] $tag median=${ts(3)}%.1f ms all=${ts.map(t => f"$t%.0f").mkString(",")}")
     }
 
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      .withColumn("e", col("embedding").cast("array<double>"))
-    time("emb_scan") { emb.agg(count(lit(1))).collect() }
-    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
-    time("emb_qjob") { q.collect() }
-    import org.apache.spark.sql.Column
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val b12 = emb.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(dot(col("e"), col("qv")) /
-          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-    time("b12_full") { b12.collect() }
-    val qlit = q.collect()(0).getSeq[Double](0)
-    val b12lit = emb
-      .select(col("vec_id"),
-        round(dot(col("e"), typedLit(qlit)) /
-          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(typedLit(qlit), typedLit(qlit)))), 6).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-    time("b12_lit") { b12lit.collect() }
-    val hof = emb.select(col("vec_id"),
-      aggregate(zip_with(col("e"), col("e"), (x, y) => x * y), lit(0.0), (a2, x) => a2 + x).as("nx"))
-    time("hof_only") { hof.agg(sum(col("nx"))).collect() }
+    val d = "/root/testdata/sf0.1"
+    val df = graft.queries.Dedup.d2MinhashLsh(spark, d)
+    val t0 = System.nanoTime()
+    val n = df.collect().length
+    println(f"[probe] d2 warmup rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    println(s"[probe] d2 cached partitions = ${df.rdd.getNumPartitions}")
+    time("d2_collect") { df.collect() }
+    time("d2_count") { df.count() }
+    val one = df.coalesce(1)
+    time("d2_coalesce1_collect") { one.collect() }
     spark.stop()
   }
 }

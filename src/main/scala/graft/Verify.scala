@@ -19,6 +19,9 @@ object Verify {
       // keep typed-Aggregator ops on the hash path — see Bench
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "16000000")
+      // AQE-coalesced reads of persisted relations — see Bench
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
