@@ -129,6 +129,73 @@ class RecoverySpec extends AnyFunSuite {
       "a window was emitted more than once after recovery")
   }
 
+  test("sessionAgg killed mid-stream resumes from the RocksDB checkpoint with exactly-once output") {
+    // the one stateful checkpoint shape the other cases don't cover: a
+    // watermarked SESSION-window aggregation (b45's operator), where
+    // open sessions live in merging state-store entries across batches.
+    // The quartile arrival split interleaves every user's events across
+    // all four files, so the crash lands while most sessions are OPEN
+    // — recovery must restore the merged session state, not just
+    // replay rows.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("sess_arrivals").toString
+    writeArrivalFiles(srcDir)
+
+    def sessions(srcDir: String): DataFrame =
+      EventStream.sessionAgg(
+        spark.readStream.schema(eventSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir))
+
+    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+      val q = sessions(srcDir)
+        .writeStream
+        .foreachBatch(sinkFn)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(180000) }
+      catch { case _: StreamingQueryException => false }
+      finally q.stop()
+    }
+
+    // control: the same stream, never failed
+    val controlDir = java.nio.file.Files.createTempDirectory("sess_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+      "control session stream did not finish")
+    val control = IdempotentSink.readBack(spark, controlDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(control.nonEmpty, "control session stream emitted no closed sessions")
+
+    // failure run: batch 2's sink write SUCCEEDS, then the batch dies
+    // before committing (worst-case at-least-once window)
+    val outDir = java.nio.file.Files.createTempDirectory("sess_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(!run(ckpt, failingSink), "failure was not injected")
+
+    // restart from the SAME checkpoint: session state (including
+    // sessions opened in batches 0-1) must restore from the RocksDB
+    // changelog; batch 2 replays over its own uncommitted output
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+      "session recovery run did not finish")
+
+    val recovered = IdempotentSink.readBack(spark, outDir)
+    val got = recovered.collect().map(_.toString).sorted.toSeq
+    assert(got == control,
+      s"recovered sessions differ from the never-failed control:\n got=${got.take(5)}…\nwant=${control.take(5)}…")
+    // exactly-once: each (user, session-start) closed exactly once
+    assert(recovered.select("user_id", "sess_start_us").distinct().count() ==
+      recovered.count(),
+      "a session was emitted more than once after recovery")
+  }
+
   test("cap4 lifecycle is state-store-provider agnostic (RocksDB == heap HDFS provider)") {
     // capLifecycle runs on RocksDB (the engine default via runStream);
     // re-run the same pipeline on the legacy heap provider and compare.
