@@ -317,6 +317,36 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally graft.queries.Dedup.releaseSharedPairs(spark)
   }
 
+  test("reads of the persisted pair relation are AQE-coalesced, not pinned at the exchange fan-out") {
+    // A cached plan is exempt from AQE re-planning unless
+    // canChangeCachedPlanOutputPartitioning is set, in which case the
+    // cache read keeps the final exchange's FULL initialPartitionNum
+    // fan-out — in the Bench session that was 256 near-empty tasks per
+    // collect of a 256-row result (~760 ms of pure task overhead).
+    // Recreate the Bench conf shape and pin the coalesce.
+    val keyA = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val keyC = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevA = spark.conf.getOption(keyA)
+    val prevC = spark.conf.getOption(keyC)
+    graft.queries.Dedup.releaseSharedPairs(spark)
+    try {
+      spark.conf.set(keyA, "64")
+      spark.conf.set(keyC, "true") // must be set BEFORE the cache is built
+      val d2 = graft.queries.Dedup.d2MinhashLsh(spark, sf)
+      d2.count() // materialize the cache
+      val parts = d2.rdd.getNumPartitions
+      assert(parts < 8,
+        s"cache read kept $parts partitions for a tiny result — AQE did " +
+          "not re-plan the cached output (canChangeCachedPlanOutputPartitioning regression)")
+    } finally {
+      graft.queries.Dedup.releaseSharedPairs(spark)
+      Seq((keyA, prevA), (keyC, prevC)).foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("fused fan-out: materializing features AND quarantine scans the alerts source once") {
     import spark.implicits._
     val xml = spark.read.option("wholetext", "true")
