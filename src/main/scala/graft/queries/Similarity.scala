@@ -672,9 +672,19 @@ object Similarity {
       .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
     // argmin(sqerr, tie: min code) per (vector, subspace) as the hash
     // argmax over negated error (exact: sign-bit flip) — the window
-    // form sorts the n×8×16 distance relation (see ArgMaxAgg)
+    // form sorts the n×8×16 distance relation (see ArgMaxAgg).
+    // The re-alignment shuffle before the argmin is load-bearing:
+    // without it the argmin's PARTIAL ObjectHashAggregate fuses into
+    // dist's final-agg stage, holding ~one pair buffer per (v,s,c)
+    // input row next to dist's hash map — at the ×300 probe that was
+    // ~1.4M object buffers × 32 concurrent tasks and OOMed the 8 GB
+    // heap. Aligned on (vec_id, sub), Catalyst plans ONE full
+    // aggregate whose per-task group count is |v,s|/parts (~94k at
+    // ×300, ~15 MB of buffers); the shuffled relation is the compact
+    // n×8×16 distance table, linear in corpus size.
     val pick = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxPairAgg)
-    dist.groupBy("vec_id", "sub")
+    dist.repartition(col("vec_id"), col("sub"))
+      .groupBy("vec_id", "sub")
       .agg(pick(-col("sqerr"), col("code")).as("p"))
       .select(col("vec_id"), col("sub"), col("p.id").as("code"),
         (-col("p.v")).as("sqerr"))
@@ -972,9 +982,12 @@ object Similarity {
     val dist = ex.join(broadcast(pqCents), Seq("sub", "dim"))
       .groupBy(col("vec_id"), col("sub"), col("code"))
       .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("sqerr"))
-    // hash argmin per (vector, subspace) — same rationale as s7
+    // hash argmin per (vector, subspace) — same rationale (and same
+    // load-bearing pre-argmin re-alignment shuffle: the fused partial
+    // ObjectHashAggregate OOMed the ×300 probe) as s7
     val pick = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxPairAgg)
-    val codes = dist.groupBy("vec_id", "sub")
+    val codes = dist.repartition(col("vec_id"), col("sub"))
+      .groupBy("vec_id", "sub")
       .agg(pick(-col("sqerr"), col("code")).as("p"))
       .select(col("vec_id"), col("sub"), col("p.id").as("code"))
     // per-query ADC lookup table: distance from each query sub-vector to
