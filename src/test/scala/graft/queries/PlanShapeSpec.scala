@@ -317,6 +317,46 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally graft.queries.Dedup.releaseSharedPairs(spark)
   }
 
+  test("s7/s11: the PQ argmin re-aligns on (vec_id, sub) before aggregating — never fused into the distance agg's stage") {
+    // Without the re-alignment exchange the argmin's PARTIAL
+    // ObjectHashAggregate runs inside the distance table's final-agg
+    // stage, holding ~one pair buffer per (v,s,c) input row — the ×300
+    // OOM. Pin the load-bearing plan shape: an Exchange on exactly
+    // (vec_id, sub) sits between the ArgMaxPairAgg aggregate and the
+    // (vec_id, sub, code) distance aggregate below it.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("s7_product_quant", "s11_ivfpq")) {
+        val exec = graft.SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan
+        import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+        // every ObjectHashAggregate grouping on exactly (vec_id, sub)
+        // must have the re-alignment exchange below it, BEFORE any
+        // other aggregate appears
+        val argmins = exec.collect {
+          case a: ObjectHashAggregateExec
+              if a.groupingExpressions.map(_.name).toSet == Set("vec_id", "sub") => a
+        }
+        assert(argmins.nonEmpty, s"$q: no (vec_id, sub) argmin aggregate found:\n$exec")
+        argmins.foreach { a =>
+          val aligned = a.child.collectFirst {
+            case e: ShuffleExchangeExec => e.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.flatMap(_.references.map(_.name)).toSet == Set("vec_id", "sub")
+              case _ => false
+            }
+          }
+          assert(aligned.contains(true),
+            s"$q: the argmin's nearest exchange is not on (vec_id, sub) — " +
+              s"its partial pass would fuse into the distance-agg stage:\n$a")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("reads of the persisted pair relation are AQE-coalesced, not pinned at the exchange fan-out") {
     // A cached plan is exempt from AQE re-planning unless
     // canChangeCachedPlanOutputPartitioning is set, in which case the
