@@ -539,21 +539,30 @@ object Relational {
 
   // -------------------------------------------------------------------
   // B18: percentiles — exact interpolated quantiles of l_extendedprice
-  // per return flag. Spark `percentile` and DuckDB `quantile_cont` use
-  // the same linear interpolation on the sorted values, so rounded
-  // results hash-match. The 100 TB path swaps in approx_percentile
-  // (t-digest) exactly like B16 swaps HLL for exact distinct.
+  // per return flag, bit-identical to Spark `percentile` and DuckDB
+  // `quantile_cont` (same interpolation on the same order statistics).
+  // NOT the built-in aggregate: `percentile` buffers every value of a
+  // group in its aggregation buffer, and with 3 return flags that is a
+  // third of the corpus per final task (~5 min/run at the ×300 probe,
+  // the first OOM on a real cluster). ExactQuantile instead brackets
+  // the needed ranks with a groups×8192 bucket histogram and re-scans
+  // only the bracketing buckets — bounded memory at any corpus size,
+  // exact answer, no sketch.
   // -------------------------------------------------------------------
-  def b18Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  def b18Percentiles(s: SparkSession, d: String): DataFrame = {
+    val lq = graft.operators.ExactQuantile.groupQuantiles(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.5, 0.9, 0.99))
+    def p(q: Double): Column = max(when(col("q") === q, col("qv")))
+    lq.groupBy(col("g").as("l_returnflag"))
       .agg(
-        count(lit(1)).as("n"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        max(col("n")).as("n"),
+        round(p(0.25), 6).as("p25"),
+        round(p(0.5), 6).as("p50"),
+        round(p(0.9), 6).as("p90"),
+        round(p(0.99), 6).as("p99"))
       .orderBy("l_returnflag")
+  }
 
   val b18Sql: String =
     """SELECT l_returnflag, COUNT(*) AS n,
@@ -1157,7 +1166,7 @@ object Relational {
 
   // -------------------------------------------------------------------
   // B37: approximate percentiles with an in-query error gate — the
-  // sketch companion to B18's exact sort-based percentiles, the same
+  // sketch companion to B18's exact percentiles, the same
   // pattern as B16's HLL gate: Spark computes BOTH the exact
   // percentile and the GK-sketch percentile_approx (rank error ≤
   // n/10000) and emits a boolean asserting the sketch landed within
@@ -1168,17 +1177,28 @@ object Relational {
   // while the data is small enough to afford one.
   // -------------------------------------------------------------------
   def b37ApproxQuantile(s: SparkSession, d: String): DataFrame = {
-    val p50e = expr("percentile(l_extendedprice, 0.5)")
-    val p95e = expr("percentile(l_extendedprice, 0.95)")
-    val p50a = expr("percentile_approx(l_extendedprice, 0.5, 10000)")
-    val p95a = expr("percentile_approx(l_extendedprice, 0.95, 10000)")
-    Tables.lineitem(s, d)
+    // exact side via the bounded-memory histogram bracketing (B18's
+    // operator — the built-in `percentile` buffers a third of the
+    // corpus per final task here); the GK sketch side stays the
+    // constant-memory one-pass aggregate it is
+    val lq = graft.operators.ExactQuantile.groupQuantiles(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.95))
+    def p(q: Double): Column = max(when(col("q") === q, col("qv")))
+    val exact = lq.groupBy(col("g").as("l_returnflag"))
+      .agg(max(col("n")).as("n"), p(0.5).as("p50e"), p(0.95).as("p95e"))
+    val approx = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        count(lit(1)).as("n"),
-        round(p50e, 6).as("p50_exact"),
-        round(p95e, 6).as("p95_exact"),
-        (abs(p50a - p50e) <= p50e * 0.05 && abs(p95a - p95e) <= p95e * 0.05)
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95a"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("p50e"), 6).as("p50_exact"),
+        round(col("p95e"), 6).as("p95_exact"),
+        (abs(col("p50a") - col("p50e")) <= col("p50e") * 0.05 &&
+          abs(col("p95a") - col("p95e")) <= col("p95e") * 0.05)
           .as("within_bound"))
       .orderBy("l_returnflag")
   }
