@@ -239,6 +239,9 @@ object Bench {
         s""""n_queries":${results.size},"queries":${queriesJson(headQueries)},""" +
         s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag$execTag""" +
         s""","remeasured_n":${remeasured.size},"full":"bench_out.json","sf":"$sfDir"}""")
+    // close RocksDB natives before the shutdown hook deletes their
+    // working dirs (see StateBackend.shutdown scaladoc)
+    graft.streaming.StateBackend.shutdown()
     spark.stop()
   }
 }

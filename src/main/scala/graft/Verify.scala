@@ -49,6 +49,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // close RocksDB natives before the shutdown hook deletes their
+    // working dirs (see StateBackend.shutdown scaladoc)
+    graft.streaming.StateBackend.shutdown()
     spark.stop()
   }
 }

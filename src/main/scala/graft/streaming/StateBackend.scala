@@ -127,4 +127,20 @@ object StateBackend {
             s""","pinned_bytes":${m.getOrElse("rocksdbPinnedBlocksMemoryUsage", 0L)}}""")
       })
     }
+
+  /** Close every cached state-store provider and stop the maintenance
+    * task. Loaded providers outlive their (terminated) query by design —
+    * the cache serves a restart of the same checkpoint — and RocksDB
+    * providers own NATIVE background threads (flush/compaction) plus an
+    * open working dir under the Spark local tmp. If the JVM exits while
+    * one is still flushing, the shutdown hook deletes the working dir
+    * out from under the native thread: at best a spurious
+    * `ERROR RocksDB ... background flush error: IO error` in the
+    * process tail (seen on the ×300 stream probe), at worst a SIGSEGV
+    * in the JNI logger callback racing teardown. Entry points that run
+    * streams and then exit (Bench, Verify) call this right before
+    * `spark.stop()`; `StateStore.stop()` is idempotent and a later
+    * stream in the same JVM lazily restarts the maintenance task. */
+  def shutdown(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }

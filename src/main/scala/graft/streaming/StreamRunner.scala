@@ -89,6 +89,10 @@ object StreamRunner {
     var tStart = 0L
     val q = StateBackend.withStatePartitions(s, statePath) {
       val q = df.writeStream
+        // name the query after its sink so progress/state artifacts
+        // ("state_q" rows, Spark logs) attribute to the bench surface
+        // instead of "null" — one active query at a time, so unique
+        .queryName(sink)
         .foreachBatch(IdempotentSink.parquetSink(s"$out/data"))
         .option("checkpointLocation", s"$out/checkpoint")
         .outputMode(mode)
