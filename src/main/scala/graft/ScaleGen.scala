@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   *    clusters the dedup family must find, bounded in number so
   *    candidate counts stay linear in the corpus.
   *
-  * Usage: runMain graft.ScaleGen [srcSfDir] [outDir] [tiles]
+  * Usage: runMain graft.ScaleGen [srcSfDir] [outDir] [tiles] [tablesRe]
+  *
+  * `tablesRe` (default `.*`) restricts generation to matching table
+  * names — the big-decade probes scale the document/event families an
+  * order of magnitude beyond the relational tables (a ×1000 documents
+  * corpus is ~1 GB where ×1000 lineitem is ~15 GB), and generating 15 GB
+  * nobody scans is disk and wall the probe doesn't have.
   */
 object ScaleGen {
 
@@ -36,6 +42,7 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "scaledata/sf1-synth"
     val tiles = if (args.length > 2) args(2).toInt else 10
+    val tablesRe = if (args.length > 3) args(3) else ".*"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,11 +52,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, tiles)
+    generate(spark, src, out, tiles, tablesRe)
     spark.stop()
   }
 
-  def generate(s: SparkSession, src: String, out: String, tiles: Int): Unit = {
+  def generate(s: SparkSession, src: String, out: String, tiles: Int,
+      tablesRe: String = ".*"): Unit = {
+    // anchored full-name match: "part" must not also select "parquet"
+    // paths or accidentally glob "partsupp"-style future tables
+    val onTable: String => Boolean = t => t.matches(tablesRe)
     // the embedding variation composes a cyclic rotation (tile % dims)
     // with a per-group deterministic sign-flip pattern (tile / dims), so
     // up to dims * dims = 4096 tiles each get a distinct norm-preserving
@@ -82,6 +93,7 @@ object ScaleGen {
     // the KB-scale dimension tables stay ONE part instead of 32
     // mostly-empty files.
     def write(df: DataFrame, t: String, copies: Int): Unit = {
+      if (!onTable(t)) return // df is lazy — skipping costs nothing
       val parts = math.max(1, math.min(32,
         (srcBytes(t) * copies / (8L * 1024 * 1024)).toInt))
       df.repartition(parts).write.mode("overwrite")
@@ -134,6 +146,7 @@ object ScaleGen {
     // vec_id offsets mirror doc_id so the doc↔vec alignment d6 uses
     // survives tiling. Groups ≤ 64 tiles reduce to the pure rotation,
     // keeping earlier probe corpora bit-reproducible.
+    if (onTable("embeddings")) {
     val dims = read("embeddings").selectExpr("size(embedding)").first().getInt(0)
     val rot = (col("tile") % dims).cast("int")
     val grp = (col("tile") / dims).cast("int")
@@ -151,7 +164,8 @@ object ScaleGen {
         (col("vec_id") + col("tile") * K).cast(read("embeddings").schema("vec_id").dataType))
       .drop("tile")
     write(emb, "embeddings", tiles)
+    }
 
-    println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src"}""")
+    println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src","tables":"$tablesRe"}""")
   }
 }

@@ -121,6 +121,16 @@ class ScaleGenSpec extends AnyFunSuite {
     }
   }
 
+  test("the tables filter generates exactly the matching tables") {
+    val dir = Files.createTempDirectory("scalegen-filter").toString
+    ScaleGen.generate(spark, src, dir, 2, "documents|embeddings|events")
+    val written = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(written === Set("documents.parquet", "embeddings.parquet", "events.parquet"))
+    // the filtered gen is the same gen: tiling invariants hold
+    assert(spark.read.parquet(s"$dir/documents.parquet").count() ===
+      srcDf("documents").count() * 2)
+  }
+
   test("tile counts past the 4096 transform family are rejected loudly") {
     val dir = Files.createTempDirectory("scalegen-reject").toString
     val err = intercept[IllegalArgumentException] {
