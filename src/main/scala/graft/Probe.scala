@@ -17,6 +17,9 @@ object Probe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16000000")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // full engine extensions: native functions, DotRewrite, and the
+      // graft_asof whole-operator rule/strategy (AsOfJoin.scala)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

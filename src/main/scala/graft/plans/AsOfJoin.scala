@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, Literal, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, UnresolvedHint}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native backward as-of join — the whole-operator extension-point
+  * showcase (SURVEY §4 preference order (c)): a custom logical plan, a
+  * resolution rule that rewrites a public-API hint into it, a planner
+  * strategy, and a sort-merge physical operator, all registered through
+  * [[GraftExtensions]]. Semantics: for every left row, the single right
+  * row with the same key and the LARGEST right time <= the left time
+  * (inner — unmatched left rows drop; null keys/times never match).
+  *
+  * Why a whole operator instead of the b15 window composition: the
+  * composed form must union both inputs into one relation and run a
+  * `last(_, ignoreNulls)` window over the merged event stream, which
+  * materializes a sort over |L|+|R| rows and carries every left column
+  * through the window. The native operator shuffles each side once on
+  * its own key, sorts each side independently (both sorts are
+  * restartable spills, not one merged window buffer), and streams a
+  * per-partition two-pointer merge holding exactly ONE buffered right
+  * row — O(1) state beyond the sorts, no window, no unioned schema.
+  * At 100 TB that is the difference between "two ordinary co-partitioned
+  * sort-merge sides" and "a window over the concatenation of both
+  * tables".
+  *
+  * API surface (public DataFrame API only — no private[sql] bridges):
+  * {{{
+  *   left.crossJoin(right).hint("graft_asof",
+  *     "leftKeyCol", "leftTimeCol", "rightKeyCol", "rightTimeCol")
+  * }}}
+  * [[ResolveAsOfJoin]] rewrites the hinted cross join during analysis;
+  * the cross join itself is never planned (the hint IS the operator —
+  * same pattern as Spark's own broadcast/merge join hints). Callers
+  * must alias the right side's key/time so the four names are
+  * unambiguous across the two inputs.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Analyzer rule: `crossJoin.hint("graft_asof", lk, lt, rk, rt)` →
+  * [[AsOfJoinPlan]]. Runs in the extended-resolution batch, which sits
+  * after hint resolution but before the analyzer's final
+  * remove-unrecognized-hints pass, so the rewrite happens exactly once
+  * and an unextended session never sees the hint as "unrecognized
+  * silently dropped" from THIS code path (query builders guard that
+  * case loudly — see Relational.b49).
+  */
+object ResolveAsOfJoin extends Rule[LogicalPlan] {
+
+  private def str(p: Any): Option[String] = p match {
+    case s: String => Some(s)
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case l: Literal if l.dataType == StringType && l.value != null =>
+      Some(l.value.toString)
+    case _ => None
+  }
+
+  private def resolveOne(side: LogicalPlan, name: String, what: String): Expression = {
+    val hits = side.output.filter(a => conf.resolver(a.name, name))
+    if (hits.size != 1)
+      throw new IllegalArgumentException(
+        s"graft_asof: $what column '$name' resolved to ${hits.size} " +
+          s"attributes among [${side.output.map(_.name).mkString(", ")}] — " +
+          "alias the two sides so all four hint columns are unambiguous")
+    hits.head
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case UnresolvedHint(name, params, j @ Join(l, r, Cross | Inner, None, _))
+        if name.equalsIgnoreCase("graft_asof") && j.resolved =>
+      val names = params.flatMap(str(_))
+      if (names.size != 4)
+        throw new IllegalArgumentException(
+          "graft_asof expects exactly 4 string parameters " +
+            s"(leftKey, leftTime, rightKey, rightTime), got $params")
+      val Seq(lkN, ltN, rkN, rtN) = names
+      val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
+      val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
+      if (lk.dataType != rk.dataType)
+        throw new IllegalArgumentException(
+          s"graft_asof: key types differ — ${lk.dataType} vs ${rk.dataType}")
+      if (lt.dataType != rt.dataType)
+        throw new IllegalArgumentException(
+          s"graft_asof: time types differ — ${lt.dataType} vs ${rt.dataType}")
+      // orderability check: getInterpretedOrdering throws on unordered
+      // types at analysis time, not per-row at execution
+      TypeUtils.getInterpretedOrdering(lk.dataType)
+      TypeUtils.getInterpretedOrdering(lt.dataType)
+      AsOfJoinPlan(l, r, lk, lt, rk, rt)
+  }
+}
+
+/** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge backward as-of join. Each child is hash-clustered on its
+  * key (EnsureRequirements co-partitions the two shuffles) and sorted
+  * by (key, time); the merge streams both sides with ONE buffered right
+  * row — the last right row seen for the current key — so memory beyond
+  * the children's own sorts is O(1) per partition regardless of group
+  * width. Determinism contract: callers must make the right side unique
+  * per (key, time) (b49 pre-aggregates max(event_id)); with duplicates
+  * the operator keeps the last row in (key, time) sort order, which
+  * ties leave undefined — same caveat as Spark's own SMJ on
+  * non-deterministic input order.
+  */
+case class AsOfJoinExec(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // merge preserves the left side's clustering and (key, time) order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val outAttrs = output
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children not co-partitioned: ${lRdd.getNumPartitions} " +
+        s"vs ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      new Iterator[InternalRow] {
+        private var ready: InternalRow = null
+        // one-row lookahead on the right side (row NOT copied — its
+        // key/time are extracted eagerly, the row itself is only read
+        // before the next rIter.next())
+        private var rRow: InternalRow = null
+        private var rK: Any = null
+        private var rT: Any = null
+        // the buffered candidate: last right row with key == current
+        // left key and time <= current left time (copied — it outlives
+        // iterator advances)
+        private var candRow: InternalRow = null
+        private var candKey: Any = null
+
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rkB.eval(r)
+            val t = rtB.eval(r)
+            if (k != null && t != null) { rRow = r; rK = k; rT = t }
+          }
+        }
+        advanceRight()
+
+        private def computeNext(): Unit = {
+          while (ready == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lkB.eval(l)
+            val lt = ltB.eval(l)
+            if (lk != null && lt != null) {
+              // consume right rows at or before (lk, lt): rows with a
+              // smaller key can never match again (left keys ascend),
+              // rows with the same key become the newest candidate
+              var cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
+              while (rRow != null &&
+                  (cmp < 0 || (cmp == 0 && tsOrd.compare(rT, lt) <= 0))) {
+                if (cmp == 0) { candRow = rRow.copy(); candKey = rK }
+                advanceRight()
+                cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
+              }
+              if (candRow != null && keyOrd.compare(candKey, lk) == 0)
+                ready = proj(joined(l, candRow))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { computeNext(); ready != null }
+        override def next(): InternalRow = {
+          computeNext()
+          if (ready == null) throw new NoSuchElementException
+          val out = ready
+          ready = null
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

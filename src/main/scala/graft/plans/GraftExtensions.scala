@@ -480,6 +480,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NativeDot].getName, "native_dot"),
       (exprs: Seq[Expression]) => NativeDot(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => DotRewrite)
+    // whole-operator extension point (SURVEY §4 preference (c)): the
+    // graft_asof hint → AsOfJoinPlan rewrite and its physical strategy
+    ext.injectResolutionRule(_ => ResolveAsOfJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

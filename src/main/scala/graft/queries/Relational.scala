@@ -1403,6 +1403,153 @@ object Relational {
       |       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY regionkey) AS DOUBLE), 6) AS share
       |FROM rev ORDER BY regionkey, nationkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B48: recursive query (WITH RECURSIVE class) — ancestry depth over a
+  // derived functional graph, the one relational class Spark has no
+  // native operator for. The graph: distinct users are compacted to
+  // contiguous ranks 0..n-1 (so the node set is closed under parents),
+  // and rank r>0 gets parent hash48("rk:"||r) % r — deterministic,
+  // strictly decreasing, hence an acyclic forest rooted at rank 0 with
+  // expected depth ~ln n. The engine answers "how many steps from each
+  // user to the root" the way a distributed engine must: POINTER
+  // DOUBLING (each round composes the jump table with itself, so a
+  // depth-d chain resolves in ceil(log2 d) self-join rounds, not d) —
+  // the same O(log) trick as d7's label propagation, here in its
+  // path-length-preserving form. Scale shape: every round is one
+  // co-partitioned self-join + localCheckpoint on an n-row relation;
+  // convergence is a counted filter, rounds capped with a loud throw.
+  // Rank compaction is the scalable global-index idiom (range
+  // repartition + in-partition sort + zipWithIndex), never a
+  // single-partition window. Oracle: DuckDB WITH RECURSIVE walking the
+  // identical parent function.
+  // -------------------------------------------------------------------
+  /** Distinct users with a contiguous 0-based rank in user_id order.
+    * zipWithIndex stamps per-partition offsets with one extra count
+    * job over the globally range-sorted relation — O(n/p) memory per
+    * partition, no driver-side data, no 1-partition window funnel. */
+  private def rankedUsers(s: SparkSession, d: String): DataFrame = {
+    val sorted = Tables.events(s, d).select(col("user_id")).distinct()
+      .repartitionByRange(col("user_id"))
+      .sortWithinPartitions("user_id")
+    val ranked = sorted.select(col("user_id")).rdd
+      .map(_.getLong(0)).zipWithIndex()
+    s.createDataFrame(ranked).toDF("user_id", "r")
+  }
+
+  def b48TransitiveClosure(s: SparkSession, d: String): DataFrame = {
+    val ranked = rankedUsers(s, d).localCheckpoint()
+    // jump state: ancestor `ptr` is `d` steps above `v`; terminal rows
+    // have reached the root (ptr == 0 carries the final depth in d)
+    val parent = Dedup.hash48(concat(lit("rk:"), col("r").cast("string"))) % col("r")
+    var jump = ranked.select(
+      col("r").as("v"),
+      when(col("r") === 0, lit(0L)).otherwise(parent).as("ptr"),
+      when(col("r") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+    // ceil(log2 depth) rounds; 40 covers chains of ~2^40 — any more is
+    // a broken parent function, so throw instead of shipping wrong
+    // depths (same guard shape as Dedup.connectedComponents)
+    val maxRounds = 40
+    var iter = 0
+    var pending = jump.filter(col("ptr") =!= 0).count()
+    while (pending > 0 && iter < maxRounds) {
+      val nonTerminal = jump.filter(col("ptr") =!= 0)
+      val terminal = jump.filter(col("ptr") === 0)
+      // compose the jump table with itself: both sides are n-row
+      // checkpointed relations without stats — SMJ-pinned so no round
+      // builds a corpus-sized broadcast
+      val hopped = nonTerminal.as("a")
+        .join(jump.as("b").hint("merge"), col("a.ptr") === col("b.v"))
+        .select(col("a.v").as("v"), col("b.ptr").as("ptr"),
+          (col("a.d") + col("b.d")).as("d"))
+      val next = terminal.unionByName(hopped).localCheckpoint()
+      pending = next.filter(col("ptr") =!= 0).count()
+      jump = next
+      iter += 1
+    }
+    if (pending > 0)
+      throw new IllegalStateException(
+        s"pointer doubling did not converge within $maxRounds rounds")
+    jump.join(ranked.hint("merge"), jump("v") === ranked("r"))
+      .select(col("d").as("depth"), col("user_id"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy("depth")
+  }
+
+  val b48Sql: String = {
+    val h = Dedup.duckHash48("'rk:' || CAST(cur AS VARCHAR)")
+    s"""WITH RECURSIVE nodes AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), ranked AS (
+       |  SELECT user_id, CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS r
+       |  FROM nodes
+       |), walk AS (
+       |  SELECT r AS v, r AS cur, CAST(0 AS BIGINT) AS depth FROM ranked
+       |  UNION ALL
+       |  SELECT v, $h % cur AS cur, depth + 1 AS depth
+       |  FROM walk WHERE cur >= 1
+       |)
+       |SELECT w.depth, count(*) AS n_users,
+       |       min(rk.user_id) AS min_user, max(rk.user_id) AS max_user
+       |FROM walk w JOIN ranked rk ON w.v = rk.r
+       |WHERE w.cur = 0
+       |GROUP BY w.depth ORDER BY w.depth""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // B49: native as-of join — the same error→latest-click matching as
+  // b15, through the whole-operator extension point instead of the
+  // window composition: graft.plans.AsOfJoinPlan / AsOfJoinExec via the
+  // public `crossJoin(...).hint("graft_asof", ...)` surface (see
+  // AsOfJoin.scala for the operator's 100 TB argument vs the window
+  // form). The right side is pre-collapsed to one row per (user_id, ts)
+  // — max event_id — so the backward match is deterministic in both
+  // engines. Oracle: DuckDB's native ASOF JOIN, which implements
+  // exactly this semantic. The builder refuses to run on a session
+  // without GraftExtensions: an unrewritten hint would silently plan
+  // the underlying CROSS join.
+  // -------------------------------------------------------------------
+  def b49AsofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // repartition on the JOIN key first: hash(user_id) satisfies the
+    // (user_id, ts) grouping's clustering AND the as-of join's
+    // distribution, so the dedup aggregate and the join share ONE
+    // exchange instead of shuffling on (user_id, ts) and again on
+    // user_id — one less corpus-wide shuffle of the right side
+    val clicks = ev.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val j = errors.crossJoin(clicks)
+      .hint("graft_asof", "user_id", "ts", "c_user_id", "c_ts")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b49Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, ts AS c_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      |)
+      |SELECT e.event_id, e.user_id, c.click_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+      |FROM errors e ASOF JOIN clicks c
+      |  ON e.user_id = c.c_user_id AND e.ts >= c.c_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1446,5 +1593,7 @@ object Relational {
     ("b39_argmax", b39Argmax _, b39Sql),
     ("b40_cum_distinct", b40CumDistinct _, b40Sql),
     ("b41_gap_fill", b41GapFill _, b41Sql),
-    ("b42_share_of_total", b42ShareOfTotal _, b42Sql))
+    ("b42_share_of_total", b42ShareOfTotal _, b42Sql),
+    ("b48_transitive_closure", b48TransitiveClosure _, b48Sql),
+    ("b49_asof_native", b49AsofNative _, b49Sql))
 }

@@ -351,4 +351,34 @@ class RelationalExtSpec extends AnyFunSuite {
       assert(r.getAs[Long]("last_event_id") == lid)
     }
   }
+
+  test("b48: depth histogram conserves users, roots once, and matches a " +
+      "sequential walk of the same parent function") {
+    val rows = Relational.b48TransitiveClosure(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().collect()
+      .map(_.getLong(0)).sorted
+    // conservation: every user appears at exactly one depth
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users.length)
+    // exactly one root (rank 0 = the smallest user), at depth 0
+    val d0 = rows.filter(_.getAs[Long]("depth") == 0L)
+    assert(d0.length == 1 && d0.head.getAs[Long]("n_users") == 1L &&
+      d0.head.getAs[Long]("min_user") == users.head)
+    // cross-check the pointer-doubling result against a plain
+    // sequential walk of the identical parent function on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash48(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    def depthOf(r: Long): Long = {
+      var cur = r; var d = 0L
+      while (cur >= 1) { cur = hash48(s"rk:$cur") % cur; d += 1 }
+      d
+    }
+    val expected = users.indices.map(r => depthOf(r.toLong))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(got == expected, s"depth histogram diverged: $got vs $expected")
+  }
 }
