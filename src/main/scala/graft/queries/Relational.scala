@@ -1500,6 +1500,35 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // B50: lateral join (correlated table subquery) — top-3 most active
+  // users per event type through the SQL front door's LATERAL clause
+  // (b32 covers correlated SCALAR subqueries; this is the table-valued
+  // form with GROUP BY + ORDER BY + LIMIT inside the lateral body).
+  // Catalyst decorrelates it into the scalable shape — plan-checked:
+  // partial/final WindowGroupLimit per event_type (rank never
+  // materializes beyond k per group per partition) broadcast-joined
+  // back to the distinct-keys relation; one shuffle on (event_type,
+  // user_id), no per-outer-row re-execution. DuckDB runs the IDENTICAL
+  // text (its lateral is also decorrelating), so the oracle doubles as
+  // a cross-engine LATERAL-semantics check. Count n stays BIGINT on
+  // both engines; ordering is total via (n DESC, user_id).
+  // -------------------------------------------------------------------
+  private def b50SqlFor(tbl: String): String =
+    s"""SELECT t.event_type, l.user_id, l.n
+       |FROM (SELECT DISTINCT event_type FROM $tbl) t,
+       |LATERAL (SELECT user_id, count(*) AS n FROM $tbl e
+       |         WHERE e.event_type = t.event_type
+       |         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 3) l
+       |ORDER BY t.event_type, l.n DESC, l.user_id""".stripMargin
+
+  def b50LateralTopk(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_b50_events")
+    s.sql(b50SqlFor("graft_b50_events"))
+  }
+
+  val b50Sql: String = b50SqlFor("events")
+
+  // -------------------------------------------------------------------
   // B49: native as-of join — the same error→latest-click matching as
   // b15, through the whole-operator extension point instead of the
   // window composition: graft.plans.AsOfJoinPlan / AsOfJoinExec via the
@@ -1595,5 +1624,6 @@ object Relational {
     ("b41_gap_fill", b41GapFill _, b41Sql),
     ("b42_share_of_total", b42ShareOfTotal _, b42Sql),
     ("b48_transitive_closure", b48TransitiveClosure _, b48Sql),
-    ("b49_asof_native", b49AsofNative _, b49Sql))
+    ("b49_asof_native", b49AsofNative _, b49Sql),
+    ("b50_lateral_topk", b50LateralTopk _, b50Sql))
 }

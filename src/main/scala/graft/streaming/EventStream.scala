@@ -140,6 +140,78 @@ object EventStream {
         round(sum(col("value").cast(DecimalType(30, 6))), 2).cast("double").as("sum_value"))
   }
 
+  /** Input/output row types of [[UserActivityProcessor]]. Fields are
+    * order-insensitive aggregates on purpose: rows inside a micro-batch
+    * reach `handleInputRows` in partition order, so anything
+    * order-sensitive (first-seen value, double sum) would be
+    * partitioning-dependent; count/max/min are fold-order-free and make
+    * the result bit-deterministic under any batch split. */
+  case class UserEvent(user_id: Long, tsus: Long, value: Double)
+  case class UserActivity(user_id: Long, n_events: Long, max_value: Double,
+      first_ts_us: Long, last_ts_us: Long)
+
+  /** Per-user activity aggregate on the `transformWithState` API —
+    * Spark 4's arbitrary-stateful-processing surface (typed ValueState
+    * handles, per-state-variable encoders, TTL support, timer hooks),
+    * the successor to cap4/cap5's mapGroupsWithState. One ValueState
+    * row per user, updated by an order-free fold over each batch's
+    * rows; emits the updated aggregate once per (user, batch) — update
+    * mode. transformWithState REQUIRES the RocksDB state store
+    * provider, which every [[StreamRunner]] path already enables — so
+    * this surface also pins that wiring under the oracle gate. */
+  class UserActivityProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserActivity] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+
+    @transient private var agg: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserActivity]("agg",
+        org.apache.spark.sql.Encoders.product[UserActivity], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      var n = 0L
+      var mx = Double.NegativeInfinity
+      var first = Long.MaxValue
+      var last = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        if (e.value > mx) mx = e.value
+        if (e.tsus < first) first = e.tsus
+        if (e.tsus > last) last = e.tsus
+      }
+      if (n == 0) Iterator.empty
+      else {
+        val prior = agg.get()
+        val next =
+          if (prior == null) UserActivity(key, n, mx, first, last)
+          else UserActivity(key, prior.n_events + n, math.max(prior.max_value, mx),
+            math.min(prior.first_ts_us, first), math.max(prior.last_ts_us, last))
+        agg.update(next)
+        Iterator.single(next)
+      }
+    }
+  }
+
+  /** The b51 stream: events keyed by user through
+    * [[UserActivityProcessor]]. Returns a DataFrame with the processor's
+    * output schema; run in update mode (one row per user per data
+    * batch). */
+  def userActivity(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+  }
+
   /** Hourly tumbling-window aggregation, batch/stream agnostic: counts
     * and the exact-decimal value sum per event-time hour. Produces the
     * same rows as `Relational.b11TimeWindow` on the same input. */

@@ -139,10 +139,30 @@ object StreamQueries {
     """SELECT event_id, epoch_us(ts) AS tsus, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** b51: per-user activity aggregate through Spark 4's
+    * transformWithState API (typed ValueState + per-state encoders —
+    * see [[EventStream.UserActivityProcessor]]). Update mode with the
+    * single-data-batch premise: exactly one emitted row per user, the
+    * final aggregate, which the plain batch GROUP BY oracle mirrors.
+    * All folded measures are order-free (count/max/min), so the result
+    * is identical under any partitioning or batch split — asserted by
+    * the same oracle hash at CPUS=3/8. */
+  def b51StreamTws(s: SparkSession, d: String): DataFrame =
+    StreamRunner.run(s, "b51_stream_tws_sink", s"$d/events.parquet",
+      EventStream.userActivity(EventStream.readEvents(s, d)),
+      "update", requireSingleDataBatch = true)
+      .orderBy("user_id")
+
+  val b51Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+      |       MIN(epoch_us(ts)) AS first_ts_us, MAX(epoch_us(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b43_stream_parity", b43StreamParity _, b43Sql),
     ("b44_stream_segment", b44StreamSegment _, b44Sql),
     ("b45_stream_sessions", b45StreamSessions _, b45Sql),
     ("b46_stream_interval_join", b46StreamIntervalJoin _, b46Sql),
-    ("b47_stream_dedup", b47StreamDedup _, b47Sql))
+    ("b47_stream_dedup", b47StreamDedup _, b47Sql),
+    ("b51_stream_tws", b51StreamTws _, b51Sql))
 }

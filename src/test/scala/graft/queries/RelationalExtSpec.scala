@@ -381,4 +381,27 @@ class RelationalExtSpec extends AnyFunSuite {
     val got = rows.map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_users")).toMap
     assert(got == expected, s"depth histogram diverged: $got vs $expected")
   }
+
+  test("b50: lateral top-3 equals the window-rank idiom and decorrelates " +
+      "to a group-limit plan, not per-outer-row re-execution") {
+    val df = Relational.b50LateralTopk(spark, sf)
+    val rows = df.collect()
+    // reference: the windowed top-3 per event type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+    val expected = Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("event_type", "user_id", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == expected)
+    // decorrelation shape: Catalyst must plan the lateral as a
+    // group-limit (WindowGroupLimit) + join-back, never a correlated
+    // re-execution per outer row (no such node exists — the tell would
+    // be a cartesian/nested-loop join)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -176,4 +176,52 @@ class EventStreamSpec extends AnyFunSuite {
       assert(gap >= 0 && gap <= 30L * 60 * 1000000)
     }
   }
+
+  test("transformWithState accumulates ValueState across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    // two-file source + maxFilesPerTrigger=1 forces (at least) two data
+    // batches, so the second batch exercises the prior-state merge path
+    // the single-batch oracle run never reaches
+    val ev = graft.sources.Tables.events(spark, sf)
+    val srcDir = java.nio.file.Files.createTempDirectory("tws-src-").toFile
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = new java.io.File(srcDir, s"stage-$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    writeHalf(col("event_id") % 2 === 0, "a")
+    writeHalf(col("event_id") % 2 === 1, "b")
+    StateBackend.enableRocksDb(spark)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.userActivity(stream)
+      .writeStream.format("memory").queryName("ev_tws")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "tws stream did not finish within 120s")
+    finally q.stop()
+    val emitted = spark.table("ev_tws").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("max_value"), r.getAs[Long]("first_ts_us"),
+        r.getAs[Long]("last_ts_us")))
+    // at least one user must have been updated in both batches —
+    // otherwise this test degenerated to single-batch and proves nothing
+    assert(emitted.groupBy(_._1).exists(_._2.length >= 2),
+      "expected some user updated across two micro-batches")
+    // the final (largest-n) emission per user is the full aggregate
+    val got = emitted.groupBy(_._1).view.mapValues(_.maxBy(_._2)).values.toSet
+    val want = ev.groupBy(col("user_id")).agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.max(col("value")).as("max_value"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.unix_micros(col("ts"))).as("first_ts_us"),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.unix_micros(col("ts"))).as("last_ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("max_value"), r.getAs[Long]("first_ts_us"),
+        r.getAs[Long]("last_ts_us"))).toSet
+    assert(want.nonEmpty && got == want,
+      "accumulated per-user state must equal the one-shot aggregate")
+  }
 }
