@@ -1500,6 +1500,61 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // B52: SCD type-2 merge (CDC upsert) — apply a change batch to a
+  // dimension snapshot, closing superseded versions and opening new
+  // ones with validity intervals: the MERGE INTO shape expressed
+  // Spark-first as ONE left join + a two-branch projection (no table
+  // format required). The derived change batch is deterministic
+  // (custkey % 10 == 0 gets a renamed segment at a fixed effective
+  // time). Scale shape: the dimension outer-joins the delta on the
+  // merge key — one shuffle each side when the delta is corpus-scaled
+  // (here AQE broadcasts it at runtime and reuses the broadcast stage
+  // across both branches; nothing assumes it fits). The closed-version
+  // branch re-filters the same join; with plain file scans that is a
+  // second pushdown-pruned scan of ONE table — scan-bound and cheap —
+  // and a pipeline whose merge input is an expensive derivation would
+  // persist the joined relation once (the d2 shared-relation pattern).
+  // Versions-per-key is data, not state — the 100 TB story is
+  // "join + union", never a per-key loop. Output ordered
+  // (custkey, version).
+  // -------------------------------------------------------------------
+  def b52Scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val T = 883612800000000L // 1998-01-01 00:00:00 UTC in micros
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+    val updates = base.filter(col("custkey") % 10 === 0)
+      .select(col("custkey"), concat(lit("NEW_"), col("segment")).as("new_segment"))
+    val j = base.join(updates, Seq("custkey"), "left")
+    val open = j.select(
+      col("custkey"),
+      coalesce(col("new_segment"), col("segment")).as("segment"),
+      when(col("new_segment").isNotNull, 2L).otherwise(1L).as("version"),
+      when(col("new_segment").isNotNull, lit(T)).otherwise(lit(0L)).as("valid_from_us"),
+      lit(null).cast("long").as("valid_to_us"))
+    val closed = j.filter(col("new_segment").isNotNull).select(
+      col("custkey"), col("segment"), lit(1L).as("version"),
+      lit(0L).as("valid_from_us"), lit(T).cast("long").as("valid_to_us"))
+    open.unionByName(closed).orderBy("custkey", "version")
+  }
+
+  val b52Sql: String =
+    """WITH base AS (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+      |upd AS (SELECT custkey, 'NEW_' || segment AS new_segment FROM base WHERE custkey % 10 = 0),
+      |j AS (SELECT b.custkey, b.segment, u.new_segment
+      |      FROM base b LEFT JOIN upd u ON b.custkey = u.custkey)
+      |SELECT custkey,
+      |       COALESCE(new_segment, segment) AS segment,
+      |       CAST(CASE WHEN new_segment IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS version,
+      |       CAST(CASE WHEN new_segment IS NOT NULL THEN 883612800000000 ELSE 0 END AS BIGINT) AS valid_from_us,
+      |       CAST(NULL AS BIGINT) AS valid_to_us
+      |FROM j
+      |UNION ALL
+      |SELECT custkey, segment, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      |       CAST(883612800000000 AS BIGINT)
+      |FROM j WHERE new_segment IS NOT NULL
+      |ORDER BY custkey, version""".stripMargin
+
+  // -------------------------------------------------------------------
   // B50: lateral join (correlated table subquery) — top-3 most active
   // users per event type through the SQL front door's LATERAL clause
   // (b32 covers correlated SCALAR subqueries; this is the table-valued
@@ -1625,5 +1680,6 @@ object Relational {
     ("b42_share_of_total", b42ShareOfTotal _, b42Sql),
     ("b48_transitive_closure", b48TransitiveClosure _, b48Sql),
     ("b49_asof_native", b49AsofNative _, b49Sql),
-    ("b50_lateral_topk", b50LateralTopk _, b50Sql))
+    ("b50_lateral_topk", b50LateralTopk _, b50Sql),
+    ("b52_scd2_merge", b52Scd2Merge _, b52Sql))
 }

@@ -404,4 +404,33 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("b52: SCD2 merge versions partition the dimension and chain validity") {
+    val df = Relational.b52Scd2Merge(spark, sf)
+    val rows = df.collect()
+    val byKey = rows.groupBy(_.getAs[Long]("custkey"))
+    val nCustomers = Tables.customer(spark, sf).count()
+    assert(byKey.size == nCustomers, "every dimension key appears")
+    byKey.foreach { case (k, vs) =>
+      if (k % 10 == 0) {
+        assert(vs.length == 2, s"updated key $k must carry two versions")
+        val v1 = vs.find(_.getAs[Long]("version") == 1L).get
+        val v2 = vs.find(_.getAs[Long]("version") == 2L).get
+        // closed version ends exactly where the new one begins
+        assert(v1.getAs[Long]("valid_to_us") == v2.getAs[Long]("valid_from_us"))
+        assert(v2.isNullAt(v2.fieldIndex("valid_to_us")), "latest version stays open")
+        assert(v2.getAs[String]("segment") == "NEW_" + v1.getAs[String]("segment"))
+      } else {
+        assert(vs.length == 1 && vs.head.getAs[Long]("version") == 1L &&
+          vs.head.isNullAt(vs.head.fieldIndex("valid_to_us")),
+          s"untouched key $k must keep one open version")
+      }
+    }
+    // merge stays a join + union: no nested-loop/cartesian anywhere,
+    // and AQE reuses one broadcast stage across both branches (the
+    // remaining duplication is a pushdown-pruned file re-scan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

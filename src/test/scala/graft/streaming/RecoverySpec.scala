@@ -286,4 +286,66 @@ class RecoverySpec extends AnyFunSuite {
     assert(finalState(outDir) == control,
       "recovered lifecycle state differs from the never-failed control")
   }
+
+  test("transformWithState killed mid-stream restores its ValueState from " +
+      "the RocksDB checkpoint") {
+    // the Spark-4 stateful API's recovery path (b51's operator): the
+    // per-user ValueState aggregate accumulated over batches 0-1 must
+    // survive the crash at batch 2 — a lost prior would make every
+    // post-crash emission restart its counts from the batch's own rows.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("tws_arrivals").toString
+    writeArrivalFiles(srcDir)
+
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+      val q = EventStream.userActivity(
+          spark.readStream.schema(eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .writeStream
+        .foreachBatch(outSink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(180000) }
+      catch { case _: StreamingQueryException => false }
+      finally q.stop()
+    }
+
+    // final aggregate = the largest-count emission per user (update
+    // mode re-emits the refreshed row each batch that touches the user)
+    def finalAgg(outDir: String): Map[Long, (Long, Double, Long, Long)] =
+      IdempotentSink.readBack(spark, outDir).collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          val last = rows.maxBy(_.getAs[Long]("n_events"))
+          u -> (last.getAs[Long]("n_events"), last.getAs[Double]("max_value"),
+            last.getAs[Long]("first_ts_us"), last.getAs[Long]("last_ts_us"))
+        }
+
+    val controlDir = java.nio.file.Files.createTempDirectory("tws_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+      "control tws stream did not finish")
+    val control = finalAgg(controlDir)
+    assert(control.nonEmpty, "control tws stream emitted nothing")
+    // the quartile split guarantees real accumulation: some user's
+    // final count must exceed any single batch's contribution
+    assert(control.values.exists(_._1 > 1), "no user accumulated state")
+
+    val outDir = java.nio.file.Files.createTempDirectory("tws_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(!run(ckpt, failingSink), "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+      "tws recovery run did not finish")
+
+    assert(finalAgg(outDir) == control,
+      "recovered per-user ValueState differs from the never-failed control")
+  }
 }
