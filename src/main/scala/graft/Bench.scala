@@ -88,7 +88,7 @@ object Bench {
 
     // SPARK_GRAFT_ONLY: optional regex narrowing the sweep to matching
     // query names — for probing one query's wall/stream cost at a big
-    // synthetic SF without paying the full 101-query sweep.
+    // synthetic SF without paying the full all-query sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
@@ -161,7 +161,7 @@ object Bench {
     // start→awaitTermination inside the builder) — the number the sweep
     // medians above deliberately exclude. Same methodology as the batch
     // side: 1 warmup + median of 3, because a single cold run right
-    // after the 101-query sweep measures that sweep's GC/cleaner
+    // after the full sweep measures that sweep's GC/cleaner
     // backlog as much as the stream (r10 driver sweep: first four
     // stream walls 5–7 s, identical re-runs 1.1–2.6 s). Every timed
     // run still pays the full per-run architecture cost — RocksDB
