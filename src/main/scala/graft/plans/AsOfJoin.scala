@@ -153,7 +153,15 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // first-class SQL metrics: without these a custom exec is a blind
+  // spot in the UI/metrics pipeline every built-in join reports into
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lkB = BindReferences.bindReference(leftKey, left.output)
@@ -210,8 +218,10 @@ case class AsOfJoinExec(
                 advanceRight()
                 cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
               }
-              if (candRow != null && keyOrd.compare(candKey, lk) == 0)
+              if (candRow != null && keyOrd.compare(candKey, lk) == 0) {
+                numOutputRows += 1
                 ready = proj(joined(l, candRow))
+              }
             }
           }
         }

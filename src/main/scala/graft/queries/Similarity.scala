@@ -1049,6 +1049,57 @@ object Similarity {
       |           FROM adc QUALIFY rank <= 5)
       |SELECT qid, vec_id, adc, rank FROM ranked ORDER BY qid, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // S12: semantic benchmark decontamination — d9's decontamination in
+  // embedding space: flag every training vector whose max cosine to
+  // any benchmark vector crosses the leak threshold, report per label.
+  // The derived benchmark plants the ground truth deterministically:
+  // every 97th vector, SCALED ×2 — cosine is scale-invariant and the
+  // ×2 is IEEE-exact (doubling is lossless, numerator and denominator
+  // double together), so each planted source scores round-6 sim 1.0
+  // by construction and everything else sits far below the 0.999 bar
+  // (this corpus's cross-vector cosines top out ~0.32). Scale shape:
+  // a real benchmark set is fixed-size (an external eval suite) —
+  // broadcast it and scan the corpus ONCE with the codegen cosine
+  // kernel, one shuffle on vec_id for the per-vector max and one on
+  // the label rollup; a benchmark too large to broadcast takes d5's
+  // SRP-LSH banded path instead. The same mechanics as s5's range
+  // search, pointed at the decontamination contract: an argmax flag
+  // with per-label accounting, not a pair list.
+  // -------------------------------------------------------------------
+  def s12SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    ensureCosine(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val bench = e.filter(col("vec_id") % 97 === 0)
+      .select(transform(col("e"), x => x * 2.0).as("bv"))
+    e.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"), cosine(col("e"), col("bv")).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("sim")).as("max_sim"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum((col("max_sim") >= 0.999).cast("int")).as("n_contaminated"),
+        max(col("max_sim")).as("max_sim"))
+      .orderBy("label")
+  }
+
+  val s12Sql: String =
+    """WITH ex AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS d,
+      |                   CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |            FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |bench AS (SELECT vec_id AS bid, d, x * 2.0 AS bx FROM ex WHERE vec_id % 97 = 0),
+      |sims AS (SELECT e.vec_id, e.label, b.bid,
+      |                CAST(ROUND(SUM(e.x * b.bx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(b.bx * b.bx))), 6) AS DOUBLE) AS sim
+      |         FROM ex e JOIN bench b ON b.d = e.d GROUP BY 1, 2, 3),
+      |mx AS (SELECT vec_id, label, MAX(sim) AS max_sim FROM sims GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+      |       CAST(SUM(CASE WHEN max_sim >= 0.999 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |       MAX(max_sim) AS max_sim
+      |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("s1_ann_lsh", s1AnnLsh _, s1Sql),
     ("s2_ann_ivf", s2AnnIvf _, s2Sql),
@@ -1064,5 +1115,6 @@ object Similarity {
     ("s8_kmeans", s8Kmeans _, s8Sql),
     ("s9_recall_eval", s9RecallEval _, s9Sql),
     ("s10_jl_projection", s10JlProjection _, s10Sql),
-    ("s11_ivfpq", s11IvfPq _, s11Sql))
+    ("s11_ivfpq", s11IvfPq _, s11Sql),
+    ("s12_semantic_decontam", s12SemanticDecontam _, s12Sql))
 }

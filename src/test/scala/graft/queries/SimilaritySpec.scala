@@ -418,4 +418,28 @@ class SimilaritySpec extends AnyFunSuite {
     // cells, so each query returns at most 5 of a strict corpus subset
     assert(got.keys.map(_._1).toSet.forall(q => got.count(_._1._1 == q) <= 5))
   }
+
+  test("s12: flags exactly the planted benchmark leaks, nothing else") {
+    val rows = Similarity.s12SemanticDecontam(spark, sf).collect()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    // ground truth: the %97 vectors are the benchmark sources — their
+    // scaled copies score cosine 1.0 against themselves (scale
+    // invariance), everything else stays far below the 0.999 bar
+    val plantedByLabel = emb.filter(_._1 % 97 == 0)
+      .groupBy(_._2.toLong).view.mapValues(_.length.toLong).toMap
+    val gotContam = rows.map(r =>
+      r.getAs[Long]("label") -> r.getAs[Long]("n_contaminated"))
+      .filter(_._2 > 0).toMap
+    assert(gotContam == plantedByLabel,
+      s"flagged set diverges from the planted leaks: $gotContam vs $plantedByLabel")
+    // accounting covers the whole corpus
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.length)
+    // clean margin: every unflagged label's max similarity is far from
+    // the threshold (a near-miss would make the gate fragile)
+    rows.filter(_.getAs[Long]("n_contaminated") == 0).foreach { r =>
+      assert(r.getAs[Double]("max_sim") < 0.9, r.toString)
+    }
+  }
 }
