@@ -23,6 +23,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * changelog and converge to the uninterrupted run's final state.
   * A provider-parity test pins that the heap provider produces the
   * identical lifecycle, so the RocksDB default changes no result.
+  *
+  * Coverage: with the session-window (b45), transformWithState (b51),
+  * and stream-stream join (b46) cases below, every stateful operator
+  * family the engine ships — windowed agg, merging session state,
+  * mapGroupsWithState, the Spark-4 ValueState API, and symmetric join
+  * buffers — has a kill→resume→equals-control gate.
   */
 class RecoverySpec extends AnyFunSuite {
 
@@ -347,5 +353,57 @@ class RecoverySpec extends AnyFunSuite {
 
     assert(finalAgg(outDir) == control,
       "recovered per-user ValueState differs from the never-failed control")
+  }
+
+  test("stream-stream interval join killed mid-stream restores both sides' " +
+      "buffered state from the RocksDB checkpoint") {
+    // the last stateful-operator family the other cases don't cover:
+    // b46's symmetric join state (each side buffers rows until the
+    // watermark + interval passes). The quartile arrival split lands
+    // the crash while both buffers hold unmatched rows — recovery must
+    // restore them or post-crash arrivals silently lose their matches.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("join_arrivals").toString
+    writeArrivalFiles(srcDir)
+
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+      val src = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStream.clickErrorJoin(src, src)
+        .writeStream
+        .foreachBatch(outSink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(180000) }
+      catch { case _: StreamingQueryException => false }
+      finally q.stop()
+    }
+
+    def matches(outDir: String): Seq[String] =
+      IdempotentSink.readBack(spark, outDir).collect().map(_.toString).sorted.toSeq
+
+    val controlDir = java.nio.file.Files.createTempDirectory("join_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+      "control join stream did not finish")
+    val control = matches(controlDir)
+    assert(control.nonEmpty, "control join stream matched nothing")
+
+    val outDir = java.nio.file.Files.createTempDirectory("join_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(!run(ckpt, failingSink), "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+      "join recovery run did not finish")
+
+    assert(matches(outDir) == control,
+      "recovered join output differs from the never-failed control")
   }
 }
