@@ -195,6 +195,59 @@ object EventStream {
     }
   }
 
+  /** Row types of [[TypeHistogramProcessor]]. */
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** Per-(user, event_type) histogram on transformWithState's MapState
+    * handle — the keyed-sub-state sibling of [[UserActivityProcessor]]'s
+    * ValueState: one RocksDB map per user, one entry per event type
+    * seen, point-updated per batch (no read-modify-write of a whole
+    * composite value, which is the reason MapState exists — a 10k-entry
+    * histogram under ValueState would rewrite 10k entries to bump one).
+    * Emits the refreshed (user, type, n) rows for exactly the types the
+    * batch touched — update-mode semantics at sub-key granularity. */
+  class TypeHistogramProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.OutputMode
+
+    @transient private var hist: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[String, Long]("hist",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      // order-free within-batch pre-fold, then one point-update per
+      // touched type — deterministic under any batch split
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(e => delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + 1))
+      delta.toSeq.sortBy(_._1).map { case (tpe, d) =>
+        val n = (if (hist.containsKey(tpe)) hist.getValue(tpe) else 0L) + d
+        hist.updateValue(tpe, n)
+        TypeCount(key, tpe, n)
+      }.iterator
+    }
+  }
+
+  /** The b53 stream: events keyed by user through
+    * [[TypeHistogramProcessor]] (MapState). Update mode. */
+  def typeHistogram(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_type"))
+      .as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeHistogramProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+  }
+
   /** The b51 stream: events keyed by user through
     * [[UserActivityProcessor]]. Returns a DataFrame with the processor's
     * output schema; run in update mode (one row per user per data

@@ -158,11 +158,29 @@ object StreamQueries {
       |       MIN(epoch_us(ts)) AS first_ts_us, MAX(epoch_us(ts)) AS last_ts_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** b53: per-(user, event_type) histogram through transformWithState's
+    * MapState handle (see [[EventStream.TypeHistogramProcessor]]) —
+    * point-updated sub-key state, where b51 is the whole-value
+    * ValueState shape. Update mode under the single-data-batch premise:
+    * one row per (user, type), the final count, mirrored by the plain
+    * batch GROUP BY oracle. */
+  def b53StreamMapState(s: SparkSession, d: String): DataFrame =
+    StreamRunner.run(s, "b53_stream_mapstate_sink", s"$d/events.parquet",
+      EventStream.typeHistogram(EventStream.readEvents(s, d)),
+      "update", requireSingleDataBatch = true)
+      .orderBy("user_id", "event_type")
+
+  val b53Sql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b43_stream_parity", b43StreamParity _, b43Sql),
     ("b44_stream_segment", b44StreamSegment _, b44Sql),
     ("b45_stream_sessions", b45StreamSessions _, b45Sql),
     ("b46_stream_interval_join", b46StreamIntervalJoin _, b46Sql),
     ("b47_stream_dedup", b47StreamDedup _, b47Sql),
-    ("b51_stream_tws", b51StreamTws _, b51Sql))
+    ("b51_stream_tws", b51StreamTws _, b51Sql),
+    ("b53_stream_mapstate", b53StreamMapState _, b53Sql))
 }

@@ -224,4 +224,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       "accumulated per-user state must equal the one-shot aggregate")
   }
+
+  test("MapState histogram accumulates per-(user,type) entries across micro-batches") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val srcDir = java.nio.file.Files.createTempDirectory("mapstate-src-").toFile
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = new java.io.File(srcDir, s"stage-$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    writeHalf(col("event_id") % 2 === 0, "a")
+    writeHalf(col("event_id") % 2 === 1, "b")
+    StateBackend.enableRocksDb(spark)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.typeHistogram(stream)
+      .writeStream.format("memory").queryName("ev_mapstate")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "mapstate stream did not finish within 120s")
+    finally q.stop()
+    val emitted = spark.table("ev_mapstate").collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type")),
+        r.getAs[Long]("n_events")))
+    // some (user, type) must have been bumped in both batches
+    assert(emitted.groupBy(_._1).exists(_._2.length >= 2),
+      "expected some map entry updated across two micro-batches")
+    val got = emitted.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(want.nonEmpty && got == want,
+      "accumulated MapState entries must equal the one-shot aggregate")
+  }
 }
