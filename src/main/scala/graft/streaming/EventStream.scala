@@ -171,28 +171,11 @@ object EventStream {
         org.apache.spark.sql.Encoders.product[UserActivity], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
-        timerValues: TimerValues): Iterator[UserActivity] = {
-      var n = 0L
-      var mx = Double.NegativeInfinity
-      var first = Long.MaxValue
-      var last = Long.MinValue
-      rows.foreach { e =>
-        n += 1
-        if (e.value > mx) mx = e.value
-        if (e.tsus < first) first = e.tsus
-        if (e.tsus > last) last = e.tsus
+        timerValues: TimerValues): Iterator[UserActivity] =
+      foldActivity(key, rows, agg.get()) match {
+        case Some(next) => agg.update(next); Iterator.single(next)
+        case None => Iterator.empty
       }
-      if (n == 0) Iterator.empty
-      else {
-        val prior = agg.get()
-        val next =
-          if (prior == null) UserActivity(key, n, mx, first, last)
-          else UserActivity(key, prior.n_events + n, math.max(prior.max_value, mx),
-            math.min(prior.first_ts_us, first), math.max(prior.last_ts_us, last))
-        agg.update(next)
-        Iterator.single(next)
-      }
-    }
   }
 
   /** Row types of [[TypeHistogramProcessor]]. */
@@ -231,6 +214,84 @@ object EventStream {
         TypeCount(key, tpe, n)
       }.iterator
     }
+  }
+
+  /** Order-free fold shared by [[UserActivityProcessor]] and
+    * [[WarmStartActivityProcessor]]: merge a batch of rows (and an
+    * optional prior) into the running per-user aggregate. */
+  private def foldActivity(key: Long, rows: Iterator[UserEvent],
+      prior: UserActivity): Option[UserActivity] = {
+    var n = 0L
+    var mx = Double.NegativeInfinity
+    var first = Long.MaxValue
+    var last = Long.MinValue
+    rows.foreach { e =>
+      n += 1
+      if (e.value > mx) mx = e.value
+      if (e.tsus < first) first = e.tsus
+      if (e.tsus > last) last = e.tsus
+    }
+    if (n == 0) None
+    else if (prior == null) Some(UserActivity(key, n, mx, first, last))
+    else Some(UserActivity(key, prior.n_events + n, math.max(prior.max_value, mx),
+      math.min(prior.first_ts_us, first), math.max(prior.last_ts_us, last)))
+  }
+
+  /** [[UserActivityProcessor]] with WARM-START state: the
+    * StatefulProcessorWithInitialState variant seeds each key's
+    * ValueState from a batch-computed Dataset before the first
+    * micro-batch — the backfill→live-tail handoff a 100 TB deployment
+    * needs when a streaming job takes over from a batch-computed
+    * snapshot without re-reading the historical corpus through the
+    * stream. handleInitialState runs once per key at query start;
+    * handleInputRows then merges arriving rows into the seeded prior
+    * exactly as the cold-start processor does. */
+  class WarmStartActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, UserEvent, UserActivity, UserActivity] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+
+    @transient private var agg: ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[UserActivity]("agg",
+        org.apache.spark.sql.Encoders.product[UserActivity], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: UserActivity,
+        timerValues: TimerValues): Unit =
+      agg.update(initialState)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserActivity] =
+      foldActivity(key, rows, agg.get()) match {
+        case Some(next) => agg.update(next); Iterator.single(next)
+        case None => Iterator.empty
+      }
+  }
+
+  /** The b54 stream: the live TAIL of the events table (odd event_ids)
+    * through [[WarmStartActivityProcessor]], with the BACKFILL half
+    * (even event_ids) supplied as batch-computed initial state. The
+    * final aggregate must equal the full-table one — the handoff
+    * contract. */
+  def warmStartActivity(tail: DataFrame, backfill: DataFrame): DataFrame = {
+    val s = tail.sparkSession
+    import s.implicits._
+    val initial = backfill
+      .select(col("user_id"), col("n_events"), col("max_value"),
+        col("first_ts_us"), col("last_ts_us"))
+      .as[UserActivity]
+      .groupByKey(_.user_id)
+    tail
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new WarmStartActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        initial)
+      .toDF()
   }
 
   /** The b53 stream: events keyed by user through

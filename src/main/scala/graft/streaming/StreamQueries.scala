@@ -175,6 +175,37 @@ object StreamQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** b54: the backfill→live-tail handoff — the stream (odd event_ids)
+    * starts from per-user state SEEDED by a batch aggregate of the
+    * even half ([[EventStream.WarmStartActivityProcessor]],
+    * StatefulProcessorWithInitialState). The converged result must
+    * equal the full-table aggregate for every user the tail touches —
+    * exactly the contract of cutting a streaming job over from a
+    * batch-computed snapshot without re-reading history through the
+    * stream. (Users with no tail events never re-emit, so the oracle
+    * scopes to tail-active users; at these SFs that is every user.) */
+  def b54StreamWarmstart(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val ev = graft.sources.Tables.events(s, d)
+    val backfill = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"))
+    val tail = EventStream.readEvents(s, d).filter(col("event_id") % 2 === 1)
+    StreamRunner.run(s, "b54_stream_warmstart_sink", s"$d/events.parquet",
+      EventStream.warmStartActivity(tail, backfill),
+      "update", requireSingleDataBatch = true)
+      .orderBy("user_id")
+  }
+
+  val b54Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+      |       MIN(epoch_us(ts)) AS first_ts_us, MAX(epoch_us(ts)) AS last_ts_us
+      |FROM events
+      |WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b43_stream_parity", b43StreamParity _, b43Sql),
     ("b44_stream_segment", b44StreamSegment _, b44Sql),
@@ -182,5 +213,6 @@ object StreamQueries {
     ("b46_stream_interval_join", b46StreamIntervalJoin _, b46Sql),
     ("b47_stream_dedup", b47StreamDedup _, b47Sql),
     ("b51_stream_tws", b51StreamTws _, b51Sql),
-    ("b53_stream_mapstate", b53StreamMapState _, b53Sql))
+    ("b53_stream_mapstate", b53StreamMapState _, b53Sql),
+    ("b54_stream_warmstart", b54StreamWarmstart _, b54Sql))
 }

@@ -261,4 +261,48 @@ class EventStreamSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       "accumulated MapState entries must equal the one-shot aggregate")
   }
+
+  test("warm-started state seeds the stream: backfill + tail equals the full " +
+      "aggregate, and provably differs from a cold start") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_micros}
+    StateBackend.enableRocksDb(spark)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val backfill = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"))
+    // stream side: the odd half, via a real file-stream source
+    val tmp = java.nio.file.Files.createTempDirectory("warmstart-src-").toFile
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val tail = spark.readStream.schema(ev.schema).parquet(tmp.toString)
+
+    val q = EventStream.warmStartActivity(tail, backfill)
+      .writeStream.format("memory").queryName("ev_warm")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "warm-start stream did not finish")
+    finally q.stop()
+
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("max_value"),
+          r.getAs[Long]("first_ts_us"), r.getAs[Long]("last_ts_us"))).toMap
+    val got = asMap(spark.table("ev_warm").collect())
+    val full = asMap(ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us")).collect())
+    val tailOnly = asMap(ev.filter(col("event_id") % 2 === 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us")).collect())
+    // every tail-active user converged to the FULL aggregate
+    assert(got.nonEmpty && got.forall { case (u, agg) => full(u) == agg },
+      "warm-started stream diverges from the full-table aggregate")
+    // negative control: a cold start could not produce these numbers
+    assert(got.exists { case (u, agg) => tailOnly(u) != agg },
+      "test degenerated: tail-only equals full — backfill contributed nothing")
+  }
 }
