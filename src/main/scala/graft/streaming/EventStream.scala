@@ -294,6 +294,71 @@ object EventStream {
       .toDF()
   }
 
+  /** Output row of [[InactivityCloseProcessor]]. */
+  case class SessionClose(user_id: Long, close_ts_us: Long)
+
+  /** Event-time TIMERS on transformWithState — the remaining hook of
+    * the Spark-4 stateful API ([[UserActivityProcessor]] covers
+    * ValueState, [[TypeHistogramProcessor]] MapState,
+    * [[WarmStartActivityProcessor]] initial state): an inactivity
+    * detector that arms a per-user timer at last-seen + gap and emits a
+    * SessionClose when the WATERMARK passes it — push-based session
+    * closure, where b45's session_window is pull-based (the engine
+    * emits on window merge+eviction). Each input batch re-arms the
+    * user's single timer (drop the old, register at the new
+    * last-seen + gap); `handleExpiredTimer` emits the closure and
+    * clears the user's state, so an idle user costs nothing after the
+    * close fires. Timers live in the same RocksDB store as the state
+    * and restore with it on recovery. */
+  class InactivityCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, SessionClose] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+
+    @transient private var lastSeenMs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeenMs = getHandle.getValueState[Long]("lastSeenMs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      var mx = if (lastSeenMs.exists()) lastSeenMs.get() else Long.MinValue
+      rows.foreach(e => if (e.tsus / 1000 > mx) mx = e.tsus / 1000)
+      if (mx != Long.MinValue) {
+        // single-timer contract: re-arm at the newest last-seen
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(mx + gapMs)
+        lastSeenMs.update(mx)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
+      lastSeenMs.clear()
+      Iterator.single(SessionClose(key, expiredTimerInfo.getExpiryTimeInMs() * 1000))
+    }
+  }
+
+  /** Inactivity closes over a watermarked event stream (spec-gated —
+    * the emitted set depends on micro-batch boundaries by design, so it
+    * is property-checked rather than oracled). */
+  def inactivityCloses(events: DataFrame, gapMs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityCloseProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+  }
+
   /** The b53 stream: events keyed by user through
     * [[TypeHistogramProcessor]] (MapState). Update mode. */
   def typeHistogram(events: DataFrame): DataFrame = {

@@ -305,4 +305,63 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.exists { case (u, agg) => tailOnly(u) != agg },
       "test degenerated: tail-only equals full — backfill contributed nothing")
   }
+
+  test("event-time timers fire inactivity closes when the watermark passes them") {
+    import org.apache.spark.sql.functions.{col, max, unix_micros}
+    StateBackend.enableRocksDb(spark)
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.sources.Tables.events(spark, sf)
+    // two arrival files: the events, then a far-future sentinel that
+    // pushes the final watermark past every armed timer
+    val srcDir = java.nio.file.Files.createTempDirectory("timer-src-").toFile
+    def place(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(srcDir, s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    val base = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0)),
+      base.schema)
+    val now = System.currentTimeMillis()
+    place(base, "a", now)
+    place(sentinel, "b", now + 2000)
+
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.inactivityCloses(stream, gapMs)
+      .writeStream.format("memory").queryName("ev_timers")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "timer stream did not finish")
+    finally q.stop()
+
+    val closes = spark.table("ev_timers").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("close_ts_us")))
+    assert(closes.nonEmpty, "no inactivity close ever fired")
+    // well-formed: every close sits exactly gap after one of that
+    // user's observed event times (the last-seen the timer was armed on)
+    val tsByUser = base.select(col("user_id"), unix_micros(col("ts")).as("tsus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    closes.foreach { case (u, closeUs) =>
+      val armedAtMs = closeUs / 1000 - gapMs
+      assert(tsByUser.getOrElse(u, Set.empty).contains(armedAtMs),
+        s"close for user $u at $closeUs is not last-seen + gap")
+    }
+    // the sentinel's watermark push must close every real user's final
+    // session (single-timer contract: the LAST armed timer per user is
+    // at their true max event time + gap)
+    val lastClose = closes.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    tsByUser.foreach { case (u, ts) =>
+      assert(lastClose.get(u).contains((ts.max + gapMs) * 1000),
+        s"user $u's final inactivity close missing or misplaced")
+    }
+  }
 }
