@@ -378,7 +378,12 @@ object DotRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
 
   override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformAllExpressions {
+    // tree-pattern pruning: this rule runs in every optimizer pass of
+    // every query (AQE re-optimizations included) — subtrees without a
+    // higher-order function are skipped via the pattern bitmask instead
+    // of walked, so the 100+ non-vector queries pay ~nothing for it
+    plan.transformAllExpressionsWithPruning(
+        _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
       case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(seed: Double, DoubleType),
