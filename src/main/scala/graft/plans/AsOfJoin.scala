@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * resolution rule that rewrites a public-API hint into it, a planner
   * strategy, and a sort-merge physical operator, all registered through
   * [[GraftExtensions]]. Semantics: for every left row, the single right
-  * row with the same key and the LARGEST right time <= the left time
-  * (inner — unmatched left rows drop; null keys/times never match).
+  * row with the same key and the LARGEST right time <= the left time.
+  * Inner (default): unmatched left rows drop; null keys/times never
+  * match. Left-outer: unmatched left rows (including null-key/time
+  * ones, per SQL three-valued logic) are retained with a null-filled
+  * right side.
   *
   * Why a whole operator instead of the b15 window composition: the
   * composed form must union both inputs into one relation and run a
@@ -37,12 +40,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   left.crossJoin(right).hint("graft_asof",
   *     "leftKeyCol", "leftTimeCol", "rightKeyCol", "rightTimeCol")
+  *   // optional 5th param: "inner" (default) or "left_outer" —
+  *   // left_outer keeps unmatched left rows with null-filled right
   * }}}
   * [[ResolveAsOfJoin]] rewrites the hinted cross join during analysis;
   * the cross join itself is never planned (the hint IS the operator —
   * same pattern as Spark's own broadcast/merge join hints). Callers
   * must alias the right side's key/time so the four names are
-  * unambiguous across the two inputs.
+  * unambiguous across the two inputs. A `graft_asof` hint over any
+  * other shape (conditioned join, outer join, non-join child) throws
+  * at analysis — never a silent downgrade to plain-join semantics.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -50,9 +57,12 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     leftTime: Expression,
     rightKey: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    isLeftOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -91,11 +101,19 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     case UnresolvedHint(name, params, j @ Join(l, r, Cross | Inner, None, _))
         if name.equalsIgnoreCase("graft_asof") && j.resolved =>
       val names = params.flatMap(str(_))
-      if (names.size != 4)
+      if (names.size != 4 && names.size != 5)
         throw new IllegalArgumentException(
-          "graft_asof expects exactly 4 string parameters " +
-            s"(leftKey, leftTime, rightKey, rightTime), got $params")
-      val Seq(lkN, ltN, rkN, rtN) = names
+          "graft_asof expects 4 string parameters " +
+            "(leftKey, leftTime, rightKey, rightTime) plus an optional " +
+            s"join type ('inner' | 'left_outer'), got $params")
+      val Seq(lkN, ltN, rkN, rtN) = names.take(4)
+      val isOuter = names.drop(4).headOption match {
+        case None => false
+        case Some(jt) if jt.equalsIgnoreCase("inner") => false
+        case Some(jt) if jt.equalsIgnoreCase("left_outer") => true
+        case Some(jt) => throw new IllegalArgumentException(
+          s"graft_asof: unknown join type '$jt' (expected 'inner' or 'left_outer')")
+      }
       val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
       val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
       if (lk.dataType != rk.dataType)
@@ -108,15 +126,29 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
       // types at analysis time, not per-row at execution
       TypeUtils.getInterpretedOrdering(lk.dataType)
       TypeUtils.getInterpretedOrdering(lt.dataType)
-      AsOfJoinPlan(l, r, lk, lt, rk, rt)
+      AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter)
+
+    // Malformed placement MUST fail loudly: without this case the
+    // analyzer's final remove-unrecognized-hints pass would strip the
+    // hint and run the underlying plan with plain-join semantics — a
+    // silent semantic downgrade. Only fires once the child is resolved
+    // (earlier fixed-point iterations may legitimately see an
+    // unresolved child that will become a matchable join).
+    case UnresolvedHint(name, _, child)
+        if name.equalsIgnoreCase("graft_asof") && child.resolved =>
+      throw new IllegalArgumentException(
+        "graft_asof hint must be placed directly on a condition-free " +
+          "cross/inner join (left.crossJoin(right).hint(\"graft_asof\", ...)); " +
+          s"found it over: ${child.nodeName}. Refusing to drop the hint " +
+          "silently — the query would run with plain-join semantics.")
   }
 }
 
 /** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(lk, lt, rk, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer) =>
+      AsOfJoinExec(lk, lt, rk, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -137,10 +169,13 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
+    isLeftOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -174,9 +209,15 @@ case class AsOfJoinExec(
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of join children not co-partitioned: ${lRdd.getNumPartitions} " +
         s"vs ${rRdd.getNumPartitions}")
+    val outer = isLeftOuter
+    val rightWidth = right.output.size
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // all-null right side for outer-join fill (GenericInternalRow is
+      // born null-initialized; it's never mutated)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
       new Iterator[InternalRow] {
         private var ready: InternalRow = null
         // one-row lookahead on the right side (row NOT copied — its
@@ -214,14 +255,30 @@ case class AsOfJoinExec(
               var cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
               while (rRow != null &&
                   (cmp < 0 || (cmp == 0 && tsOrd.compare(rT, lt) <= 0))) {
-                if (cmp == 0) { candRow = rRow.copy(); candKey = rK }
+                if (cmp == 0) {
+                  candRow = rRow.copy()
+                  // re-evaluate the key from the COPIED row: rK aliases
+                  // memory the child's sort iterator reuses on the next
+                  // advanceRight() for buffer-backed types (UTF8String,
+                  // binary, structs) — storing it would corrupt the
+                  // candidate-key guard below
+                  candKey = rkB.eval(candRow)
+                }
                 advanceRight()
                 cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
               }
               if (candRow != null && keyOrd.compare(candKey, lk) == 0) {
                 numOutputRows += 1
                 ready = proj(joined(l, candRow))
+              } else if (outer) {
+                numOutputRows += 1
+                ready = proj(joined(l, nullRight))
               }
+            } else if (outer) {
+              // null key/time never matches, but LEFT OUTER still
+              // retains the left row (same as SQL: NULL = x is not true)
+              numOutputRows += 1
+              ready = proj(joined(l, nullRight))
             }
           }
         }

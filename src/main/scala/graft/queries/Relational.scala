@@ -1634,6 +1634,86 @@ object Relational {
       |  ON e.user_id = c.c_user_id AND e.ts >= c.c_ts
       |ORDER BY e.event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B55: LEFT OUTER native as-of join — b49's matching with unmatched
+  // errors RETAINED (click_id/gap_us null): the shape real as-of
+  // consumers want ("latest price at trade time, null if no prior
+  // price"). Same AsOfJoinExec operator, outer flag via the hint's 5th
+  // parameter; the merge emits a null-filled right side instead of
+  // dropping the left row, so the cost profile is identical to inner
+  // (one co-partitioned sort-merge pass, O(1) extra state). Oracle:
+  // DuckDB ASOF LEFT JOIN. The COALESCE(-1) on click_id keeps the
+  // matched/unmatched distinction inside the hashed values while
+  // keeping the column type stable across both engines.
+  // -------------------------------------------------------------------
+  def b55AsofOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val j = errors.crossJoin(clicks)
+      .hint("graft_asof", "user_id", "ts", "c_user_id", "c_ts", "left_outer")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b55Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, ts AS c_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      |)
+      |SELECT e.event_id, e.user_id,
+      |       COALESCE(c.click_id, -1) AS click_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+      |FROM errors e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.c_user_id AND e.ts >= c.c_ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // B56: SQL front door for EXISTS / NOT IN decorrelation — b14 covers
+  // semi/anti through the DataFrame API ops; this pins Catalyst's
+  // RewritePredicateSubquery on raw SQL text, including the classic
+  // correctness trap: NOT IN is NOT an anti join — it is a null-aware
+  // anti join (if the subquery ever yields NULL the whole predicate is
+  // UNKNOWN and every row drops). Spark plans it as a broadcast hash
+  // join with NullAwareAntiJoin build semantics; the EXISTS becomes a
+  // plain left-semi hash join. IDENTICAL text runs on DuckDB (its
+  // unnesting pipeline makes the same rewrite), so the oracle doubles
+  // as a cross-engine three-valued-logic check. PlanShapeSpec asserts
+  // hash semi/anti joins, no nested loop. Scale: customer shuffles
+  // once against broadcast orders-keys; nation is a broadcast dim.
+  // -------------------------------------------------------------------
+  private def b56SqlFor(cust: String, ord: String, nat: String): String =
+    s"""SELECT c.c_custkey, c.c_name, c.c_acctbal
+       |FROM $cust c
+       |WHERE EXISTS (SELECT 1 FROM $ord o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_totalprice > 150000)
+       |  AND c.c_nationkey NOT IN (SELECT n.n_nationkey FROM $nat n
+       |                            WHERE n.n_name LIKE '%2')
+       |ORDER BY c.c_custkey""".stripMargin
+
+  def b56ExistsNotIn(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_b56_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_b56_orders")
+    Tables.nation(s, d).createOrReplaceTempView("graft_b56_nation")
+    s.sql(b56SqlFor("graft_b56_customer", "graft_b56_orders", "graft_b56_nation"))
+  }
+
+  val b56Sql: String = b56SqlFor("customer", "orders", "nation")
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1681,5 +1761,7 @@ object Relational {
     ("b48_transitive_closure", b48TransitiveClosure _, b48Sql),
     ("b49_asof_native", b49AsofNative _, b49Sql),
     ("b50_lateral_topk", b50LateralTopk _, b50Sql),
-    ("b52_scd2_merge", b52Scd2Merge _, b52Sql))
+    ("b52_scd2_merge", b52Scd2Merge _, b52Sql),
+    ("b55_asof_outer", b55AsofOuter _, b55Sql),
+    ("b56_exists_not_in", b56ExistsNotIn _, b56Sql))
 }

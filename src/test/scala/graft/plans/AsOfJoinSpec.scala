@@ -112,6 +112,114 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set(("a", "r1")))
   }
 
+  test("left_outer keeps unmatched and null-key left rows with a null-filled right side") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some(100L), "a"),  // matches r1 (tie, backward-inclusive)
+      (Some(2L), Some(50L), "d"),   // right side only has t=60 for k=2: unmatched
+      (None: Option[Long], Some(9L), "n"), // null key: unmatched but RETAINED
+      (Some(3L), Some(5L), "x"))    // no right rows for k=3 at all
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 100L, "r1"),
+      (1L, 40L, "r0"),
+      (2L, 60L, "r2"))
+      .toDF("rk", "rt", "rtag")
+    val j = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "left_outer")
+    val out = j.select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      ("a", Some("r1")), ("d", None), ("n", None), ("x", None)))
+    // plan is still the native operator, not a fallback outer join
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("b55 values equal b49's on matched rows plus every unmatched error null-filled") {
+    val s = freshSession(extended = true)
+    val inner = Relational.b49AsofNative(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val outer = Relational.b55AsofOuter(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val matched = outer.collect { case (e, u, c, Some(g)) => (e, u, c, g) }.toSet
+    assert(matched == inner, "outer's matched subset must equal the inner join")
+    val unmatched = outer.collect { case (e, _, c, None) => (e, c) }
+    assert(unmatched.nonEmpty, "fixture must contain errors with no prior click")
+    assert(unmatched.forall(_._2 == -1L), "unmatched rows carry the -1 sentinel click_id")
+    assert(outer.length > inner.size)
+  }
+
+  test("buffer-backed (string) keys survive the right-side row-buffer reuse of a spill reader") {
+    // Regression for the candKey aliasing defect: the exec's one-row
+    // lookahead evaluates the key from an UNCOPIED right row; a sort
+    // spill reader (UnsafeSorterSpillReader) reuses the same byte
+    // buffer for every record, so an aliased UTF8String candKey would
+    // be silently rewritten by the next advanceRight(). TestScanExec
+    // reproduces that memory discipline exactly — one UnsafeProjection
+    // whose reused result row backs every emitted row — and drives
+    // AsOfJoinExec directly (children pre-sorted, single partition, so
+    // the exec's distribution/ordering requirements hold by
+    // construction). With the aliasing bug the "b" right row overwrites
+    // candKey's bytes after the last "a" candidate is buffered and the
+    // key guard drops the match; the fix re-evaluates candKey from the
+    // copied candidate row.
+    val s = freshSession(extended = true)
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lOut = Seq(
+      AttributeReference("k", StringType, nullable = true)(),
+      AttributeReference("t", LongType, nullable = true)())
+    val rOut = Seq(
+      AttributeReference("rk", StringType, nullable = true)(),
+      AttributeReference("rt", LongType, nullable = true)(),
+      AttributeReference("rtag", StringType, nullable = true)())
+    val leftScan = TestScanExec(s, lOut, Seq(Seq("a", 30L)))
+    val rightScan = TestScanExec(s, rOut, Seq(
+      Seq("a", 10L, "ra1"), Seq("a", 20L, "ra2"), Seq("b", 5L, "rb")))
+    val exec = AsOfJoinExec(
+      lOut.head, lOut(1), rOut.head, rOut(1), isLeftOuter = false,
+      leftScan, rightScan)
+    val rows = exec.execute().collect()
+    assert(rows.length == 1,
+      s"expected exactly the (a, ra2) match, got ${rows.length} rows")
+    val out = rows.head
+    assert(out.getUTF8String(0).toString == "a")
+    assert(out.getLong(1) == 30L)
+    assert(out.getUTF8String(2).toString == "a")
+    assert(out.getLong(3) == 20L)
+    assert(out.getUTF8String(4).toString == "ra2")
+  }
+
+  test("a misplaced graft_asof hint fails at analysis instead of silently degrading") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    // over a CONDITIONED join: the inner-join-with-condition shape is
+    // not the operator's contract — must throw, not run a plain join
+    val conditioned = intercept[Exception] {
+      l.join(r, l("k") === r("rk")).hint("graft_asof", "k", "t", "rk", "rt")
+        .queryExecution.analyzed
+    }
+    assert(conditioned.getMessage.contains("graft_asof"), conditioned.getMessage)
+    // over a non-join child
+    val nonJoin = intercept[Exception] {
+      l.hint("graft_asof", "k", "t", "rk", "rt").queryExecution.analyzed
+    }
+    assert(nonJoin.getMessage.contains("graft_asof"), nonJoin.getMessage)
+    // unknown join-type parameter
+    val badType = intercept[Exception] {
+      l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "full_outer")
+        .queryExecution.analyzed
+    }
+    assert(badType.getMessage.contains("unknown join type"), badType.getMessage)
+  }
+
   test("the rule rejects ambiguous and type-mismatched hint columns at analysis") {
     val s = freshSession(extended = true)
     import s.implicits._
@@ -128,5 +236,38 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.analyzed
     }
     assert(missing.getMessage.contains("resolved to 0"))
+  }
+}
+
+/** Single-partition leaf scan whose rows all share ONE UnsafeProjection
+  * result buffer — the same memory discipline as a sort spill reader
+  * (each next() overwrites the previous row's bytes). Used to drive
+  * AsOfJoinExec directly with pre-sorted children and prove the merge
+  * never holds an uncopied reference across an advance.
+  */
+case class TestScanExec(
+    @transient ss: org.apache.spark.sql.SparkSession,
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    rows: Seq[Seq[Any]])
+  extends org.apache.spark.sql.execution.LeafExecNode {
+
+  protected override def doExecute()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.unsafe.types.UTF8String
+    val types = output.map(_.dataType).toArray
+    val data = rows
+    ss.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val proj = UnsafeProjection.create(types)
+      data.iterator.map { vals =>
+        val conv = vals.map {
+          case s: String => UTF8String.fromString(s)
+          case o => o
+        }
+        // proj's result row is REUSED across calls — intentional
+        proj(InternalRow.fromSeq(conv))
+      }
+    }
   }
 }

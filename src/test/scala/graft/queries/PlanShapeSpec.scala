@@ -24,6 +24,17 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
 
+  test("b56: SQL EXISTS plans a hash semi join; NOT IN a null-aware hash anti — no nested loop") {
+    val p = plan("b56_exists_not_in")
+    assert(p.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$p")
+    // NOT IN is the null-aware anti join; with the tiny nation dim it
+    // must take the broadcast HASH path (BHJ supports NullAwareAnti),
+    // never the quadratic BroadcastNestedLoopJoin fallback
+    assert(p.contains("LeftAnti"), s"NOT IN must decorrelate to an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"null-aware anti join fell back to a nested loop:\n$p")
+  }
+
   test("b1: filters reach the parquet scan and the schema is pruned") {
     val p = plan("b1_scan_filter")
     // (the PushedFilters list is truncated in toString — assert the

@@ -32,6 +32,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RecoverySpec extends AnyFunSuite {
 
+  /** Three-valued run outcome: the old Boolean helpers returned false
+    * both when the injected crash fired AND when awaitTermination timed
+    * out, so "failure was not injected" asserts could pass on a hung
+    * stream. Finished/Failed/TimedOut keeps the two failure modes
+    * distinct — a timeout now fails every assertion that mentions it. */
+  private sealed trait RunResult
+  private case object Finished extends RunResult
+  private case object Failed extends RunResult
+  private case object TimedOut extends RunResult
+
+  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): RunResult =
+    try { if (q.awaitTermination(180000)) Finished else TimedOut }
+    catch { case _: StreamingQueryException => Failed }
+    finally q.stop()
+
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .appName("recovery-spec")
@@ -84,16 +99,14 @@ class RecoverySpec extends AnyFunSuite {
   /** Run the stream to completion (AvailableNow, one file per batch)
     * through `sinkFn`, returning whether it terminated cleanly. */
   private def run(srcDir: String, ckpt: String,
-      sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+      sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
     val q = hourly(srcDir)
       .writeStream
       .foreachBatch(sinkFn)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try { q.awaitTermination(180000) }
-    catch { case _: StreamingQueryException => false }
-    finally q.stop()
+    await(q)
   }
 
   test("hourlyAgg killed mid-stream resumes from the checkpoint with exactly-once output") {
@@ -102,7 +115,7 @@ class RecoverySpec extends AnyFunSuite {
 
     // control: the same stream, never failed
     val controlDir = java.nio.file.Files.createTempDirectory("ev_ctl").toString
-    assert(run(srcDir, s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+    assert(run(srcDir, s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
       "control stream did not finish")
     val control = IdempotentSink.readBack(spark, controlDir)
       .collect().map(_.toString).sorted.toSeq
@@ -119,11 +132,11 @@ class RecoverySpec extends AnyFunSuite {
         if (id == 2 && armed.getAndSet(false))
           throw new RuntimeException("injected crash after sink write")
       }
-    assert(!run(srcDir, ckpt, failingSink), "failure was not injected")
+    assert(run(srcDir, ckpt, failingSink) == Failed, "failure was not injected")
 
     // restart from the SAME checkpoint: must replay batch 2 (written
     // but uncommitted), then drain the remaining files
-    assert(run(srcDir, ckpt, IdempotentSink.parquetSink(outDir)),
+    assert(run(srcDir, ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
       "recovery run did not finish")
 
     val recovered = IdempotentSink.readBack(spark, outDir)
@@ -153,21 +166,19 @@ class RecoverySpec extends AnyFunSuite {
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir))
 
-    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
       val q = sessions(srcDir)
         .writeStream
         .foreachBatch(sinkFn)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(180000) }
-      catch { case _: StreamingQueryException => false }
-      finally q.stop()
+      await(q)
     }
 
     // control: the same stream, never failed
     val controlDir = java.nio.file.Files.createTempDirectory("sess_ctl").toString
-    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
       "control session stream did not finish")
     val control = IdempotentSink.readBack(spark, controlDir)
       .collect().map(_.toString).sorted.toSeq
@@ -184,12 +195,12 @@ class RecoverySpec extends AnyFunSuite {
         if (id == 2 && armed.getAndSet(false))
           throw new RuntimeException("injected crash after sink write")
       }
-    assert(!run(ckpt, failingSink), "failure was not injected")
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
 
     // restart from the SAME checkpoint: session state (including
     // sessions opened in batches 0-1) must restore from the RocksDB
     // changelog; batch 2 replays over its own uncommitted output
-    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
       "session recovery run did not finish")
 
     val recovered = IdempotentSink.readBack(spark, outDir)
@@ -239,7 +250,7 @@ class RecoverySpec extends AnyFunSuite {
 
     // one fixture file per micro-batch: per-alert state must survive
     // the crash between batches via the RocksDB changelog checkpoint
-    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+    def run(ckpt: String, sinkFn: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
       val q = CapStream.lifecycle(
           CapStream.alerts(spark, fixtures, maxFilesPerTrigger = 1))
         .toDF()
@@ -249,9 +260,7 @@ class RecoverySpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(180000) }
-      catch { case _: StreamingQueryException => false }
-      finally q.stop()
+      await(q)
     }
 
     // final lifecycle = latest emitted row per identifier (update mode
@@ -268,7 +277,7 @@ class RecoverySpec extends AnyFunSuite {
         }
 
     val controlDir = java.nio.file.Files.createTempDirectory("cap4_ctl").toString
-    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
       "control lifecycle stream did not finish")
     val control = finalState(controlDir)
     assert(control.nonEmpty, "control lifecycle emitted nothing")
@@ -285,8 +294,8 @@ class RecoverySpec extends AnyFunSuite {
         if (id == 2 && armed.getAndSet(false))
           throw new RuntimeException("injected crash after sink write")
       }
-    assert(!run(ckpt, failingSink), "failure was not injected")
-    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
       "recovery lifecycle run did not finish")
 
     assert(finalState(outDir) == control,
@@ -303,7 +312,7 @@ class RecoverySpec extends AnyFunSuite {
     val srcDir = java.nio.file.Files.createTempDirectory("tws_arrivals").toString
     writeArrivalFiles(srcDir)
 
-    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
       val q = EventStream.userActivity(
           spark.readStream.schema(eventSchema)
             .option("maxFilesPerTrigger", "1").parquet(srcDir))
@@ -313,9 +322,7 @@ class RecoverySpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(180000) }
-      catch { case _: StreamingQueryException => false }
-      finally q.stop()
+      await(q)
     }
 
     // final aggregate = the largest-count emission per user (update
@@ -330,7 +337,7 @@ class RecoverySpec extends AnyFunSuite {
         }
 
     val controlDir = java.nio.file.Files.createTempDirectory("tws_ctl").toString
-    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
       "control tws stream did not finish")
     val control = finalAgg(controlDir)
     assert(control.nonEmpty, "control tws stream emitted nothing")
@@ -347,8 +354,8 @@ class RecoverySpec extends AnyFunSuite {
         if (id == 2 && armed.getAndSet(false))
           throw new RuntimeException("injected crash after sink write")
       }
-    assert(!run(ckpt, failingSink), "failure was not injected")
-    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
       "tws recovery run did not finish")
 
     assert(finalAgg(outDir) == control,
@@ -366,7 +373,7 @@ class RecoverySpec extends AnyFunSuite {
     val srcDir = java.nio.file.Files.createTempDirectory("join_arrivals").toString
     writeArrivalFiles(srcDir)
 
-    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): Boolean = {
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
       val src = spark.readStream.schema(eventSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       val q = EventStream.clickErrorJoin(src, src)
@@ -376,16 +383,14 @@ class RecoverySpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(180000) }
-      catch { case _: StreamingQueryException => false }
-      finally q.stop()
+      await(q)
     }
 
     def matches(outDir: String): Seq[String] =
       IdempotentSink.readBack(spark, outDir).collect().map(_.toString).sorted.toSeq
 
     val controlDir = java.nio.file.Files.createTempDirectory("join_ctl").toString
-    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)),
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
       "control join stream did not finish")
     val control = matches(controlDir)
     assert(control.nonEmpty, "control join stream matched nothing")
@@ -399,11 +404,207 @@ class RecoverySpec extends AnyFunSuite {
         if (id == 2 && armed.getAndSet(false))
           throw new RuntimeException("injected crash after sink write")
       }
-    assert(!run(ckpt, failingSink), "failure was not injected")
-    assert(run(ckpt, IdempotentSink.parquetSink(outDir)),
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
       "join recovery run did not finish")
 
     assert(matches(outDir) == control,
       "recovered join output differs from the never-failed control")
+  }
+
+  test("transformWithState MapState killed mid-stream restores per-key maps " +
+      "from the RocksDB checkpoint") {
+    // b53's state encoding (MapState sub-key entries) has its own
+    // RocksDB column-family layout — a recovery defect here would not
+    // show in the ValueState case above. The quartile split accumulates
+    // each (user, type) count across batches; the crash at batch 2 must
+    // restore every map entry or post-crash emissions restart counts
+    // from the batch's own rows.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("map_arrivals").toString
+    writeArrivalFiles(srcDir)
+
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
+      val q = EventStream.typeHistogram(
+          spark.readStream.schema(eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .writeStream
+        .foreachBatch(outSink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      await(q)
+    }
+
+    // final histogram = the largest count emitted per (user, type)
+    // (update mode re-emits the refreshed running total each batch);
+    // the user_id=-1 watermark-sentinel file row isn't in the batch
+    // table — drop it from the compare
+    def finalHist(outDir: String): Map[(Long, String), Long] =
+      IdempotentSink.readBack(spark, outDir).collect()
+        .filter(_.getAs[Long]("user_id") >= 0)
+        .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+        .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n_events")).max }
+
+    val controlDir = java.nio.file.Files.createTempDirectory("map_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
+      "control mapstate stream did not finish")
+    val control = finalHist(controlDir)
+    assert(control.nonEmpty, "control mapstate stream emitted nothing")
+    // ground truth: the final histogram must equal the batch GROUP BY
+    // (also proves the quartile split accumulated across batches)
+    val batchTruth = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(control == batchTruth,
+      "control mapstate histogram diverges from the batch GROUP BY")
+
+    val outDir = java.nio.file.Files.createTempDirectory("map_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
+      "mapstate recovery run did not finish")
+
+    assert(finalHist(outDir) == control,
+      "recovered MapState histogram differs from the never-failed control")
+  }
+
+  test("warm-started transformWithState killed mid-stream resumes WITHOUT " +
+      "re-seeding the initial state") {
+    // b54's handoff contract under failure: handleInitialState runs
+    // once at query START; a restart from the checkpoint must restore
+    // the evolved state, NOT re-apply the backfill seed (re-seeding
+    // would double the backfill contribution in every post-crash
+    // emission). Control = the uninterrupted warm-start run; ground
+    // truth = the full-table batch aggregate over tail-active users.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("warm_arrivals").toString
+    writeArrivalFiles(srcDir)
+
+    val ev = graft.sources.Tables.events(spark, sf)
+    val backfill = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"))
+
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
+      val tail = spark.readStream.schema(eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .filter(col("event_id") % 2 === 1)
+      val q = EventStream.warmStartActivity(tail, backfill)
+        .writeStream
+        .foreachBatch(outSink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      await(q)
+    }
+
+    def finalAgg(outDir: String): Map[Long, (Long, Double, Long, Long)] =
+      IdempotentSink.readBack(spark, outDir).collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          val last = rows.maxBy(_.getAs[Long]("n_events"))
+          u -> (last.getAs[Long]("n_events"), last.getAs[Double]("max_value"),
+            last.getAs[Long]("first_ts_us"), last.getAs[Long]("last_ts_us"))
+        }
+
+    val controlDir = java.nio.file.Files.createTempDirectory("warm_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
+      "control warm-start stream did not finish")
+    val control = finalAgg(controlDir)
+    assert(control.nonEmpty, "control warm-start stream emitted nothing")
+    // the handoff ground truth: converged per-user state == full-table
+    // batch aggregate for every user the tail touched (b54's oracle)
+    val truth = ev
+      .join(ev.filter(col("event_id") % 2 === 1).select("user_id").distinct(),
+        Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"),
+        min(unix_micros(col("ts"))).as("f"), max(unix_micros(col("ts"))).as("l"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(control == truth,
+      "control warm-start final state diverges from the full-table aggregate")
+
+    val outDir = java.nio.file.Files.createTempDirectory("warm_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
+      "warm-start recovery run did not finish")
+
+    assert(finalAgg(outDir) == control,
+      "recovered warm-start state differs from the never-failed control — " +
+        "was the initial state re-seeded on resume?")
+  }
+
+  test("event-time timers killed mid-stream survive the restart and still fire") {
+    // the timer hook's recovery path: timers armed in batches 0-1 live
+    // in the same RocksDB store as the ValueState; after the crash at
+    // batch 2 they must restore with the checkpoint and fire as the
+    // replayed watermark passes them. Batch boundaries are identical
+    // between control and recovery (same files, same order, restored
+    // watermark), so the emitted close set must match row-for-row.
+    StateBackend.enableRocksDb(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("timer_arrivals").toString
+    writeArrivalFiles(srcDir)
+    val gapMs = 30L * 60 * 1000
+
+    def run(ckpt: String, outSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit): RunResult = {
+      val q = EventStream.inactivityCloses(
+          spark.readStream.schema(eventSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir), gapMs)
+        .writeStream
+        .foreachBatch(outSink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      await(q)
+    }
+
+    def closes(outDir: String): Seq[String] =
+      IdempotentSink.readBack(spark, outDir).collect().map(_.toString).sorted.toSeq
+
+    val controlDir = java.nio.file.Files.createTempDirectory("timer_ctl").toString
+    assert(run(s"$controlDir/_ckpt", IdempotentSink.parquetSink(controlDir)) == Finished,
+      "control timer stream did not finish")
+    val control = closes(controlDir)
+    assert(control.nonEmpty, "control timer stream fired no closes")
+
+    val outDir = java.nio.file.Files.createTempDirectory("timer_rec").toString
+    val ckpt = s"$outDir/_ckpt"
+    val armed = new AtomicBoolean(true)
+    val failingSink: (org.apache.spark.sql.Dataset[Row], Long) => Unit =
+      (batch, id) => {
+        IdempotentSink.parquetSink(outDir)(batch, id)
+        if (id == 2 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after sink write")
+      }
+    assert(run(ckpt, failingSink) == Failed, "failure was not injected")
+    assert(run(ckpt, IdempotentSink.parquetSink(outDir)) == Finished,
+      "timer recovery run did not finish")
+
+    assert(closes(outDir) == control,
+      "recovered timer closes differ from the never-failed control — " +
+        "did armed timers survive the restart?")
   }
 }
