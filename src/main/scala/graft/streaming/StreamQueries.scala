@@ -206,6 +206,36 @@ object StreamQueries {
       |WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** b57: event-time TIMERS under the oracle gate — the
+    * [[EventStream.InactivityCloseProcessor]] closes a user's session
+    * when the WATERMARK passes last-seen + gap. Under AvailableNow the
+    * single data batch arms one timer per user at last_ms + gap; the
+    * engine then runs a timer batch at the final watermark
+    * (max event-time ms − 1000, the 1-second delay in
+    * inactivityCloses), firing exactly the timers strictly below it.
+    * That firing rule is batch-expressible, so DuckDB computes the
+    * identical close set: users whose last event is more than
+    * gap + delay before the stream's end, each closing at
+    * (last_ms + gap) ms. At both driver SFs the predicate genuinely
+    * discriminates (some users' last events hug the global max and
+    * stay OPEN), so the oracle pins the firing threshold, not just
+    * row plumbing. */
+  private val b57GapMs = 30L * 60 * 1000
+
+  def b57StreamTimers(s: SparkSession, d: String): DataFrame =
+    StreamRunner.run(s, "b57_stream_timers_sink", s"$d/events.parquet",
+      EventStream.inactivityCloses(EventStream.readEvents(s, d), b57GapMs),
+      "update", requireSingleDataBatch = true)
+      .orderBy("user_id")
+
+  val b57Sql: String =
+    s"""WITH ls AS (SELECT user_id, max(epoch_ms(ts)) AS last_ms
+       |            FROM events GROUP BY user_id),
+       |     w AS (SELECT max(epoch_ms(ts)) - 1000 AS wm FROM events)
+       |SELECT user_id, (last_ms + $b57GapMs) * 1000 AS close_ts_us
+       |FROM ls, w WHERE last_ms + $b57GapMs < wm
+       |ORDER BY user_id""".stripMargin
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b43_stream_parity", b43StreamParity _, b43Sql),
     ("b44_stream_segment", b44StreamSegment _, b44Sql),
@@ -214,5 +244,6 @@ object StreamQueries {
     ("b47_stream_dedup", b47StreamDedup _, b47Sql),
     ("b51_stream_tws", b51StreamTws _, b51Sql),
     ("b53_stream_mapstate", b53StreamMapState _, b53Sql),
-    ("b54_stream_warmstart", b54StreamWarmstart _, b54Sql))
+    ("b54_stream_warmstart", b54StreamWarmstart _, b54Sql),
+    ("b57_stream_timers", b57StreamTimers _, b57Sql))
 }

@@ -243,6 +243,73 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restart must emit only the new alert, got $second")
   }
 
+  test("streaming quarantine parity: a planted bad alert through the capfeed " +
+      "MicroBatchStream lands in the quarantine side-channel") {
+    // cap3_quarantine gates per-alert error isolation in BATCH mode;
+    // this proves the same tagged-union side-channel through the
+    // capfeed streaming source — a feed mixing healthy alerts with the
+    // planted bad fixtures (unparseable sent/onset) must stream the
+    // good features and quarantine exactly the bad identifiers, no
+    // batch/stream divergence.
+    // path segment contains "alert" so the P2 link predicate
+    // (Http.isCapAlertLink) keeps these links — same contract real
+    // CAP feeds satisfy
+    server.createContext("/capbad-alerts/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/capbad-alerts/")
+      val p = Paths.get("fixtures/cap_bad", name)
+      if (Files.exists(p)) respond(ex, 200, Files.readString(p))
+      else respond(ex, 404, "not found")
+    })
+    val mixed = Seq("/cap/metservice-polygon.xml", "/capbad-alerts/bad-sent.xml",
+      "/capbad-alerts/bad-onset.xml", "/capbad-alerts/ok-point.xml")
+    server.createContext("/feedbad", (ex: HttpExchange) => respond(ex, 200,
+      mixed.map(f => s"<item><link>$base$f</link></item>")
+        .mkString("<rss><channel>", "", "</channel></rss>")))
+
+    import spark.implicits._
+    val asOf = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def tagged(xml: org.apache.spark.sql.Dataset[String]) =
+      CapPipeline.fanOutTagged(
+        CapPipeline.filterActive(CapPipeline.parseAlerts(xml), asOf))
+
+    val featIds = new ConcurrentLinkedQueue[String]()
+    val quarantined = new ConcurrentLinkedQueue[(String, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("capfeed-quar-ckpt").toString
+    val q = spark.readStream.format("capfeed")
+      .option("url", s"$base/feedbad")
+      .option("timeout", 5000)
+      .load()
+      .select("xml").as[String]
+      .transform(tagged)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.cap.FanOutRow], _: Long) =>
+        batch.collect().foreach { r =>
+          r.feature.foreach(f => featIds.add(f.id))
+          r.quarantined.foreach(qa => quarantined.add((qa.identifier, qa.error)))
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "quarantine stream did not finish")
+    q.stop()
+
+    // batch reference over the identical source
+    val xmlB = spark.read.format("capfeed").option("url", s"$base/feedbad").load()
+      .select("xml").as[String]
+    val batchRows = tagged(xmlB).collect()
+    val batchFeats = batchRows.flatMap(_.feature).map(_.id).toSet
+    val batchQuar = batchRows.flatMap(_.quarantined)
+      .map(qa => (qa.identifier, qa.error)).toSet
+
+    assert(quarantined.asScala.toSet == batchQuar,
+      s"stream quarantine diverges from batch: ${quarantined.asScala.toSet} vs $batchQuar")
+    assert(quarantined.asScala.map(_._1).toSet == Set("QBAD-2026-001", "QBAD-2026-002"),
+      "exactly the two planted bad alerts must quarantine")
+    assert(featIds.asScala.toSet == batchFeats && batchFeats.nonEmpty,
+      "healthy alerts must still emit their features through the stream")
+  }
+
   test("cloudtak: overwrite mode works (truncate is a no-op; CloudTAK upserts by id)") {
     posts.clear()
     import spark.implicits._
