@@ -119,6 +119,15 @@ object Bench {
       if (execMode == "noop") df.write.format("noop").mode("overwrite").save()
       else df.collect()
 
+    // SPARK_GRAFT_RUNS=<n>: override every query to exactly n timed
+    // runs (1 warmup, no protocol upgrades) — for big-synthetic-SF
+    // probes where a ×1000 query costs minutes per run and the point
+    // is OOM/linearity evidence, not a publishable median. Stamped as
+    // "runs_override" in both artifacts so a probe can never be read
+    // as a protocol sweep.
+    val runsOverride = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
+    runsOverride.foreach(n => require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n"))
+
     // Baseline methodology (BASELINE.md): build the DataFrame once,
     // 1 warmup run, then median of timed runs.
     val results: Seq[(String, Double)] = selected.map {
@@ -135,6 +144,7 @@ object Bench {
               }.sorted
               runs(runs.length / 2)
             }
+            if (runsOverride.isDefined) median(runsOverride.get)
             // Headline B1–B12 (the BASELINE.md comparison set and the
             // judge's round-over-round diff) ALWAYS runs the extended
             // protocol — 3 warmups + median-of-7. These are all
@@ -142,7 +152,7 @@ object Bench {
             // ±60% across rounds on unchanged code under the old
             // median-of-5 (r11→r12 analysis); pinning the protocol
             // makes the compact-line diff compare like with like.
-            if (headline.contains(name)) {
+            else if (headline.contains(name)) {
               remeasured += name
               execute(df); execute(df)
               median(7)
@@ -186,7 +196,7 @@ object Bench {
         val t =
           try {
             SparkEntry.queries(name)(spark, sfDir) // warmup run
-            val runs = Seq.fill(3) {
+            val runs = Seq.fill(runsOverride.getOrElse(3)) {
               val t0 = System.nanoTime()
               SparkEntry.queries(name)(spark, sfDir)
               (System.nanoTime() - t0) / 1e9
@@ -226,7 +236,8 @@ object Bench {
     // Non-default execution path is a different methodology — stamp it
     // so a noop-mode probe can never be read as a collect-mode sweep.
     val execTag =
-      if (execMode == "noop") s""","exec":"noop"""" else ""
+      (if (execMode == "noop") s""","exec":"noop"""" else "") +
+        runsOverride.map(n => s""","runs_override":$n""").getOrElse("")
 
     // Durable full artifact — every query, plus totals. The full
     // remeasured list lives only here; the compact driver line carries

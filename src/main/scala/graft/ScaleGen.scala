@@ -91,43 +91,63 @@ object ScaleGen {
     // bytes per part file — source bytes × copy factor, since tiling
     // compresses about like the source. Big tables fan out to 32 parts;
     // the KB-scale dimension tables stay ONE part instead of 32
-    // mostly-empty files.
-    def write(df: DataFrame, t: String, copies: Int): Unit = {
+    // mostly-empty files. Clamped to `tiles` because the fan-out below
+    // partitions BY TILE.
+    def parts(t: String, copies: Int): Int = math.max(1, math.min(tiles,
+      math.min(32, (srcBytes(t) * copies / (8L * 1024 * 1024)).toInt)))
+
+    def write(df: DataFrame, t: String): Unit = {
       if (!onTable(t)) return // df is lazy — skipping costs nothing
-      val parts = math.max(1, math.min(32,
-        (srcBytes(t) * copies / (8L * 1024 * 1024)).toInt))
-      df.repartition(parts).write.mode("overwrite")
+      df.write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
         .parquet(s"$out/$t.parquet")
     }
 
-    /** Explode each row into `tiles` copies and offset `keys` by
-      * tile*K, preserving each key column's original type. */
-    def tile(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val tiled = df.withColumn("tile", explode(sequence(lit(0L), lit(tiles - 1L))))
-      keys.foldLeft(tiled) { (d, k) =>
+    /** Fan each row out into `tiles` copies, offsetting `keys` by
+      * tile*K (original column types preserved), SHUFFLE-FREE: the
+      * tile ids are born range-partitioned into `nParts` tasks and the
+      * whole source rides along as a broadcast under a cross join, so
+      * each task streams its tiles × source directly into its own
+      * output file. The previous shape (per-row explode + repartition
+      * for file count) shuffled the ENTIRE tiled corpus — at ×1000
+      * lineitem that is ~600M rows / ~45 GB of map spill, which
+      * overran the probe box's disk for nothing but output layout.
+      * Every driver SF source is MBs–100 MB, far under the broadcast
+      * ceiling; at a real deployment's source sizes the tile loop
+      * would move INTO the scan (mapPartitions over the source with a
+      * modulo-assigned tile slice), but the broadcast form keeps the
+      * probe generator one declarative plan. */
+    def tile(df: DataFrame, keys: Seq[String], nParts: Int): DataFrame = {
+      val tilesDf = s.range(0, tiles, 1, nParts).toDF("tile")
+      val crossed = tilesDf.crossJoin(broadcast(df))
+      keys.foldLeft(crossed) { (d, k) =>
         val dt = df.schema(k).dataType
         d.withColumn(k, (col(k) + col("tile") * K).cast(dt))
       }
     }
 
     // single-copy global dimensions
-    write(read("region"), "region", 1)
-    write(read("nation"), "nation", 1)
+    write(read("region"), "region")
+    write(read("nation"), "nation")
 
     // tiled relational entities — FKs offset in lockstep
-    write(tile(read("customer"), Seq("c_custkey")).drop("tile"), "customer", tiles)
-    write(tile(read("supplier"), Seq("s_suppkey")).drop("tile"), "supplier", tiles)
-    write(tile(read("part"), Seq("p_partkey")).drop("tile"), "part", tiles)
-    write(tile(read("orders"), Seq("o_orderkey", "o_custkey")).drop("tile"), "orders", tiles)
-    write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))
-      .drop("tile"), "lineitem", tiles)
-    write(tile(read("events"), Seq("event_id", "user_id")).drop("tile"), "events", tiles)
+    write(tile(read("customer"), Seq("c_custkey"), parts("customer", tiles))
+      .drop("tile"), "customer")
+    write(tile(read("supplier"), Seq("s_suppkey"), parts("supplier", tiles))
+      .drop("tile"), "supplier")
+    write(tile(read("part"), Seq("p_partkey"), parts("part", tiles))
+      .drop("tile"), "part")
+    write(tile(read("orders"), Seq("o_orderkey", "o_custkey"), parts("orders", tiles))
+      .drop("tile"), "orders")
+    write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      parts("lineitem", tiles)).drop("tile"), "lineitem")
+    write(tile(read("events"), Seq("event_id", "user_id"), parts("events", tiles))
+      .drop("tile"), "events")
 
     // documents: tiled text is unique per tile EXCEPT the planted
     // doc_id % 100 == 0 clusters (10 exact copies each); n_chars is
     // recomputed so the length invariant survives the suffix
-    val docs = tile(read("documents"), Seq.empty)
+    val docs = tile(read("documents"), Seq.empty, parts("documents", tiles))
       .withColumn("text",
         when(col("tile") === 0 || col("doc_id") % 100 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" tile"), col("tile"))))
@@ -135,7 +155,7 @@ object ScaleGen {
       .withColumn("doc_id",
         (col("doc_id") + col("tile") * K).cast(read("documents").schema("doc_id").dataType))
       .drop("tile")
-    write(docs, "documents", tiles)
+    write(docs, "documents")
 
     // embeddings: tiled vectors are ROTATED by tile % dims and, for
     // tiles beyond the dimensionality, SIGN-FLIPPED by a deterministic
@@ -156,14 +176,14 @@ object ScaleGen {
     val flipped = when(grp === 0, rotated).otherwise(
       transform(rotated, (x, i) =>
         when(pmod(hash(i, grp), lit(2)) === 1, -x).otherwise(x)))
-    val emb = tile(read("embeddings"), Seq.empty)
+    val emb = tile(read("embeddings"), Seq.empty, parts("embeddings", tiles))
       .withColumn("embedding",
         when(col("tile") === 0 || col("vec_id") % 100 === 0, col("embedding"))
           .otherwise(flipped))
       .withColumn("vec_id",
         (col("vec_id") + col("tile") * K).cast(read("embeddings").schema("vec_id").dataType))
       .drop("tile")
-    write(emb, "embeddings", tiles)
+    write(emb, "embeddings")
     }
 
     println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src","tables":"$tablesRe"}""")

@@ -40,8 +40,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   left.crossJoin(right).hint("graft_asof",
   *     "leftKeyCol", "leftTimeCol", "rightKeyCol", "rightTimeCol")
-  *   // optional 5th param: "inner" (default) or "left_outer" —
-  *   // left_outer keeps unmatched left rows with null-filled right
+  *   // optional trailing flags (any order): "inner" (default) |
+  *   // "left_outer" — keep unmatched left rows null-filled; and
+  *   // "backward" (default) — largest right time <= left time — |
+  *   // "forward" — smallest right time >= left time
   * }}}
   * [[ResolveAsOfJoin]] rewrites the hinted cross join during analysis;
   * the cross join itself is never planned (the hint IS the operator —
@@ -58,7 +60,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightKey: Expression,
     rightTime: Expression,
-    isLeftOuter: Boolean = false) extends BinaryNode {
+    isLeftOuter: Boolean = false,
+    isForward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -101,19 +104,33 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     case UnresolvedHint(name, params, j @ Join(l, r, Cross | Inner, None, _))
         if name.equalsIgnoreCase("graft_asof") && j.resolved =>
       val names = params.flatMap(str(_))
-      if (names.size != 4 && names.size != 5)
+      if (names.size < 4 || names.size > 6)
         throw new IllegalArgumentException(
           "graft_asof expects 4 string parameters " +
-            "(leftKey, leftTime, rightKey, rightTime) plus an optional " +
-            s"join type ('inner' | 'left_outer'), got $params")
+            "(leftKey, leftTime, rightKey, rightTime) plus optional flags " +
+            s"('inner' | 'left_outer', 'backward' | 'forward'), got $params")
       val Seq(lkN, ltN, rkN, rtN) = names.take(4)
-      val isOuter = names.drop(4).headOption match {
-        case None => false
-        case Some(jt) if jt.equalsIgnoreCase("inner") => false
-        case Some(jt) if jt.equalsIgnoreCase("left_outer") => true
-        case Some(jt) => throw new IllegalArgumentException(
-          s"graft_asof: unknown join type '$jt' (expected 'inner' or 'left_outer')")
+      // trailing flags, any order; each dimension may be set at most once
+      var outerFlag: Option[Boolean] = None
+      var forwardFlag: Option[Boolean] = None
+      names.drop(4).foreach { f =>
+        def set(slot: Option[Boolean], v: Boolean): Option[Boolean] = {
+          if (slot.isDefined) throw new IllegalArgumentException(
+            s"graft_asof: conflicting/duplicate flag '$f'")
+          Some(v)
+        }
+        f.toLowerCase match {
+          case "inner" => outerFlag = set(outerFlag, false)
+          case "left_outer" => outerFlag = set(outerFlag, true)
+          case "backward" => forwardFlag = set(forwardFlag, false)
+          case "forward" => forwardFlag = set(forwardFlag, true)
+          case other => throw new IllegalArgumentException(
+            s"graft_asof: unknown flag '$other' (expected 'inner' | " +
+              "'left_outer' | 'backward' | 'forward')")
+        }
       }
+      val isOuter = outerFlag.getOrElse(false)
+      val isFwd = forwardFlag.getOrElse(false)
       val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
       val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
       if (lk.dataType != rk.dataType)
@@ -126,7 +143,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
       // types at analysis time, not per-row at execution
       TypeUtils.getInterpretedOrdering(lk.dataType)
       TypeUtils.getInterpretedOrdering(lt.dataType)
-      AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter)
+      AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd)
 
     // Malformed placement MUST fail loudly: without this case the
     // analyzer's final remove-unrecognized-hints pass would strip the
@@ -147,20 +164,24 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
 /** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer) =>
-      AsOfJoinExec(lk, lt, rk, rt, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd) =>
+      AsOfJoinExec(lk, lt, rk, rt, outer, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Sort-merge backward as-of join. Each child is hash-clustered on its
-  * key (EnsureRequirements co-partitions the two shuffles) and sorted
-  * by (key, time); the merge streams both sides with ONE buffered right
-  * row — the last right row seen for the current key — so memory beyond
-  * the children's own sorts is O(1) per partition regardless of group
-  * width. Determinism contract: callers must make the right side unique
-  * per (key, time) (b49 pre-aggregates max(event_id)); with duplicates
-  * the operator keeps the last row in (key, time) sort order, which
+/** Sort-merge as-of join. Each child is hash-clustered on its key
+  * (EnsureRequirements co-partitions the two shuffles) and sorted by
+  * (key, time); the merge streams both sides with O(1) state per
+  * partition beyond the children's own sorts. BACKWARD (default):
+  * one buffered right row — the last right row seen for the current
+  * key at-or-before the left time. FORWARD: no buffer at all — both
+  * sides ascend, so the first un-consumed right row at-or-after the
+  * left time IS the match (right rows are only consumed once they can
+  * never match a later left row). Determinism contract: callers must
+  * make the right side unique per (key, time) (b49 pre-aggregates
+  * max(event_id)); with duplicates the operator keeps the last
+  * (backward) / first (forward) row in (key, time) sort order, which
   * ties leave undefined — same caveat as Spark's own SMJ on
   * non-deterministic input order.
   */
@@ -170,6 +191,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     rightTime: Expression,
     isLeftOuter: Boolean,
+    isForward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -210,6 +232,7 @@ case class AsOfJoinExec(
       s"as-of join children not co-partitioned: ${lRdd.getNumPartitions} " +
         s"vs ${rRdd.getNumPartitions}")
     val outer = isLeftOuter
+    val forward = isForward
     val rightWidth = right.output.size
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val joined = new JoinedRow
@@ -249,30 +272,51 @@ case class AsOfJoinExec(
             val lk = lkB.eval(l)
             val lt = ltB.eval(l)
             if (lk != null && lt != null) {
-              // consume right rows at or before (lk, lt): rows with a
-              // smaller key can never match again (left keys ascend),
-              // rows with the same key become the newest candidate
-              var cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
-              while (rRow != null &&
-                  (cmp < 0 || (cmp == 0 && tsOrd.compare(rT, lt) <= 0))) {
-                if (cmp == 0) {
-                  candRow = rRow.copy()
-                  // re-evaluate the key from the COPIED row: rK aliases
-                  // memory the child's sort iterator reuses on the next
-                  // advanceRight() for buffer-backed types (UTF8String,
-                  // binary, structs) — storing it would corrupt the
-                  // candidate-key guard below
-                  candKey = rkB.eval(candRow)
+              if (forward) {
+                // consume right rows strictly before (lk, lt): smaller
+                // keys can never match again (left keys ascend), and a
+                // same-key right time < lt is also < every later left
+                // time for this key. The remaining lookahead row, if
+                // its key matches, IS the forward match — used in
+                // place, never buffered across an advance.
+                var cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
+                while (rRow != null &&
+                    (cmp < 0 || (cmp == 0 && tsOrd.compare(rT, lt) < 0))) {
+                  advanceRight()
+                  cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
                 }
-                advanceRight()
-                cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
-              }
-              if (candRow != null && keyOrd.compare(candKey, lk) == 0) {
-                numOutputRows += 1
-                ready = proj(joined(l, candRow))
-              } else if (outer) {
-                numOutputRows += 1
-                ready = proj(joined(l, nullRight))
+                if (rRow != null && cmp == 0) {
+                  numOutputRows += 1
+                  ready = proj(joined(l, rRow))
+                } else if (outer) {
+                  numOutputRows += 1
+                  ready = proj(joined(l, nullRight))
+                }
+              } else {
+                // BACKWARD: consume right rows at or before (lk, lt);
+                // rows with the same key become the newest candidate
+                var cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
+                while (rRow != null &&
+                    (cmp < 0 || (cmp == 0 && tsOrd.compare(rT, lt) <= 0))) {
+                  if (cmp == 0) {
+                    candRow = rRow.copy()
+                    // re-evaluate the key from the COPIED row: rK aliases
+                    // memory the child's sort iterator reuses on the next
+                    // advanceRight() for buffer-backed types (UTF8String,
+                    // binary, structs) — storing it would corrupt the
+                    // candidate-key guard below
+                    candKey = rkB.eval(candRow)
+                  }
+                  advanceRight()
+                  cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
+                }
+                if (candRow != null && keyOrd.compare(candKey, lk) == 0) {
+                  numOutputRows += 1
+                  ready = proj(joined(l, candRow))
+                } else if (outer) {
+                  numOutputRows += 1
+                  ready = proj(joined(l, nullRight))
+                }
               }
             } else if (outer) {
               // null key/time never matches, but LEFT OUTER still

@@ -1714,6 +1714,50 @@ object Relational {
 
   val b56Sql: String = b56SqlFor("customer", "orders", "nation")
 
+  // -------------------------------------------------------------------
+  // B58: FORWARD native as-of join — for every error, the NEXT click of
+  // the same user at-or-after the error (the "what did the user do
+  // about it" attribution shape, where b49/b55 answer "what led to
+  // it"). Same AsOfJoinExec, direction flag 'forward': both sides
+  // ascend, so the match is the first un-consumed right row — zero
+  // buffered state, strictly cheaper than backward. Oracle: DuckDB
+  // ASOF JOIN with the inequality flipped (e.ts <= c.c_ts selects the
+  // smallest c_ts at-or-after each error). Inner: errors after the
+  // user's last click drop.
+  // -------------------------------------------------------------------
+  def b58AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val j = errors.crossJoin(clicks)
+      .hint("graft_asof", "user_id", "ts", "c_user_id", "c_ts", "forward")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b58Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id, ts AS c_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      |)
+      |SELECT e.event_id, e.user_id, c.click_id,
+      |       CAST(epoch_us(c.c_ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+      |FROM errors e ASOF JOIN clicks c
+      |  ON e.user_id = c.c_user_id AND e.ts <= c.c_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1763,5 +1807,6 @@ object Relational {
     ("b50_lateral_topk", b50LateralTopk _, b50Sql),
     ("b52_scd2_merge", b52Scd2Merge _, b52Sql),
     ("b55_asof_outer", b55AsofOuter _, b55Sql),
-    ("b56_exists_not_in", b56ExistsNotIn _, b56Sql))
+    ("b56_exists_not_in", b56ExistsNotIn _, b56Sql),
+    ("b58_asof_forward", b58AsofForward _, b58Sql))
 }

@@ -183,7 +183,7 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("a", 10L, "ra1"), Seq("a", 20L, "ra2"), Seq("b", 5L, "rb")))
     val exec = AsOfJoinExec(
       lOut.head, lOut(1), rOut.head, rOut(1), isLeftOuter = false,
-      leftScan, rightScan)
+      isForward = false, leftScan, rightScan)
     val rows = exec.execute().collect()
     assert(rows.length == 1,
       s"expected exactly the (a, ra2) match, got ${rows.length} rows")
@@ -193,6 +193,60 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getUTF8String(2).toString == "a")
     assert(out.getLong(3) == 20L)
     assert(out.getUTF8String(4).toString == "ra2")
+  }
+
+  test("forward direction matches the first right row at-or-after each left time") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, "tie"),     // tie at rt=100: forward-inclusive
+      (1L, 101L, "after"),   // next is rt=150
+      (1L, 200L, "none"),    // no later right row for k=1
+      (2L, 10L, "first"))    // k=2's first right row is rt=60
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 40L, "r40"),
+      (1L, 100L, "r100"),
+      (1L, 150L, "r150"),
+      (2L, 60L, "r60"))
+      .toDF("rk", "rt", "rtag")
+    val inner = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "forward")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("tie", "r100"), ("after", "r150"), ("first", "r60")))
+    // forward + left_outer composes: the unmatched row null-fills
+    val outer = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "forward", "left_outer")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(outer == Set(("tie", Some("r100")), ("after", Some("r150")),
+      ("none", None), ("first", Some("r60"))))
+  }
+
+  test("b58 forward values equal a driver-side reference walk") {
+    val s = freshSession(extended = true)
+    val ev = Tables.events(s, sf)
+    val clicksByUser = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .agg(max("event_id").as("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = errors.flatMap { case (eid, uid, tsu) =>
+      clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+        .dropWhile(_._1 < tsu).headOption
+        .map { case (cts, cid) => (eid, uid, cid, cts - tsu) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce at least one forward match")
+    val got = Relational.b58AsofForward(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
   }
 
   test("a misplaced graft_asof hint fails at analysis instead of silently degrading") {
@@ -212,12 +266,18 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.hint("graft_asof", "k", "t", "rk", "rt").queryExecution.analyzed
     }
     assert(nonJoin.getMessage.contains("graft_asof"), nonJoin.getMessage)
-    // unknown join-type parameter
+    // unknown flag parameter
     val badType = intercept[Exception] {
       l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "full_outer")
         .queryExecution.analyzed
     }
-    assert(badType.getMessage.contains("unknown join type"), badType.getMessage)
+    assert(badType.getMessage.contains("unknown flag"), badType.getMessage)
+    // conflicting flags
+    val dup = intercept[Exception] {
+      l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "forward", "backward")
+        .queryExecution.analyzed
+    }
+    assert(dup.getMessage.contains("conflicting"), dup.getMessage)
   }
 
   test("the rule rejects ambiguous and type-mismatched hint columns at analysis") {
