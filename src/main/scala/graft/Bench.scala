@@ -268,8 +268,9 @@ object Bench {
         // per-query protocol provenance for the compact line: every
         // headline query above is warmup×3+median-of-7 by construction
         // (the full remeasured list, incl. sub-100 ms non-headline
-        // upgrades, lives in bench_out.json)
-        s""","headline_protocol":"warmup3_median7"""" +
+        // upgrades, lives in bench_out.json); suppressed under
+        // SPARK_GRAFT_RUNS, where runs_override IS the protocol
+        (if (runsOverride.isEmpty) s""","headline_protocol":"warmup3_median7"""" else "") +
         s""","remeasured_n":${remeasured.size},"full":"bench_out.json","sf":"$sfDir"}""")
     // close RocksDB natives before the shutdown hook deletes their
     // working dirs (see StateBackend.shutdown scaladoc)

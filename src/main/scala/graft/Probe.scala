@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch micro-probe (dev-only, not in any gate) — currently dissecting
-  * why a cached 256-row d2 result costs 200-750 ms per collect. */
+/** Scratch micro-probe (dev-only, not in any gate) — currently
+  * dissecting b37's ×1000 superlinearity: 1030 s at ×1000 vs 55 s at
+  * ×300 (18.7× for 3.33× the rows) while its exact sibling b18 stayed
+  * linear. Times each half of the query separately on
+  * SPARK_GRAFT_SF_DIR: the double percentile_approx aggregate (two GK
+  * sketches), a single array-quantile sketch, and the
+  * ExactQuantile bracketing side. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,22 +28,42 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(tag: String)(f: => Unit): Unit = {
+    def time1(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
       f
-      val ts = (1 to 7).map { _ => val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6 }.sorted
-      println(f"[probe] $tag median=${ts(3)}%.1f ms all=${ts.map(t => f"$t%.0f").mkString(",")}")
+      println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    val d = "/root/testdata/sf0.1"
-    val df = graft.queries.Dedup.d2MinhashLsh(spark, d)
-    val t0 = System.nanoTime()
-    val n = df.collect().length
-    println(f"[probe] d2 warmup rows=$n in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    println(s"[probe] d2 cached partitions = ${df.rdd.getNumPartitions}")
-    time("d2_collect") { df.collect() }
-    time("d2_count") { df.count() }
-    val one = df.coalesce(1)
-    time("d2_coalesce1_collect") { one.collect() }
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "scaledata/sf100-synth")
+    val li = graft.sources.Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_extendedprice")
+
+    time1("scan_only") {
+      li.write.format("noop").mode("overwrite").save()
+    }
+    time1("approx_two_sketches_acc10000") {
+      li.groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
+          expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95a"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time1("approx_one_array_sketch_acc10000") {
+      li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)").as("pa"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time1("approx_one_array_sketch_acc1000") {
+      li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("pa"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time1("exact_bracketing") {
+      graft.operators.ExactQuantile.groupQuantiles(
+          graft.sources.Tables.lineitem(spark, d), "l_returnflag",
+          "l_extendedprice", Seq(0.5, 0.95))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -1169,12 +1169,24 @@ object Relational {
   // sketch companion to B18's exact percentiles, the same
   // pattern as B16's HLL gate: Spark computes BOTH the exact
   // percentile and the GK-sketch percentile_approx (rank error ≤
-  // n/10000) and emits a boolean asserting the sketch landed within
+  // n/1000) and emits a boolean asserting the sketch landed within
   // 5% of the exact value; the oracle reproduces the exact side and
   // the gate must read TRUE on both engines. At 100 TB the sketch is
   // the only viable path (constant memory, one pass, mergeable
   // partials) — this query keeps it honest against the exact answer
   // while the data is small enough to afford one.
+  //
+  // Sketch sizing (×1000 probe finding): percentile_approx's per-row
+  // cost is dominated by the GK compress pass, whose summary width —
+  // and with it the compress cost amortized over every insert — scales
+  // with the accuracy parameter times log n. At 600M rows the old
+  // shape (TWO scalar sketches at accuracy 10000) measured 920 s
+  // against a 6 s scan; ONE array-quantile sketch (both fractions
+  // share a single summary) at accuracy 1000 measures 103 s for the
+  // same answer, and the in-query 5% VALUE gate still holds with 50×
+  // headroom (rank error n/1000 ⇒ value error ≪ 5% on any
+  // non-degenerate distribution, asserted by the gate itself on both
+  // engines at every SF).
   // -------------------------------------------------------------------
   def b37ApproxQuantile(s: SparkSession, d: String): DataFrame = {
     // exact side via the bounded-memory histogram bracketing (B18's
@@ -1189,9 +1201,9 @@ object Relational {
       .agg(max(col("n")).as("n"), p(0.5).as("p50e"), p(0.95).as("p95e"))
     val approx = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50a"),
-        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95a"))
+      .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)").as("pa"))
+      .select(col("l_returnflag"),
+        col("pa").getItem(0).as("p50a"), col("pa").getItem(1).as("p95a"))
     exact.join(broadcast(approx), "l_returnflag")
       .select(
         col("l_returnflag"), col("n"),
