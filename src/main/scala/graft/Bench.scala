@@ -35,7 +35,7 @@ object Bench {
   private val streaming: Seq[String] = Seq(
     "b43_stream_parity", "b44_stream_segment", "b45_stream_sessions",
     "b46_stream_interval_join", "b47_stream_dedup", "b51_stream_tws",
-    "b53_stream_mapstate", "b54_stream_warmstart",
+    "b53_stream_mapstate", "b54_stream_warmstart", "b57_stream_timers",
     "cap4_stream_lifecycle", "cap5_stream_transitions")
 
   private def jnum(v: Double): String = f"$v%.4f"
