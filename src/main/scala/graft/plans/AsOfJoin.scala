@@ -4,12 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, Literal, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, UnresolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native backward as-of join — the whole-operator extension-point
@@ -43,7 +43,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *   // optional trailing flags (any order): "inner" (default) |
   *   // "left_outer" — keep unmatched left rows null-filled; and
   *   // "backward" (default) — largest right time <= left time — |
-  *   // "forward" — smallest right time >= left time
+  *   // "forward" — smallest right time >= left time; and
+  *   // "tol_us=N" — maximum match gap (pandas merge_asof tolerance /
+  *   // kdb wj window): backward requires lt - rt <= N, forward
+  *   // rt - lt <= N. Units are the time column's internal
+  *   // representation — MICROSECONDS for timestamps, days for dates,
+  *   // the raw value for integral columns. In outer mode an
+  *   // out-of-tolerance nearest match NULL-FILLS the row (not
+  *   // expressible as a post-filter on the unbounded join).
+  * }}}
+  * The same surface works from pure SQL text — the parser attaches a
+  * SELECT-level hint above the Project/Filter chain, and the rule
+  * descends that unary spine to the underlying join:
+  * {{{
+  *   SELECT /*+ graft_asof('k', 't', 'rk', 'rt', 'left_outer') */ ...
+  *   FROM l CROSS JOIN r
   * }}}
   * [[ResolveAsOfJoin]] rewrites the hinted cross join during analysis;
   * the cross join itself is never planned (the hint IS the operator —
@@ -61,7 +75,8 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     rightTime: Expression,
     isLeftOuter: Boolean = false,
-    isForward: Boolean = false) extends BinaryNode {
+    isForward: Boolean = false,
+    tolUs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -100,72 +115,112 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     hits.head
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case UnresolvedHint(name, params, j @ Join(l, r, Cross | Inner, None, _))
-        if name.equalsIgnoreCase("graft_asof") && j.resolved =>
-      val names = params.flatMap(str(_))
-      if (names.size < 4 || names.size > 6)
-        throw new IllegalArgumentException(
-          "graft_asof expects 4 string parameters " +
-            "(leftKey, leftTime, rightKey, rightTime) plus optional flags " +
-            s"('inner' | 'left_outer', 'backward' | 'forward'), got $params")
-      val Seq(lkN, ltN, rkN, rtN) = names.take(4)
-      // trailing flags, any order; each dimension may be set at most once
-      var outerFlag: Option[Boolean] = None
-      var forwardFlag: Option[Boolean] = None
-      names.drop(4).foreach { f =>
-        def set(slot: Option[Boolean], v: Boolean): Option[Boolean] = {
-          if (slot.isDefined) throw new IllegalArgumentException(
-            s"graft_asof: conflicting/duplicate flag '$f'")
-          Some(v)
-        }
-        f.toLowerCase match {
-          case "inner" => outerFlag = set(outerFlag, false)
-          case "left_outer" => outerFlag = set(outerFlag, true)
-          case "backward" => forwardFlag = set(forwardFlag, false)
-          case "forward" => forwardFlag = set(forwardFlag, true)
-          case other => throw new IllegalArgumentException(
-            s"graft_asof: unknown flag '$other' (expected 'inner' | " +
-              "'left_outer' | 'backward' | 'forward')")
-        }
-      }
-      val isOuter = outerFlag.getOrElse(false)
-      val isFwd = forwardFlag.getOrElse(false)
-      val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
-      val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
-      if (lk.dataType != rk.dataType)
-        throw new IllegalArgumentException(
-          s"graft_asof: key types differ — ${lk.dataType} vs ${rk.dataType}")
-      if (lt.dataType != rt.dataType)
-        throw new IllegalArgumentException(
-          s"graft_asof: time types differ — ${lt.dataType} vs ${rt.dataType}")
-      // orderability check: getInterpretedOrdering throws on unordered
-      // types at analysis time, not per-row at execution
-      TypeUtils.getInterpretedOrdering(lk.dataType)
-      TypeUtils.getInterpretedOrdering(lt.dataType)
-      AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd)
-
-    // Malformed placement MUST fail loudly: without this case the
-    // analyzer's final remove-unrecognized-hints pass would strip the
-    // hint and run the underlying plan with plain-join semantics — a
-    // silent semantic downgrade. Only fires once the child is resolved
-    // (earlier fixed-point iterations may legitimately see an
-    // unresolved child that will become a matchable join).
-    case UnresolvedHint(name, _, child)
-        if name.equalsIgnoreCase("graft_asof") && child.resolved =>
+  private def build(l: LogicalPlan, r: LogicalPlan, params: Seq[Any]): AsOfJoinPlan = {
+    val names = params.flatMap(str(_))
+    if (names.size < 4 || names.size > 7)
       throw new IllegalArgumentException(
-        "graft_asof hint must be placed directly on a condition-free " +
-          "cross/inner join (left.crossJoin(right).hint(\"graft_asof\", ...)); " +
-          s"found it over: ${child.nodeName}. Refusing to drop the hint " +
+        "graft_asof expects 4 string parameters " +
+          "(leftKey, leftTime, rightKey, rightTime) plus optional flags " +
+          s"('inner' | 'left_outer', 'backward' | 'forward', 'tol_us=N'), got $params")
+    val Seq(lkN, ltN, rkN, rtN) = names.take(4)
+    // trailing flags, any order; each dimension may be set at most once
+    var outerFlag: Option[Boolean] = None
+    var forwardFlag: Option[Boolean] = None
+    var tolUs: Option[Long] = None
+    names.drop(4).foreach { f =>
+      def set(slot: Option[Boolean], v: Boolean): Option[Boolean] = {
+        if (slot.isDefined) throw new IllegalArgumentException(
+          s"graft_asof: conflicting/duplicate flag '$f'")
+        Some(v)
+      }
+      f.toLowerCase match {
+        case "inner" => outerFlag = set(outerFlag, false)
+        case "left_outer" => outerFlag = set(outerFlag, true)
+        case "backward" => forwardFlag = set(forwardFlag, false)
+        case "forward" => forwardFlag = set(forwardFlag, true)
+        case t if t.startsWith("tol_us=") =>
+          if (tolUs.isDefined) throw new IllegalArgumentException(
+            s"graft_asof: conflicting/duplicate flag '$f'")
+          val v = try t.substring("tol_us=".length).toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft_asof: tol_us value is not a long integer: '$f'")
+          }
+          if (v < 0) throw new IllegalArgumentException(
+            s"graft_asof: tol_us must be >= 0, got $v")
+          tolUs = Some(v)
+        case other => throw new IllegalArgumentException(
+          s"graft_asof: unknown flag '$other' (expected 'inner' | " +
+            "'left_outer' | 'backward' | 'forward' | 'tol_us=N')")
+      }
+    }
+    val isOuter = outerFlag.getOrElse(false)
+    val isFwd = forwardFlag.getOrElse(false)
+    val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
+    val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
+    if (lk.dataType != rk.dataType)
+      throw new IllegalArgumentException(
+        s"graft_asof: key types differ — ${lk.dataType} vs ${rk.dataType}")
+    if (lt.dataType != rt.dataType)
+      throw new IllegalArgumentException(
+        s"graft_asof: time types differ — ${lt.dataType} vs ${rt.dataType}")
+    // orderability check: getInterpretedOrdering throws on unordered
+    // types at analysis time, not per-row at execution
+    TypeUtils.getInterpretedOrdering(lk.dataType)
+    TypeUtils.getInterpretedOrdering(lt.dataType)
+    // the tolerance is a difference bound, so it additionally needs the
+    // time type's internal representation to be an integral number
+    // (micros for timestamps, days for dates, the value itself for
+    // integer columns) — checked here, at analysis, not per-row
+    if (tolUs.isDefined) lt.dataType match {
+      case TimestampType | TimestampNTZType | DateType |
+           LongType | IntegerType | ShortType | ByteType => // ok
+      case other => throw new IllegalArgumentException(
+        "graft_asof: tol_us requires a time column with an integral " +
+          s"internal representation (timestamp, date, or integer types), got $other")
+    }
+    AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd, tolUs)
+  }
+
+  /** Descend a UNARY spine to the condition-free cross/inner join the
+    * hint governs. The DataFrame form puts the hint directly on the
+    * join; SQL text attaches a SELECT-level hint above the block's
+    * Project/Filter/Aggregate chain — same operator, so the rule walks
+    * down single-child nodes until the join (rewriting it in place:
+    * [[AsOfJoinPlan]] exposes the join's exact output attributes, so
+    * every node above stays resolved) and throws on anything else —
+    * never a silent downgrade to plain-join semantics.
+    */
+  private def rewriteUnder(node: LogicalPlan, params: Seq[Any]): LogicalPlan =
+    node match {
+      case Join(l, r, Cross | Inner, None, _) => build(l, r, params)
+      case u: UnaryNode => u.withNewChildren(Seq(rewriteUnder(u.child, params)))
+      case other => throw new IllegalArgumentException(
+        "graft_asof hint must govern a condition-free cross/inner join " +
+          "(left.crossJoin(right).hint(\"graft_asof\", ...) or SQL " +
+          "SELECT /*+ graft_asof(...) */ ... FROM l CROSS JOIN r); " +
+          s"found: ${other.nodeName}. Refusing to drop the hint " +
           "silently — the query would run with plain-join semantics.")
+    }
+
+  // Malformed placement MUST fail loudly: without the rewriteUnder
+  // throw the analyzer's final remove-unrecognized-hints pass would
+  // strip the hint and run the underlying plan with plain-join
+  // semantics — a silent semantic downgrade. Only fires once the child
+  // is resolved (earlier fixed-point iterations may legitimately see an
+  // unresolved child that will become a matchable join).
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case UnresolvedHint(name, params, child)
+        if name.equalsIgnoreCase("graft_asof") && child.resolved =>
+      rewriteUnder(child, params)
   }
 }
 
 /** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd) =>
-      AsOfJoinExec(lk, lt, rk, rt, outer, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd, tol) =>
+      AsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -178,7 +233,12 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * key at-or-before the left time. FORWARD: no buffer at all — both
   * sides ascend, so the first un-consumed right row at-or-after the
   * left time IS the match (right rows are only consumed once they can
-  * never match a later left row). Determinism contract: callers must
+  * never match a later left row). An optional TOLERANCE bounds the
+  * match gap (backward: lt - rt <= tol; forward: rt - lt <= tol) in
+  * the time column's internal units; an out-of-tolerance nearest
+  * candidate is NOT a match — it drops (inner) or null-fills (outer),
+  * which is why tolerance is an operator parameter and not a
+  * post-filter. Determinism contract: callers must
   * make the right side unique per (key, time) (b49 pre-aggregates
   * max(event_id)); with duplicates the operator keeps the last
   * (backward) / first (forward) row in (key, time) sort order, which
@@ -192,6 +252,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     isLeftOuter: Boolean,
     isForward: Boolean,
+    tolUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -234,6 +295,20 @@ case class AsOfJoinExec(
     val outer = isLeftOuter
     val forward = isForward
     val rightWidth = right.output.size
+    val hasTol = tolUs.isDefined
+    val tol = tolUs.getOrElse(0L)
+    // tolerance works on the time type's integral internal
+    // representation (micros for timestamps, days for dates, the value
+    // itself for integer columns) — the resolution rule rejects
+    // anything else at analysis, so this total function never misses
+    def rawLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case o => throw new IllegalStateException(
+        s"graft_asof tolerance on unsupported time representation: ${o.getClass}")
+    }
     lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -254,6 +329,9 @@ case class AsOfJoinExec(
         // iterator advances)
         private var candRow: InternalRow = null
         private var candKey: Any = null
+        // the candidate's time, re-evaluated from the COPIED row (same
+        // buffer-reuse hazard as candKey) — only consulted under hasTol
+        private var candTime: Any = null
 
         private def advanceRight(): Unit = {
           rRow = null
@@ -285,7 +363,8 @@ case class AsOfJoinExec(
                   advanceRight()
                   cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
                 }
-                if (rRow != null && cmp == 0) {
+                if (rRow != null && cmp == 0 &&
+                    (!hasTol || rawLong(rT) - rawLong(lt) <= tol)) {
                   numOutputRows += 1
                   ready = proj(joined(l, rRow))
                 } else if (outer) {
@@ -306,11 +385,13 @@ case class AsOfJoinExec(
                     // binary, structs) — storing it would corrupt the
                     // candidate-key guard below
                     candKey = rkB.eval(candRow)
+                    if (hasTol) candTime = rtB.eval(candRow)
                   }
                   advanceRight()
                   cmp = if (rRow == null) 1 else keyOrd.compare(rK, lk)
                 }
-                if (candRow != null && keyOrd.compare(candKey, lk) == 0) {
+                if (candRow != null && keyOrd.compare(candKey, lk) == 0 &&
+                    (!hasTol || rawLong(lt) - rawLong(candTime) <= tol)) {
                   numOutputRows += 1
                   ready = proj(joined(l, candRow))
                 } else if (outer) {

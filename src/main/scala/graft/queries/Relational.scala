@@ -1770,6 +1770,58 @@ object Relational {
       |  ON e.user_id = c.c_user_id AND e.ts <= c.c_ts
       |ORDER BY e.event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B59: native as-of join with a TOLERANCE bound — b49's backward
+  // matching restricted to "only within the last 12 hours" (pandas
+  // merge_asof(tolerance=...) / kdb wj window semantics), via the
+  // hint's 'tol_us=N' flag. For the INNER direction the semantics ARE
+  // post-filterable (the nearest prior match either is or isn't within
+  // the window), which is what makes this query DuckDB-expressible:
+  // the oracle is b49's ASOF JOIN wrapped in WHERE gap_us <= tol. The
+  // OUTER composition is NOT post-filterable (an out-of-tolerance
+  // nearest match must become a null-fill, not drop the row) — that
+  // surface is gated by AsOfJoinSpec's reference-walk cases instead.
+  // Cost profile identical to b49: same co-partitioned sort-merge, the
+  // tolerance is one long comparison per candidate.
+  // -------------------------------------------------------------------
+  private val B59TolUs = 43_200_000_000L // 12 hours
+
+  def b59AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val j = errors.crossJoin(clicks)
+      .hint("graft_asof", "user_id", "ts", "c_user_id", "c_ts", s"tol_us=$B59TolUs")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b59Sql: String =
+    s"""WITH clicks AS (
+      |  SELECT user_id AS c_user_id, ts AS c_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), errors AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      |), m AS (
+      |  SELECT e.event_id, e.user_id, c.click_id,
+      |         CAST(epoch_us(e.ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+      |  FROM errors e ASOF JOIN clicks c
+      |    ON e.user_id = c.c_user_id AND e.ts >= c.c_ts
+      |)
+      |SELECT event_id, user_id, click_id, gap_us FROM m
+      |WHERE gap_us <= $B59TolUs
+      |ORDER BY event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1820,5 +1872,6 @@ object Relational {
     ("b52_scd2_merge", b52Scd2Merge _, b52Sql),
     ("b55_asof_outer", b55AsofOuter _, b55Sql),
     ("b56_exists_not_in", b56ExistsNotIn _, b56Sql),
-    ("b58_asof_forward", b58AsofForward _, b58Sql))
+    ("b58_asof_forward", b58AsofForward _, b58Sql),
+    ("b59_asof_tolerance", b59AsofTolerance _, b59Sql))
 }

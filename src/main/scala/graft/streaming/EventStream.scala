@@ -342,9 +342,12 @@ object EventStream {
     }
   }
 
-  /** Inactivity closes over a watermarked event stream (spec-gated —
-    * the emitted set depends on micro-batch boundaries by design, so it
-    * is property-checked rather than oracled). */
+  /** Inactivity closes over a watermarked event stream. The emitted set
+    * depends on micro-batch boundaries by design, so the general surface
+    * is property-checked (EventStreamSpec); under the single-data-batch
+    * constraint the boundary dependence vanishes and b57 runs it under
+    * the DuckDB oracle gate (StreamQueries.b57StreamTimers,
+    * requireSingleDataBatch). */
   def inactivityCloses(events: DataFrame, gapMs: Long): DataFrame = {
     val s = events.sparkSession
     import s.implicits._

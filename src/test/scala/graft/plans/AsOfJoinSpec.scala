@@ -183,7 +183,7 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("a", 10L, "ra1"), Seq("a", 20L, "ra2"), Seq("b", 5L, "rb")))
     val exec = AsOfJoinExec(
       lOut.head, lOut(1), rOut.head, rOut(1), isLeftOuter = false,
-      isForward = false, leftScan, rightScan)
+      isForward = false, tolUs = None, leftScan, rightScan)
     val rows = exec.execute().collect()
     assert(rows.length == 1,
       s"expected exactly the (a, ra2) match, got ${rows.length} rows")
@@ -247,6 +247,158 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Relational.b58AsofForward(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected)
+  }
+
+  test("tolerance bounds the backward match gap; outer null-fills instead of post-filtering") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, "close"),   // nearest right is t=95: gap 5, within tol 10
+      (1L, 200L, "far"),     // nearest right is t=95: gap 105, OUT of tol
+      (2L, 50L, "exact"))    // nearest right is t=40: gap 10 == tol, inclusive
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 95L, "r95"),
+      (2L, 40L, "r40"))
+      .toDF("rk", "rt", "rtag")
+    val inner = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "tol_us=10")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("close", "r95"), ("exact", "r40")))
+    // OUTER + tolerance is the not-post-filterable case: "far"'s
+    // nearest match exists but is out of tolerance — the row must be
+    // RETAINED null-filled, which no filter over the unbounded outer
+    // join can express (that join matches "far" to r95)
+    val outer = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "left_outer", "tol_us=10")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(outer == Set(
+      ("close", Some("r95")), ("far", None), ("exact", Some("r40"))))
+  }
+
+  test("tolerance bounds the forward match gap symmetrically") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, "close"),   // next right is t=105: gap 5, within
+      (1L, 10L, "far"))      // next right is t=105: gap 95, out
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 105L, "r105")).toDF("rk", "rt", "rtag")
+    val inner = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "forward", "tol_us=10")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("close", "r105")))
+    val outer = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "forward", "left_outer", "tol_us=10")
+      .select("tag", "rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(outer == Set(("close", Some("r105")), ("far", None)))
+  }
+
+  test("b59 values equal a driver-side tolerance-bounded reference walk") {
+    val s = freshSession(extended = true)
+    val tolUs = 43_200_000_000L
+    val ev = Tables.events(s, sf)
+    val clicksByUser = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .agg(max("event_id").as("click_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = errors.flatMap { case (eid, uid, tsu) =>
+      clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+        .takeWhile(_._1 <= tsu).lastOption
+        .filter { case (cts, _) => tsu - cts <= tolUs } // tolerance gate
+        .map { case (cts, cid) => (eid, uid, cid, tsu - cts) }
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce at least one in-tolerance match")
+    assert(expected.size < errors.length,
+      "fixture must also contain out-of-tolerance nearest matches")
+    val got = Relational.b59AsofTolerance(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("SQL front door: SELECT /*+ graft_asof */ over CROSS JOIN plans the native operator") {
+    val s = freshSession(extended = true)
+    val ev = Tables.events(s, sf)
+    ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("asof_errors_v")
+    ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .createOrReplaceTempView("asof_clicks_v")
+    val df = s.sql(
+      """SELECT /*+ graft_asof('user_id', 'ts', 'c_user_id', 'c_ts') */
+        |       event_id, user_id, click_id,
+        |       unix_micros(ts) - unix_micros(c_ts) AS gap_us
+        |FROM asof_errors_v CROSS JOIN asof_clicks_v""".stripMargin)
+    df.collect() // finalize any adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // value parity with the DataFrame builder (same semantics, two doors)
+    val viaSql = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaDf = Relational.b49AsofNative(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaSql == viaDf)
+    // flags ride through SQL text the same way: outer + tolerance
+    val outer = s.sql(
+      """SELECT /*+ graft_asof('user_id', 'ts', 'c_user_id', 'c_ts',
+        |                      'left_outer', 'tol_us=43200000000') */
+        |       event_id, click_id
+        |FROM asof_errors_v CROSS JOIN asof_clicks_v""".stripMargin).collect()
+    assert(outer.length > viaSql.size, "outer must retain unmatched errors")
+    assert(outer.exists(_.isNullAt(1)), "out-of-tolerance rows must null-fill")
+    // misplaced SQL hint (no join under the SELECT) still fails loudly
+    val bad = intercept[Exception] {
+      s.sql(
+        """SELECT /*+ graft_asof('user_id', 'ts', 'user_id', 'ts') */ event_id
+          |FROM asof_errors_v""".stripMargin).queryExecution.analyzed
+    }
+    assert(bad.getMessage.contains("graft_asof"), bad.getMessage)
+  }
+
+  test("tolerance flag parse and type errors fail at analysis") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("rk", "rt")
+    val dup = intercept[Exception] {
+      l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "tol_us=1", "tol_us=2")
+        .queryExecution.analyzed
+    }
+    assert(dup.getMessage.contains("conflicting"), dup.getMessage)
+    val neg = intercept[Exception] {
+      l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "tol_us=-5")
+        .queryExecution.analyzed
+    }
+    assert(neg.getMessage.contains(">= 0"), neg.getMessage)
+    val nan = intercept[Exception] {
+      l.crossJoin(r).hint("graft_asof", "k", "t", "rk", "rt", "tol_us=abc")
+        .queryExecution.analyzed
+    }
+    assert(nan.getMessage.contains("not a long integer"), nan.getMessage)
+    // tolerance needs an integral-represented time type; string times
+    // are orderable (plain as-of works) but have no difference
+    val lStr = Seq((1L, "b")).toDF("k", "t")
+    val rStr = Seq((1L, "a")).toDF("rk", "rt")
+    val str = intercept[Exception] {
+      lStr.crossJoin(rStr).hint("graft_asof", "k", "t", "rk", "rt", "tol_us=1")
+        .queryExecution.analyzed
+    }
+    assert(str.getMessage.contains("integral"), str.getMessage)
   }
 
   test("a misplaced graft_asof hint fails at analysis instead of silently degrading") {
