@@ -91,7 +91,16 @@ object Bench {
     // query names — for probing one query's wall/stream cost at a big
     // synthetic SF without paying the full all-query sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // NATURAL (numeric-aware) name order: d2 sorts before d10, so the
+    // dedup family's shared MinHash pair relation (persisted once per
+    // session+sfDir — Dedup.sharedPairs) is paid by d2, its canonical
+    // owner, instead of by whichever name happens to sort first
+    // lexicographically (the r13 ×1000 probe billed the whole shared
+    // subtree to d10). Pure name-order change: per-query timings keep
+    // their meaning, only cache attribution moves.
+    def naturalKey(n: String): String =
+      "\\d+".r.replaceAllIn(n, m => f"${m.matched.toInt}%06d")
+    val selected = SparkEntry.queries.toSeq.sortBy(t => naturalKey(t._1))
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
 
     // Names measured under the extra-warmup median-of-7 protocol (vs

@@ -96,6 +96,23 @@ object ScaleGen {
     def parts(t: String, copies: Int): Int = math.max(1, math.min(tiles,
       math.min(32, (srcBytes(t) * copies / (8L * 1024 * 1024)).toInt)))
 
+    // tile() broadcasts the WHOLE source table (the shuffle-free fan-out
+    // depends on it); driver SFs are MBs–100 MB, well under any broadcast
+    // ceiling, but a source that outgrows the assumption must fail
+    // LOUDLY here rather than OOM the driver mid-generation. At real
+    // deployment sizes the tile loop moves into the scan (mapPartitions
+    // with a modulo-assigned tile slice) — see tile()'s scaladoc.
+    val broadcastCeiling = 1L << 30
+    def readChecked(t: String): DataFrame = {
+      val b = srcBytes(t)
+      require(b <= broadcastCeiling,
+        s"ScaleGen.tile broadcasts the whole source: $t is $b bytes " +
+          s"(> ${broadcastCeiling} ceiling) — the broadcast-cross generator " +
+          "only holds for probe-sized sources; switch to a mapPartitions " +
+          "tile slice for sources this large")
+      read(t)
+    }
+
     def write(df: DataFrame, t: String): Unit = {
       if (!onTable(t)) return // df is lazy — skipping costs nothing
       df.write.mode("overwrite")
@@ -131,23 +148,23 @@ object ScaleGen {
     write(read("nation"), "nation")
 
     // tiled relational entities — FKs offset in lockstep
-    write(tile(read("customer"), Seq("c_custkey"), parts("customer", tiles))
+    write(tile(readChecked("customer"), Seq("c_custkey"), parts("customer", tiles))
       .drop("tile"), "customer")
-    write(tile(read("supplier"), Seq("s_suppkey"), parts("supplier", tiles))
+    write(tile(readChecked("supplier"), Seq("s_suppkey"), parts("supplier", tiles))
       .drop("tile"), "supplier")
-    write(tile(read("part"), Seq("p_partkey"), parts("part", tiles))
+    write(tile(readChecked("part"), Seq("p_partkey"), parts("part", tiles))
       .drop("tile"), "part")
-    write(tile(read("orders"), Seq("o_orderkey", "o_custkey"), parts("orders", tiles))
+    write(tile(readChecked("orders"), Seq("o_orderkey", "o_custkey"), parts("orders", tiles))
       .drop("tile"), "orders")
-    write(tile(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    write(tile(readChecked("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"),
       parts("lineitem", tiles)).drop("tile"), "lineitem")
-    write(tile(read("events"), Seq("event_id", "user_id"), parts("events", tiles))
+    write(tile(readChecked("events"), Seq("event_id", "user_id"), parts("events", tiles))
       .drop("tile"), "events")
 
     // documents: tiled text is unique per tile EXCEPT the planted
     // doc_id % 100 == 0 clusters (10 exact copies each); n_chars is
     // recomputed so the length invariant survives the suffix
-    val docs = tile(read("documents"), Seq.empty, parts("documents", tiles))
+    val docs = tile(readChecked("documents"), Seq.empty, parts("documents", tiles))
       .withColumn("text",
         when(col("tile") === 0 || col("doc_id") % 100 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" tile"), col("tile"))))
@@ -176,7 +193,7 @@ object ScaleGen {
     val flipped = when(grp === 0, rotated).otherwise(
       transform(rotated, (x, i) =>
         when(pmod(hash(i, grp), lit(2)) === 1, -x).otherwise(x)))
-    val emb = tile(read("embeddings"), Seq.empty, parts("embeddings", tiles))
+    val emb = tile(readChecked("embeddings"), Seq.empty, parts("embeddings", tiles))
       .withColumn("embedding",
         when(col("tile") === 0 || col("vec_id") % 100 === 0, col("embedding"))
           .otherwise(flipped))
@@ -186,6 +203,6 @@ object ScaleGen {
     write(emb, "embeddings")
     }
 
-    println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src","tables":"$tablesRe"}""")
+    println(s"""{"scalegen":"$out","tiles":$tiles,"src":"$src","tables":"$tablesRe","layout":"tile-contiguous-v2","note":"since r13: shuffle-free broadcast-cross fan-out writes tile-contiguous files with tight per-file key min/max (row-group pruning differs from the pre-r13 shuffled layout; key-selective probe timings are not comparable across that boundary)"}""")
   }
 }

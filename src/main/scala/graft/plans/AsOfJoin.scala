@@ -216,11 +216,25 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   }
 }
 
-/** Planner strategy for [[AsOfJoinPlan]] → [[AsOfJoinExec]]. */
+/** Planner strategy for [[AsOfJoinPlan]]: [[BroadcastAsOfJoinExec]]
+  * when the right side is dim-sized (logical stats under the session's
+  * autoBroadcastJoinThreshold — the exact trade Spark's planner makes
+  * for BroadcastHashJoin: ship the sorted dim to every left partition
+  * and binary-search per row, instead of shuffling AND sorting the
+  * fact table), [[AsOfJoinExec]] (co-partitioned sort-merge)
+  * otherwise. Threshold -1 disables the broadcast pick, same knob as
+  * the built-in joins. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd, tol) =>
-      AsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol, planLater(l), planLater(r)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -422,5 +436,163 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of join — the dim-sized-right-side variant. The whole
+  * right side ships once to every executor (IdentityBroadcastMode, the
+  * same physics as BroadcastNestedLoopJoin's build side) and each task
+  * builds a per-key time-sorted index from it; the LEFT side is
+  * consumed completely unconstrained — no shuffle, no sort, not even a
+  * required ordering — with one ordered-map lookup + binary search per
+  * row. At 100 TB this is the as-of analogue of BroadcastHashJoin:
+  * "latest FX rate / price / config at event time" joins a petabyte
+  * fact table against a megabyte dim without moving the fact table at
+  * all, where the sort-merge form would shuffle AND sort every fact
+  * row. Semantics are identical to [[AsOfJoinExec]] — backward/forward,
+  * inner/left-outer, tolerance, null keys/times never match — and the
+  * per-key index is a TreeMap under the SAME interpreted ordering the
+  * sort-merge form sorts by, so every orderable key type behaves
+  * identically across the two physical plans (no reliance on
+  * hashCode/equals of exotic key types).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression,
+    leftTime: Expression,
+    rightKey: Expression,
+    rightTime: Expression,
+    isLeftOuter: Boolean,
+    isForward: Boolean,
+    tolUs: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  // the fact side flows through untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val outAttrs = output
+    val outer = isLeftOuter
+    val forward = isForward
+    val hasTol = tolUs.isDefined
+    val tol = tolUs.getOrElse(0L)
+    val rightWidth = right.output.size
+    def rawLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case o => throw new IllegalStateException(
+        s"graft_asof tolerance on unsupported time representation: ${o.getClass}")
+    }
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      // per-task index build from the broadcast: key → (times asc,
+      // rows aligned). K log K once per task — the price of skipping
+      // the fact-side shuffle+sort entirely; the broadcast planner
+      // gate keeps K dim-sized. Ties on (key, time) keep broadcast
+      // array order (same "undefined under duplicates" caveat as the
+      // sort-merge form).
+      val byKey = new java.util.TreeMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]](
+        keyOrd.asInstanceOf[java.util.Comparator[Any]])
+      broadcastRows.value.foreach { r =>
+        val k = rkB.eval(r)
+        val t = rtB.eval(r)
+        if (k != null && t != null) {
+          var buf = byKey.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
+            byKey.put(k, buf)
+          }
+          buf.append((t, r))
+        }
+      }
+      val index = new java.util.TreeMap[Any, (Array[Any], Array[InternalRow])](
+        keyOrd.asInstanceOf[java.util.Comparator[Any]])
+      byKey.forEach { (k, buf) =>
+        val sorted = buf.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0)
+        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
+
+      // binary search: greatest index with times(i) <= t (backward) /
+      // least index with times(i) >= t (forward); -1 if none
+      def lastLeq(times: Array[Any], t: Any): Int = {
+        var lo = 0; var hi = times.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tsOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        ans
+      }
+      def firstGeq(times: Array[Any], t: Any): Int = {
+        var lo = 0; var hi = times.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (tsOrd.compare(times(mid), t) >= 0) { ans = mid; hi = mid - 1 }
+          else lo = mid + 1
+        }
+        ans
+      }
+
+      lIter.flatMap { l =>
+        val lk = lkB.eval(l)
+        val lt = ltB.eval(l)
+        var matched: InternalRow = null
+        if (lk != null && lt != null) {
+          val entry = index.get(lk)
+          if (entry != null) {
+            val (times, rows) = entry
+            val i = if (forward) firstGeq(times, lt) else lastLeq(times, lt)
+            if (i >= 0) {
+              val inTol = !hasTol || {
+                val gap = if (forward) rawLong(times(i)) - rawLong(lt)
+                          else rawLong(lt) - rawLong(times(i))
+                gap <= tol
+              }
+              if (inTol) matched = rows(i)
+            }
+          }
+        }
+        if (matched != null) {
+          numOutputRows += 1
+          Iterator.single(proj(joined(l, matched)))
+        } else if (outer) {
+          numOutputRows += 1
+          Iterator.single(proj(joined(l, nullRight)))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }

@@ -461,33 +461,34 @@ object Similarity {
   // -------------------------------------------------------------------
   private val D8ClusterCap = 64
 
-  /** (cid, da, db): capped within-cluster candidate pairs, da < db,
-    * for any centroid-selection predicate over vec_id. */
-  private def cellCandidates(emb: DataFrame, centPred: Column): DataFrame = {
-    // entry point in its own right (ScaleSpec drives it directly), so it
-    // must register the native cosine itself, not rely on its caller
+  /** FLAT nearest-centroid assignment (vec_id → cid) against a
+    * broadcast codebook, as a one-pass HASH argmax, not a window: the
+    * corpus×codebook product is |n|·K rows (2B at the ×100 probe with
+    * d8b's fraction codebook). A row_number window ships all of it
+    * through a shuffle into per-partition sorts, and max_by over a
+    * struct ordering key falls back to SORT-based aggregation — both
+    * OOMed 8 GB at 32-way concurrency sorting rows where the answer
+    * needs |n| 16-byte buffers. The typed argmax aggregator (see
+    * [[graft.functions.ArgMaxAgg]]) runs on ObjectHashAggregate with
+    * map-side partials, so the product streams inside the scan stage
+    * and only |n| buffers shuffle; the oracle's `ORDER BY csim DESC,
+    * cid ASC` tie-break is the aggregator's own total order. */
+  private[queries] def flatAssign(emb: DataFrame, centPred: Column): DataFrame = {
     ensureCosine(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = e.filter(centPred)
       .select(col("vec_id").as("cid"), col("e").as("cv"))
-    // nearest-centroid assignment as a one-pass HASH argmax, not a
-    // window: the corpus×codebook product is |n|·K rows (2B at the
-    // ×100 probe with d8b's fraction codebook). A row_number window
-    // ships all of it through a shuffle into per-partition sorts, and
-    // max_by over a struct ordering key falls back to SORT-based
-    // aggregation — both OOMed 8 GB at 32-way concurrency sorting rows
-    // where the answer needs |n| 16-byte buffers. The typed argmax
-    // aggregator (see [[graft.functions.ArgMaxAgg]]) runs on
-    // ObjectHashAggregate with map-side partials, so the product
-    // streams inside the scan stage and only |n| buffers shuffle; the
-    // oracle's `ORDER BY csim DESC, cid ASC` tie-break is the
-    // aggregator's own total order.
     val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
       .groupBy("vec_id")
       .agg(nearest(col("csim"), col("cid")).as("cid"))
       .select("vec_id", "cid")
+  }
+
+  /** Cap-bounded within-cell pairs (cid, da, db), da < db, from any
+    * (vec_id, cid) assignment. */
+  private def boundedPairs(assign: DataFrame): DataFrame = {
     val small = assign.groupBy("cid")
       .agg(count(lit(1)).as("cn")).filter(col("cn") <= D8ClusterCap)
       .select("cid")
@@ -498,19 +499,134 @@ object Similarity {
         col("a.vec_id").as("da"), col("b.vec_id").as("db"))
   }
 
+  /** (cid, da, db): capped within-cluster candidate pairs, da < db,
+    * for any centroid-selection predicate over vec_id (flat assignment;
+    * ScaleSpec drives this directly). */
+  private def cellCandidates(emb: DataFrame, centPred: Column): DataFrame =
+    boundedPairs(flatAssign(emb, centPred))
+
   private[queries] def d8Candidates(emb: DataFrame): DataFrame =
     cellCandidates(emb, col("vec_id") >= 100 && col("vec_id") < 132)
 
-  /** D8b's codebook: a fixed corpus FRACTION (5%) instead of d8's fixed
-    * 32 seeds, so K grows with n and expected cell size stays ~20 at
-    * every SF — the scale recipe the d8 scaladoc prescribes, as code.
-    * (At the 10× probe d8's fixed codebook puts ~640 members in every
-    * cell, all above the 64 cap, and correctly verifies nothing; d8b
-    * keeps verifying.) Planted dup decades can never be centroids
-    * (id ≡ 10 mod 20 excludes id ≡ 0 mod 100), and identical vectors
-    * always share a cell (identical csim + cid tie-break). */
+  /** d8's 32 fixed seed centroids, reused as d8b's COARSE quantizer. */
+  private val d8SeedPred: Column = col("vec_id") >= 100 && col("vec_id") < 132
+
+  /** D8b's codebook predicate: a fixed corpus FRACTION (5%) instead of
+    * d8's fixed 32 seeds, so K grows with n and expected cell size
+    * stays ~20 at every SF — the scale recipe the d8 scaladoc
+    * prescribes, as code. (At the 10× probe d8's fixed codebook puts
+    * ~640 members in every cell, all above the 64 cap, and correctly
+    * verifies nothing; d8b keeps verifying.) Planted dup decades can
+    * never be centroids (id ≡ 10 mod 20 excludes id ≡ 0 mod 100), and
+    * identical vectors always share a cell (identical csim + cid
+    * tie-break). */
+  private val d8bCentPred: Column = col("vec_id") % 20 === 10
+
+  /** The FLAT assignment form of d8b — n·K cosines against a broadcast
+    * of the whole fraction codebook. Quadratic by design once K = 5%·n
+    * (O(n²·0.05) compute, O(n) broadcast: 5×10¹² cosines and a 256 MB
+    * broadcast at the ×1000 probe), so the query only uses it BELOW
+    * [[D8bFlatCutoff]], where n·K is linear in n and exhaustive recall
+    * is free; also the exact-recall reference the SimilaritySpec
+    * parity gates compare the two-level plan against. */
+  private[queries] def d8bCandidatesFlat(emb: DataFrame): DataFrame =
+    cellCandidates(emb, d8bCentPred)
+
+  /** Two-level (coarse-then-cell) assignment for a codebook that GROWS
+    * with the corpus — the scale-safe replacement for the flat
+    * crossJoin(broadcast(codebook)) argmin:
+    *
+    *  1. coarse-assign the K=5%·n centroids to d8's 32 FIXED seeds
+    *     (K×32 cosines, one tiny broadcast);
+    *  2. coarse-assign every vector the same way (n×32 cosines);
+    *  3. fine-assign each vector by argmax ONLY among its coarse
+    *     cell's ~K/32 centroids, via an equi-join on the cell id —
+    *     n·(32 + K/32) cosines total and no corpus-sized broadcast,
+    *     vs the flat form's n·K.
+    *
+    * The centroid/vector arrays ride through the coarse argmax as
+    * first() (values are group-constant), so the fine stage needs no
+    * join-back to the corpus: one corpus-wide shuffle for the coarse
+    * aggregate, one 32-key shuffle for the cell join. The standard
+    * IVF nprobe=1 recall trade applies: a vector whose true-nearest
+    * centroid coarse-assigns to a DIFFERENT seed cell gets its
+    * within-cell best instead (and a vector in a centroid-free cell
+    * drops) — bit-identical on both engines because the oracle SQL
+    * makes the same two-level walk, and pair-recall parity with the
+    * flat form at the driver SFs is spec-gated. Identical vectors
+    * still always share a cell (identical ss/csim, same tie-breaks),
+    * so planted near-dup recall survives by construction. */
+  private[queries] def twoLevelAssign(emb: DataFrame, centPred: Column,
+      seedPred: Column): DataFrame = {
+    ensureCosine(emb.sparkSession)
+    val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seeds = e.filter(seedPred)
+      .select(col("vec_id").as("sid"), col("e").as("sv"))
+    val cents = e.filter(centPred)
+      .select(col("vec_id").as("cid"), col("e").as("cv"))
+    val centCoarse = cents.crossJoin(broadcast(seeds))
+      .select(col("cid"), col("cv"), col("sid"), cosine(col("cv"), col("sv")).as("ss"))
+      .groupBy("cid")
+      .agg(nearest(col("ss"), col("sid")).as("sid"), first(col("cv")).as("cv"))
+    val vecCoarse = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("e"), col("sid"), cosine(col("e"), col("sv")).as("ss"))
+      .groupBy("vec_id")
+      .agg(nearest(col("ss"), col("sid")).as("sid"), first(col("e")).as("e"))
+    vecCoarse.join(centCoarse, "sid")
+      .select(col("vec_id"), col("cid"), cosine(col("e"), col("cv")).as("csim"))
+      .groupBy("vec_id")
+      .agg(nearest(col("csim"), col("cid")).as("cid"))
+      .select("vec_id", "cid")
+  }
+
+  /** Coarse (seed-cell) assignment of every `pred` vector — exposed for
+    * the SimilaritySpec faithfulness gate, same argmax/tie-break as the
+    * stages inside [[twoLevelAssign]]. */
+  private[queries] def seedCoarseAssign(emb: DataFrame, pred: Column,
+      seedPred: Column): DataFrame = {
+    ensureCosine(emb.sparkSession)
+    val nearest = org.apache.spark.sql.functions.udaf(graft.functions.ArgMaxAgg)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val seeds = e.filter(seedPred)
+      .select(col("vec_id").as("sid"), col("e").as("sv"))
+    e.filter(pred).crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"), cosine(col("e"), col("sv")).as("ss"))
+      .groupBy("vec_id")
+      .agg(nearest(col("ss"), col("sid")).as("sid"))
+      .select("vec_id", "sid")
+  }
+
+  /** Flat↔two-level switchover: below this codebook size the FLAT
+    * assignment is the right plan (n·K compute is LINEAR in n for
+    * bounded K, the broadcast is KBs, and exhaustive argmax has exact
+    * recall); above it the fraction codebook has outgrown both the
+    * broadcast and the compute budget and the two-level walk takes
+    * over (its coarse cells then hold K/32 > 16 centroids each, so
+    * the small-K cell-skew that bloats fine cells past the 64 cap —
+    * the defect the SimilaritySpec planted fixture would catch — has
+    * concentrated away). Same shape as every production IVF index:
+    * brute force under a cutoff, inverted lists above it. */
+  private val D8bFlatCutoff = 512L
+
+  /** d8b's assignment, plan-selected by codebook size. The count() is
+    * a plan-time scalar over one column-pruned scan (the codebook
+    * predicate on vec_id) — the cardinality that DECIDES the plan
+    * shape, not a data collect; at ×1000 it is a ~1 s metadata-light
+    * pass before a multi-minute assignment. */
+  private[queries] def d8bAssign(emb: DataFrame): DataFrame = {
+    val k = emb.filter(d8bCentPred).select("vec_id").count()
+    if (k <= D8bFlatCutoff) flatAssign(emb, d8bCentPred)
+    else twoLevelAssign(emb, d8bCentPred, d8SeedPred)
+  }
+
   private[queries] def d8bCandidates(emb: DataFrame): DataFrame =
-    cellCandidates(emb, col("vec_id") % 20 === 10)
+    boundedPairs(d8bAssign(emb))
+
+  /** Two-level candidates unconditionally (spec-only: exercises the
+    * above-cutoff plan on fixtures of any size). */
+  private[queries] def d8bCandidatesTwoLevel(emb: DataFrame): DataFrame =
+    boundedPairs(twoLevelAssign(emb, d8bCentPred, d8SeedPred))
 
   private def cellVerify(s: SparkSession, d: String,
       cand: DataFrame => DataFrame): DataFrame = {
@@ -530,6 +646,11 @@ object Similarity {
 
   def d8bScaledCodebook(s: SparkSession, d: String): DataFrame =
     cellVerify(s, d, d8bCandidates)
+
+  /** Flat-assignment d8b, spec-only: the recall-parity reference for
+    * [[d8bScaledCodebook]]'s two-level plan (see SimilaritySpec). */
+  private[queries] def d8bScaledCodebookFlat(s: SparkSession, d: String): DataFrame =
+    cellVerify(s, d, d8bCandidatesFlat)
 
   val d8Sql: String =
     s"""WITH ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
@@ -554,23 +675,67 @@ object Similarity {
       |SELECT cid, da, db, sim FROM sims WHERE sim >= 0.4
       |ORDER BY da, db""".stripMargin
 
-  /** d8Sql with the fraction codebook, in the list form throughout —
-    * the ex⋈cents assignment shape would materialize |ex|·K rows
-    * (1.3B at the 10× probe with its ~1k centroids). */
+  /** d8Sql with the fraction codebook and the SAME plan switch as the
+    * engine, in the list form throughout: both branches are in the
+    * text, each gated by the codebook-cardinality scalar, so whichever
+    * branch the engine picks the oracle picks too. Below the cutoff
+    * the flat branch runs (the two-level CTEs evaluate against a
+    * false gate and stay empty); above it the flat cross join is the
+    * gated-off one — the quadratic |vecs|·K product never
+    * materializes on either engine at scale. */
   val d8bSql: String =
     s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |             FROM embeddings),
+      |seeds AS (SELECT vec_id AS sid, v AS sv FROM vecs WHERE vec_id >= 100 AND vec_id < 132),
       |cents AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 20 = 10),
-      |asg_sims AS (
+      |kk AS (SELECT count(*) AS k FROM cents),
+      |flat_sims AS (
       |  SELECT e.vec_id, c.cid,
       |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
       |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
       |                       * SQRT(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS DOUBLE) AS csim
-      |  FROM vecs e CROSS JOIN cents c),
-      |assign AS (SELECT vec_id, cid FROM (
+      |  FROM vecs e CROSS JOIN cents c
+      |  WHERE (SELECT k FROM kk) <= $D8bFlatCutoff),
+      |flat_assign AS (SELECT vec_id, cid FROM (
       |             SELECT vec_id, cid,
       |                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
-      |             FROM asg_sims) WHERE rn = 1),
+      |             FROM flat_sims) WHERE rn = 1),
+      |vc_sims AS (
+      |  SELECT e.vec_id, s.sid,
+      |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * s.sv[i]))
+      |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+      |                       * SQRT(list_sum(list_transform(s.sv, x -> x * x)))), 6) AS DOUBLE) AS ss
+      |  FROM vecs e CROSS JOIN seeds s
+      |  WHERE (SELECT k FROM kk) > $D8bFlatCutoff),
+      |vcoarse AS (SELECT vec_id, sid FROM (
+      |              SELECT vec_id, sid,
+      |                     row_number() OVER (PARTITION BY vec_id ORDER BY ss DESC, sid ASC) AS rn
+      |              FROM vc_sims) WHERE rn = 1),
+      |cc_sims AS (
+      |  SELECT c.cid, s.sid,
+      |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i]))
+      |                    / (SQRT(list_sum(list_transform(c.cv, x -> x * x)))
+      |                       * SQRT(list_sum(list_transform(s.sv, x -> x * x)))), 6) AS DOUBLE) AS ss
+      |  FROM cents c CROSS JOIN seeds s
+      |  WHERE (SELECT k FROM kk) > $D8bFlatCutoff),
+      |ccoarse AS (SELECT cid, sid FROM (
+      |              SELECT cid, sid,
+      |                     row_number() OVER (PARTITION BY cid ORDER BY ss DESC, sid ASC) AS rn
+      |              FROM cc_sims) WHERE rn = 1),
+      |two_sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
+      |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+      |                       * SQRT(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS DOUBLE) AS csim
+      |  FROM vecs e JOIN vcoarse vc ON vc.vec_id = e.vec_id
+      |       JOIN ccoarse cc ON cc.sid = vc.sid
+      |       JOIN cents c ON c.cid = cc.cid),
+      |two_assign AS (SELECT vec_id, cid FROM (
+      |             SELECT vec_id, cid,
+      |                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |             FROM two_sims) WHERE rn = 1),
+      |assign AS (SELECT vec_id, cid FROM flat_assign
+      |           UNION ALL SELECT vec_id, cid FROM two_assign),
       |small AS (SELECT cid FROM assign GROUP BY cid HAVING COUNT(*) <= $D8ClusterCap),
       |bounded AS (SELECT a.vec_id, a.cid FROM assign a JOIN small USING (cid)),
       |pairs AS (SELECT a.cid, a.vec_id AS da, b.vec_id AS db

@@ -212,14 +212,16 @@ object StreamQueries {
     * single data batch arms one timer per user at last_ms + gap; the
     * engine then runs a timer batch at the final watermark
     * (max event-time ms − 1000, the 1-second delay in
-    * inactivityCloses), firing exactly the timers strictly below it.
-    * That firing rule is batch-expressible, so DuckDB computes the
-    * identical close set: users whose last event is more than
-    * gap + delay before the stream's end, each closing at
-    * (last_ms + gap) ms. At both driver SFs the predicate genuinely
-    * discriminates (some users' last events hug the global max and
-    * stay OPEN), so the oracle pins the firing threshold, not just
-    * row plumbing. */
+    * inactivityCloses), firing exactly the timers AT or below it —
+    * expiry == watermark fires (INCLUSIVE, pinned by the
+    * EventStreamSpec boundary fixture, where an exactly-at-watermark
+    * timer fires and a wm+1ms timer stays open). That firing rule is
+    * batch-expressible, so DuckDB computes the identical close set:
+    * users whose last event is at least gap + delay before the
+    * stream's end, each closing at (last_ms + gap) ms. At both driver
+    * SFs the predicate genuinely discriminates (some users' last
+    * events hug the global max and stay OPEN), so the oracle pins the
+    * firing threshold, not just row plumbing. */
   private val b57GapMs = 30L * 60 * 1000
 
   def b57StreamTimers(s: SparkSession, d: String): DataFrame =
@@ -233,7 +235,7 @@ object StreamQueries {
        |            FROM events GROUP BY user_id),
        |     w AS (SELECT max(epoch_ms(ts)) - 1000 AS wm FROM events)
        |SELECT user_id, (last_ms + $b57GapMs) * 1000 AS close_ts_us
-       |FROM ls, w WHERE last_ms + $b57GapMs < wm
+       |FROM ls, w WHERE last_ms + $b57GapMs <= wm
        |ORDER BY user_id""".stripMargin
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(

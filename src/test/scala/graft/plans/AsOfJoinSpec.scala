@@ -370,6 +370,77 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("graft_asof"), bad.getMessage)
   }
 
+  test("dim-sized right side plans the broadcast as-of variant, value-equal to sort-merge") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some(100L), "a"), (Some(1L), Some(50L), "e"),
+      (Some(2L), Some(50L), "d"), (Some(3L), Some(7L), "x"),
+      (None: Option[Long], Some(5L), "n"), (Some(1L), None: Option[Long], "m"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(95L), "r95"), (Some(1L), Some(40L), "r40"),
+      (Some(2L), Some(60L), "r60"), (None: Option[Long], Some(1L), "rn"),
+      (Some(2L), None: Option[Long], "rm"))
+      .toDF("rk", "rt", "rtag")
+    def run(flags: String*) = {
+      val j = left.crossJoin(right)
+        .hint("graft_asof", Seq("k", "t", "rk", "rt") ++ flags: _*)
+      j.select("tag", "rtag").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq ->
+        j.queryExecution.executedPlan.toString
+    }
+    val combos = Seq(
+      Seq.empty[String], Seq("left_outer"), Seq("forward"),
+      Seq("forward", "left_outer"), Seq("tol_us=10"),
+      Seq("left_outer", "tol_us=10"), Seq("forward", "tol_us=10"),
+      Seq("forward", "left_outer", "tol_us=10"))
+    // default threshold: the tiny local right side sits far under it →
+    // the planner must pick the broadcast variant (fact side untouched)
+    val viaBroadcast = combos.map { f =>
+      val (rows, plan) = run(f: _*)
+      assert(plan.contains("BroadcastAsOfJoin"),
+        s"flags $f did not plan the broadcast variant:\n$plan")
+      rows
+    }
+    // threshold -1 (the standard Spark disable knob) restores the
+    // co-partitioned sort-merge exec
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val viaSortMerge = try combos.map { f =>
+      val (rows, plan) = run(f: _*)
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"),
+        s"flags $f did not fall back to sort-merge:\n$plan")
+      rows
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the two physical plans are the SAME operator: value parity on
+    // every direction/outer/tolerance combination, including null
+    // keys/times on both sides
+    combos.indices.foreach { i =>
+      assert(viaBroadcast(i) == viaSortMerge(i),
+        s"broadcast vs sort-merge divergence for flags ${combos(i)}: " +
+          s"${viaBroadcast(i)} vs ${viaSortMerge(i)}")
+    }
+    // spot-check one semantic against first principles: backward
+    // inner with tol 10 — 'a' matches r95 (gap 5), 'e' has nearest
+    // r40 (gap 10, inclusive), 'd' nearest is r60 but 60 > 50 so no
+    // backward match, nulls never match
+    assert(viaBroadcast(4) ==
+      Seq[(String, Option[String])](("a", Some("r95")), ("e", Some("r40"))).sorted)
+  }
+
+  test("b49 under the broadcast-eligible threshold keeps its values (oracle unchanged)") {
+    val s = freshSession(extended = true)
+    // the sf0.001 clicks aggregate is small; whatever the stats
+    // estimate decides, the two physical plans must agree with the
+    // reference values — run b49 with broadcast enabled wide open and
+    // with it disabled, and require identical results
+    val wide = Relational.b49AsofNative(s, sf).collect().map(_.toString).sorted
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val smj = try Relational.b49AsofNative(s, sf).collect().map(_.toString).sorted
+    finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(wide.sameElements(smj), "b49 values depend on the physical as-of plan")
+  }
+
   test("tolerance flag parse and type errors fail at analysis") {
     val s = freshSession(extended = true)
     import s.implicits._

@@ -246,6 +246,140 @@ class SimilaritySpec extends AnyFunSuite {
       s"fraction codebook must recover every planted pair (got ${d8bFound.size}/${wantPairs.size})")
     assert(d8Found.size < wantPairs.size,
       s"fixed codebook should lose planted pairs to cap saturation at this n (found all ${d8Found.size})")
+    // below the flat↔two-level cutoff (K = 205 <= 512 here) the query
+    // takes the exhaustive flat branch, so recall parity with the flat
+    // reference is exact by construction — the two-level plan's own
+    // parity contract is gated by the tests below
+    val flatFound = plantedPairs(Similarity.d8bScaledCodebookFlat(spark, sfDir).collect())
+    assert(flatFound == wantPairs, "flat reference lost planted pairs — fixture broke")
+    assert(d8bFound == flatFound,
+      "below the cutoff d8b must BE the flat assignment")
+  }
+
+  test("d8b plan switch: flat below the codebook cutoff, two-level above it") {
+    import spark.implicits._
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    def corpus(nDistinct: Int): org.apache.spark.sql.DataFrame =
+      (0 until nDistinct).map(i => (i.toLong, Array.tabulate(64)(j => h(i, j))))
+        .toDF("vec_id", "embedding")
+    // K = n/20: below the 512 cutoff at n=4096 (K=205), above at
+    // n=16384 (K=820)
+    val small = corpus(4096)
+    val big = corpus(16384)
+    def assigns(df: org.apache.spark.sql.DataFrame) = Seq(
+      Similarity.d8bAssign(df),
+      Similarity.flatAssign(df, col("vec_id") % 20 === 10),
+      Similarity.twoLevelAssign(df, col("vec_id") % 20 === 10,
+        col("vec_id") >= 100 && col("vec_id") < 132))
+      .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val Seq(smallSel, smallFlat, smallTwo) = assigns(small)
+    assert(smallSel == smallFlat, "below the cutoff d8bAssign must be the flat plan")
+    val Seq(bigSel, bigFlat, bigTwo) = assigns(big)
+    assert(bigSel == bigTwo, "above the cutoff d8bAssign must be the two-level plan")
+    // the switch is observable: on a near-orthogonal corpus the two
+    // assignments genuinely differ, so the equalities above pin WHICH
+    // plan ran, not a vacuous coincidence
+    assert(smallFlat != smallTwo && bigFlat != bigTwo,
+      "fixture degenerated: flat and two-level coincide, switch untestable")
+  }
+
+  test("d8b two-level recall losses are capping, never planted-pair scatter") {
+    import spark.implicits._
+    // The two-level contract on TRUE duplicates: identical vectors
+    // coarse- and fine-assign identically (same cosines, same
+    // tie-breaks), so a planted decade is never SPLIT across cells by
+    // the two-level walk — any planted pair it loses vs the flat
+    // reference must be a whole decade dropped by the 64-member cell
+    // cap (the same failure mode the flat form has, just at different
+    // cells), never a scattered decade.
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    val distinct = (0 until 4096).map { i =>
+      (i.toLong, Array.tabulate(64)(j => h(i, j)))
+    }
+    val dist = distinct.toMap
+    val planted = distinct.filter(_._1 % 160 == 0).flatMap { case (id, v) =>
+      (1 to 9).map(k => (100000L + id * 16 + k, v))
+    }
+    val emb = (distinct ++ planted).toDF("vec_id", "embedding")
+    val two = Similarity.twoLevelAssign(emb, col("vec_id") % 20 === 10,
+        col("vec_id") >= 100 && col("vec_id") < 132).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fams = distinct.map(_._1).filter(_ % 160 == 0).map { base =>
+      base +: (1 to 9).map(k => 100000L + base * 16 + k)
+    }
+    // never scattered: every decade sits in AT MOST one two-level cell
+    // (zero only for the centroid-free-coarse-cell drop, same for all
+    // ten identical members)
+    fams.foreach { fam =>
+      val cells = fam.flatMap(two.get).distinct
+      assert(cells.size <= 1,
+        s"planted decade at ${fam.head} scattered across cells $cells")
+      assert(fam.flatMap(two.get).size % fam.size == 0,
+        s"planted decade at ${fam.head} only partially assigned")
+    }
+    // capping is the ONLY loss mode: a decade is recovered by the
+    // two-level candidates iff it is assigned and its cell is within
+    // the cap
+    val cellSizes = two.values.groupBy(identity).view.mapValues(_.size).toMap
+    val expect = fams.filter(f => two.contains(f.head) && cellSizes(two(f.head)) <= 64)
+      .flatMap(f => for (a <- f; b <- f if a < b) yield (a, b)).toSet
+    val cand = Similarity.d8bCandidatesTwoLevel(emb).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val plantedCand = cand.filter { case (a, b) =>
+      val va = if (a >= 100000L) dist(((a - 100000L) / 16)) else dist(a)
+      val vb = if (b >= 100000L) dist(((b - 100000L) / 16)) else dist(b)
+      va.sameElements(vb)
+    }
+    assert(plantedCand == expect,
+      s"capping attribution failed: ${plantedCand.size} planted candidate " +
+        s"pairs vs ${expect.size} under-cap expected")
+  }
+
+  test("d8b two-level assignment equals the flat assignment exactly on the coarse-faithful subset") {
+    // The nprobe=1 contract, as an exact invariant rather than a
+    // recall estimate: a vector's two-level assignment differs from
+    // its flat (global-argmax) assignment IF AND ONLY IF its flat
+    // nearest centroid coarse-assigns to a DIFFERENT seed cell than
+    // the vector itself. On the faithful subset the assignments must
+    // be bit-identical — any divergence there is a bug in the
+    // two-level plumbing (wrong join, wrong tie-break), not the known
+    // recall trade. Driver-SF embeddings are near-orthogonal noise, so
+    // the faithful fraction is small here (~15–20%) while real
+    // clustered corpora sit near 1 — the planted-corpus test above
+    // covers that regime.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      val seedPred = col("vec_id") >= 100 && col("vec_id") < 132
+      val centPred = col("vec_id") % 20 === 10
+      val flat = Similarity.flatAssign(emb, centPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = Similarity.twoLevelAssign(emb, centPred, seedPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val vCoarse = Similarity.seedCoarseAssign(emb, lit(true), seedPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cCoarse = Similarity.seedCoarseAssign(emb, centPred, seedPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val faithful = flat.keySet.filter(v => cCoarse(flat(v)) == vCoarse(v))
+      assert(faithful.nonEmpty, s"$d: degenerate fixture — no faithful vectors")
+      faithful.foreach { v =>
+        assert(two.get(v).contains(flat(v)),
+          s"$d: vec $v is coarse-faithful but two-level gave ${two.get(v)} " +
+            s"!= flat ${flat(v)}")
+      }
+      // and the converse: agreement ONLY happens through faithfulness
+      // (an unfaithful vector's flat centroid is outside its cell, so
+      // the within-cell argmax cannot return it)
+      flat.keySet.filterNot(faithful).foreach { v =>
+        assert(!two.get(v).contains(flat(v)),
+          s"$d: vec $v agrees with flat despite an unfaithful coarse cell")
+      }
+    }
   }
 
   test("s6: a constant vector quantizes to q=0 with zero error, not NaN") {

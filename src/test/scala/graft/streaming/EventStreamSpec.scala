@@ -364,4 +364,62 @@ class EventStreamSpec extends AnyFunSuite {
         s"user $u's final inactivity close missing or misplaced")
     }
   }
+
+  test("timer firing at the exact watermark boundary matches b57's inclusive oracle rule") {
+    // b57's oracle originally encoded STRICTLY-BELOW firing
+    // (last_ms + gap < wm); this fixture proved the engine's
+    // event-time timer expiry is INCLUSIVE (a timer at expiry == wm
+    // fires, one at wm+1ms stays open), so the oracle now reads
+    // last_ms + gap <= wm and this test pins the boundary on both
+    // sides — if a Spark upgrade ever flips expiry to exclusive, this
+    // fails before the driver's oracle gate does.
+    import org.apache.spark.sql.functions.col
+    StateBackend.enableRocksDb(spark)
+    val gapMs = 30L * 60 * 1000
+    val delayMs = 1000L // the 1-second watermark delay in inactivityCloses
+    val tMax = 1_700_000_000_000L // fixture epoch ms; wm = tMax - delayMs
+    val wm = tMax - delayMs
+    def row(u: Long, tsMs: Long) =
+      org.apache.spark.sql.Row(u, new java.sql.Timestamp(tsMs), 1.0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val rows = java.util.List.of(
+      row(1L, wm - gapMs),      // timer at wm exactly: boundary — FIRES (inclusive)
+      row(2L, wm - gapMs - 1),  // timer at wm - 1: below — fires
+      row(3L, wm - gapMs + 1),  // timer at wm + 1: above — must not fire
+      row(99L, tMax))           // carries the max event time (sets wm)
+    val base = spark.createDataFrame(rows, schema)
+    val srcDir = java.nio.file.Files.createTempDirectory("timer-edge-").toFile
+    base.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+
+    val stream = spark.readStream.schema(base.schema).parquet(srcDir.toString)
+    val q = EventStream.inactivityCloses(stream, gapMs)
+      .writeStream.format("memory").queryName("ev_timer_edge")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000), "timer stream did not finish")
+    finally q.stop()
+
+    val fired = spark.table("ev_timer_edge").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("close_ts_us"))).toSet
+    // the at-watermark timer AND the below-watermark timer fire; the
+    // one a millisecond above stays open
+    assert(fired == Set((1L, wm * 1000), (2L, (wm - 1) * 1000)),
+      s"boundary rule diverged from the oracle's inclusive rule: $fired " +
+        s"(user 1's timer sits exactly at wm=$wm and must fire; user 3 must not)")
+    // double-check the SQL rule computes the same set on this fixture
+    base.createOrReplaceTempView("timer_edge_events")
+    val viaSql = spark.sql(
+      s"""WITH ls AS (SELECT user_id, max(unix_millis(ts)) AS last_ms
+         |            FROM timer_edge_events GROUP BY user_id),
+         |     w AS (SELECT max(unix_millis(ts)) - 1000 AS wm FROM timer_edge_events)
+         |SELECT user_id, (last_ms + $gapMs) * 1000 AS close_ts_us
+         |FROM ls, w WHERE last_ms + $gapMs <= wm""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == fired, "oracle-rule SQL and engine diverge on the boundary fixture")
+  }
 }
