@@ -6,8 +6,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * 1 warmup + 5 timed runs each (median), full `collect()` so projections
-  * are actually computed (a bare `count()` lets Catalyst prune the work).
+  * full `collect()` so projections are actually computed (a bare
+  * `count()` lets Catalyst prune the work). Protocols: headline B1–B12
+  * run as one position-balanced ROTATED block (3 warmup passes + 12
+  * timed passes, block left-rotated each pass, per-query median — see
+  * the block comment in main); everything else runs per-query
+  * 1 warmup + median-of-5, upgraded to 3 warmups + median-of-7 when
+  * the first median lands under 100 ms.
   *
   * Output contract, in order:
   *   - one `{"q":name,"sec":t}` line per query as the sweep progresses
@@ -103,8 +108,9 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(t => naturalKey(t._1))
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
 
-    // Names measured under the extra-warmup median-of-7 protocol (vs
-    // the default median-of-5) — stamped into the artifacts so per-query
+    // Names measured under an upgraded protocol (headline: rotated
+    // block; sub-100 ms non-headline: extra-warmup median-of-7) vs the
+    // default median-of-5 — stamped into the artifacts so per-query
     // numbers are comparable across rounds knowing which protocol
     // produced them.
     val remeasured = scala.collection.mutable.TreeSet.empty[String]
@@ -137,12 +143,63 @@ object Bench {
     val runsOverride = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt)
     runsOverride.foreach(n => require(n >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $n"))
 
+    // Headline B1–B12 measured as one ROTATED block (r14 verdict task
+    // 2): the r14/r13 diff proved per-query medians at these sub-100 ms
+    // scales are dominated by POSITION in sweep order (+136%/−54%
+    // anticorrelated swings on unchanged code, totals within 1.3%) —
+    // whichever query runs first absorbs residual JIT/GC cost that
+    // per-query warmups don't amortize. The block protocol removes the
+    // position bias structurally: build all selected headline DataFrames
+    // once, run 3 warmup PASSES over the whole block, then 12 timed
+    // passes where pass p executes the block left-rotated by p — every
+    // query occupies every position exactly once — and report each
+    // query's median across its 12 position-balanced times. Suppressed
+    // under SPARK_GRAFT_RUNS (probe protocol), where headline queries
+    // fall through to the plain per-query path below.
+    val headlineSel = selected.filter { case (n, _) => headline.contains(n) }
+    val rotated: Map[String, Double] =
+      if (runsOverride.isDefined || headlineSel.isEmpty) Map.empty
+      else try {
+        val dfs = headlineSel.map { case (n, fn) => n -> fn(spark, sfDir) }
+        (1 to 3).foreach(_ => dfs.foreach { case (_, df) => execute(df) })
+        val times = scala.collection.mutable.Map.empty[String, List[Double]]
+          .withDefaultValue(Nil)
+        val k = dfs.size
+        // 12 passes always: with the full 12-query headline set each
+        // query occupies each position exactly once; under a filter
+        // (k < 12) every query still gets 12 position-rotated samples
+        (0 until 12).foreach { p =>
+          (0 until k).foreach { i =>
+            val (n, df) = dfs((p + i) % k)
+            val t0 = System.nanoTime()
+            execute(df)
+            times(n) ::= (System.nanoTime() - t0) / 1e9
+          }
+        }
+        dfs.map { case (n, _) =>
+          val sorted = times(n).sorted
+          n -> sorted(sorted.length / 2)
+        }.toMap
+      } catch {
+        // a failing headline builder/run must not kill the sweep: drop
+        // the block and let every headline query take the per-query
+        // path below, where its failure is caught and reported as -1
+        case e: Throwable =>
+          System.err.println(s"[bench] rotated headline block failed, " +
+            s"falling back to per-query protocol: ${e.getMessage}")
+          Map.empty
+      }
+
     // Baseline methodology (BASELINE.md): build the DataFrame once,
     // 1 warmup run, then median of timed runs.
     val results: Seq[(String, Double)] = selected.map {
       case (name, fn) =>
         val t =
           try {
+            if (rotated.contains(name)) {
+              remeasured += name
+              rotated(name)
+            } else {
             val df = fn(spark, sfDir)
             execute(df) // warmup: scan/codegen/broadcast caches
             def median(n: Int): Double = {
@@ -154,18 +211,7 @@ object Bench {
               runs(runs.length / 2)
             }
             if (runsOverride.isDefined) median(runsOverride.get)
-            // Headline B1–B12 (the BASELINE.md comparison set and the
-            // judge's round-over-round diff) ALWAYS runs the extended
-            // protocol — 3 warmups + median-of-7. These are all
-            // sub-500 ms local[32] measurements whose medians moved
-            // ±60% across rounds on unchanged code under the old
-            // median-of-5 (r11→r12 analysis); pinning the protocol
-            // makes the compact-line diff compare like with like.
-            else if (headline.contains(name)) {
-              remeasured += name
-              execute(df); execute(df)
-              median(7)
-            } else {
+            else {
               // non-headline: median-of-5 (BASELINE.md methodology);
               // sub-100 ms medians get the same 2 extra warmups +
               // median-of-7 upgrade (r10 saw identical-plan b11 medians
@@ -175,6 +221,7 @@ object Bench {
                 remeasured += name
                 execute(df); execute(df); median(7)
               } else m5
+            }
             }
           } catch {
             case e: Throwable =>
@@ -251,10 +298,12 @@ object Bench {
     // Durable full artifact — every query, plus totals. The full
     // remeasured list lives only here; the compact driver line carries
     // just its size (the list can be ~100 names — tail-window poison).
+    val protocolTag =
+      if (runsOverride.isEmpty) s""","headline_protocol":"block_warmup3_rotated12_median"""" else ""
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(results)},""" +
-        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag$remeasuredTag$execTag,"sf":"$sfDir"}"""
+        s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag$remeasuredTag$execTag$protocolTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"), fullJson.getBytes(StandardCharsets.UTF_8))
     // bench_out.json is clobbered by every sweep (including filtered
     // probes), which has already destroyed two rounds' full per-query
@@ -275,11 +324,14 @@ object Bench {
         s""""n_queries":${results.size},"queries":${queriesJson(headQueries)},""" +
         s""""stream_wall":${queriesJson(streamWall)}$filteredTag$compactedTag$execTag""" +
         // per-query protocol provenance for the compact line: every
-        // headline query above is warmup×3+median-of-7 by construction
-        // (the full remeasured list, incl. sub-100 ms non-headline
-        // upgrades, lives in bench_out.json); suppressed under
+        // headline query above is measured by the position-balanced
+        // rotated block (3 warmup passes + 12 timed passes, block
+        // left-rotated each pass so every query sees every position
+        // once, per-query median) — the r14 verdict's de-bias protocol.
+        // The full remeasured list, incl. sub-100 ms non-headline
+        // upgrades, lives in bench_out.json; suppressed under
         // SPARK_GRAFT_RUNS, where runs_override IS the protocol
-        (if (runsOverride.isEmpty) s""","headline_protocol":"warmup3_median7"""" else "") +
+        protocolTag +
         s""","remeasured_n":${remeasured.size},"full":"bench_out.json","sf":"$sfDir"}""")
     // close RocksDB natives before the shutdown hook deletes their
     // working dirs (see StateBackend.shutdown scaladoc)

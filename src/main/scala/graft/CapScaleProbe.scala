@@ -20,7 +20,7 @@ import org.apache.spark.sql.SparkSession
   * deployment shape (many small alert documents) better than any
   * row-tiling would. The timed section is pure engine work.
   *
-  * Usage: runMain graft.CapScaleProbe [copies] [srcDir] [workDir]
+  * Usage: runMain graft.CapScaleProbe [copies] [srcDir] [workDir] [badSrcDir]
   */
 object CapScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -54,8 +54,12 @@ object CapScaleProbe {
     val genT0 = System.nanoTime()
     val nFiles = replicate(src, dir)
     // the quarantine surface needs the PLANTED-bad fixture set (cap3's
-    // corpus) at the same scale — fixtures/cap has no bad alerts
-    val badSrc = if (args.length > 1) src else
+    // corpus) at the same scale. It is a SEPARATE argument from srcDir:
+    // replicating a custom srcDir here (which has no planted-bad
+    // alerts) would silently measure the wrong corpus and report
+    // quarantined=0 — the quarantine side always gets a corpus that
+    // actually contains bad alerts.
+    val badSrc = if (args.length > 3) args(3) else
       graft.queries.CapQueries.badFixtureDir
     val nBad = replicate(badSrc, badDir)
     val genSec = (System.nanoTime() - genT0) / 1e9

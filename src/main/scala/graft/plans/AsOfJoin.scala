@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, Literal, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan, UnaryNode, UnresolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, BROADCAST, Join, LogicalPlan, ResolvedHint, UnaryNode, UnresolvedHint}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -51,6 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   // the raw value for integral columns. In outer mode an
   *   // out-of-tolerance nearest match NULL-FILLS the row (not
   *   // expressible as a post-filter on the unbounded join).
+  *   // Wrapping the right side in broadcast(...) forces the
+  *   // BroadcastAsOfJoinExec pick regardless of stats estimates:
+  *   //   left.crossJoin(broadcast(dim)).hint("graft_asof", ...)
   * }}}
   * The same surface works from pure SQL text — the parser attaches a
   * SELECT-level hint above the Project/Filter chain, and the rule
@@ -76,7 +79,8 @@ case class AsOfJoinPlan(
     rightTime: Expression,
     isLeftOuter: Boolean = false,
     isForward: Boolean = false,
-    tolUs: Option[Long] = None) extends BinaryNode {
+    tolUs: Option[Long] = None,
+    broadcastRight: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -115,7 +119,27 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     hits.head
   }
 
-  private def build(l: LogicalPlan, r: LogicalPlan, params: Seq[Any]): AsOfJoinPlan = {
+  private def build(l0: LogicalPlan, r0: LogicalPlan, params: Seq[Any]): AsOfJoinPlan = {
+    // An explicit broadcast(right) / /*+ BROADCAST(r) */ hint under the
+    // join forces the broadcast physical pick regardless of the stats
+    // estimate — the same user knob the built-in joins honor. Spark's
+    // Hints batch has already turned it into ResolvedHint by the time
+    // this rule runs; capture-and-consume it here, because the
+    // optimizer's EliminateResolvedHint only pulls hints into Join
+    // nodes and would silently strip one left under [[AsOfJoinPlan]].
+    // A broadcast hint on the LEFT (fact) side is not applicable to an
+    // as-of join (the fact side is the streamed side by construction) —
+    // stripped with the same no-op treatment Spark gives inapplicable
+    // join hints.
+    val (r, rBroadcast) = r0 match {
+      case ResolvedHint(child, info) if info.strategy.contains(BROADCAST) =>
+        (child, true)
+      case other => (other, false)
+    }
+    val l = l0 match {
+      case ResolvedHint(child, info) if info.strategy.contains(BROADCAST) => child
+      case other => other
+    }
     val names = params.flatMap(str(_))
     if (names.size < 4 || names.size > 7)
       throw new IllegalArgumentException(
@@ -179,7 +203,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
         "graft_asof: tol_us requires a time column with an integral " +
           s"internal representation (timestamp, date, or integer types), got $other")
     }
-    AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd, tolUs)
+    AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd, tolUs, rBroadcast)
   }
 
   /** Descend a UNARY spine to the condition-free cross/inner join the
@@ -190,6 +214,21 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     * [[AsOfJoinPlan]] exposes the join's exact output attributes, so
     * every node above stays resolved) and throws on anything else —
     * never a silent downgrade to plain-join semantics.
+    *
+    * Nullability under `left_outer`: [[AsOfJoinPlan]] widens the right
+    * side's attributes to nullable, but the spine's already-resolved
+    * expressions still hold `nullable = false` copies of those exprIds
+    * when this rule returns. That staleness is repaired before the
+    * optimizer runs by the analyzer's own `UpdateNullability` batch
+    * (`UpdateAttributeNullability`, which rewrites every operator's
+    * attribute nullability from its children's output and is scheduled
+    * AFTER the extended-resolution batch this rule lives in) — so
+    * nullability-semantic rewrites like NullPropagation's
+    * `IsNull(x) -> false` / `coalesce(x, d) -> x` never see the stale
+    * flags. Regression-gated in AsOfJoinSpec ("SQL front door
+    * left_outer under a spine honors right-side nullability") with
+    * provably non-nullable inputs and IS NULL / coalesce / aggregate
+    * spines.
     */
   private def rewriteUnder(node: LogicalPlan, params: Seq[Any]): LogicalPlan =
     node match {
@@ -222,14 +261,20 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   * for BroadcastHashJoin: ship the sorted dim to every left partition
   * and binary-search per row, instead of shuffling AND sorting the
   * fact table), [[AsOfJoinExec]] (co-partitioned sort-merge)
-  * otherwise. Threshold -1 disables the broadcast pick, same knob as
-  * the built-in joins. */
+  * otherwise. An explicit `broadcast(right)` hint (captured by
+  * [[ResolveAsOfJoin]] as `broadcastRight`) forces the broadcast pick
+  * unconditionally — stats estimates for aggregated dims inherit the
+  * pre-aggregation child's size and routinely overestimate, so the
+  * user knob matters in exactly the "petabyte fact × pre-aggregated
+  * dim" case the operator exists for. Threshold -1 disables the
+  * STATS-based pick, same knob as the built-in joins (the explicit
+  * hint still wins, mirroring BroadcastHashJoin). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd, tol) =>
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd, tol, bcast) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+      if (bcast || (threshold > 0 && r.stats.sizeInBytes <= threshold))
         BroadcastAsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol,
           planLater(l), planLater(r)) :: Nil
       else
@@ -508,33 +553,50 @@ case class BroadcastAsOfJoinExec(
         s"graft_asof tolerance on unsupported time representation: ${o.getClass}")
     }
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    // cache key captured on the DRIVER: the broadcast id is unique per
+    // broadcast variable (shared by every task of every stage reading
+    // it) and the plan id disambiguates two as-of execs that might
+    // reuse one broadcast with different key/time expressions
+    val cacheKey = (broadcastRows.id, id)
     left.execute().mapPartitions { lIter =>
-      // per-task index build from the broadcast: key → (times asc,
-      // rows aligned). K log K once per task — the price of skipping
-      // the fact-side shuffle+sort entirely; the broadcast planner
-      // gate keeps K dim-sized. Ties on (key, time) keep broadcast
-      // array order (same "undefined under duplicates" caveat as the
-      // sort-merge form).
-      val byKey = new java.util.TreeMap[Any, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]](
-        keyOrd.asInstanceOf[java.util.Comparator[Any]])
-      broadcastRows.value.foreach { r =>
-        val k = rkB.eval(r)
-        val t = rtB.eval(r)
-        if (k != null && t != null) {
-          var buf = byKey.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
-            byKey.put(k, buf)
+      // per-EXECUTOR index build from the broadcast (memoized): the
+      // broadcast value ships once per executor, but rebuilding the
+      // per-key sorted index in every task repeats K log K work
+      // thousands of times on a real cluster — the repeated work
+      // Spark's own BroadcastHashJoin avoids by shipping a pre-built
+      // relation. First task to arrive builds (others block on the
+      // cache lock for the ms-scale, dim-sized build); the rest
+      // share the read-only TreeMap. Ties on (key, time) keep
+      // broadcast array order (stable in-place sort — same "undefined
+      // under duplicates" caveat as the sort-merge form).
+      val index = BroadcastAsOfJoinExec.cachedIndex(cacheKey, () => {
+        val idx = new java.util.TreeMap[Any, AnyRef](
+          keyOrd.asInstanceOf[java.util.Comparator[Any]])
+        // build directly into the FINAL TreeMap: buffers accumulate in
+        // place and are replaced by their sorted array form via
+        // entry.setValue — no intermediate byKey map, no second
+        // allocation of the whole index
+        broadcastRows.value.foreach { r =>
+          val k = rkB.eval(r)
+          val t = rtB.eval(r)
+          if (k != null && t != null) {
+            var buf = idx.get(k)
+              .asInstanceOf[scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
+              idx.put(k, buf)
+            }
+            buf.append((t, r))
           }
-          buf.append((t, r))
         }
-      }
-      val index = new java.util.TreeMap[Any, (Array[Any], Array[InternalRow])](
-        keyOrd.asInstanceOf[java.util.Comparator[Any]])
-      byKey.forEach { (k, buf) =>
-        val sorted = buf.sortWith((a, b) => tsOrd.compare(a._1, b._1) < 0)
-        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
+        idx.entrySet().forEach { e =>
+          val buf = e.getValue
+            .asInstanceOf[scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]
+          buf.sortInPlaceBy(_._1)(tsOrd.asInstanceOf[Ordering[Any]])
+          e.setValue((buf.map(_._1).toArray, buf.map(_._2).toArray))
+        }
+        idx
+      })
 
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -568,6 +630,7 @@ case class BroadcastAsOfJoinExec(
         var matched: InternalRow = null
         if (lk != null && lt != null) {
           val entry = index.get(lk)
+            .asInstanceOf[(Array[Any], Array[InternalRow])]
           if (entry != null) {
             val (times, rows) = entry
             val i = if (forward) firstGeq(times, lt) else lastLeq(times, lt)
@@ -595,4 +658,37 @@ case class BroadcastAsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+/** Executor-side memo of built as-of indexes. One JVM-wide bounded LRU:
+  * entries are keyed by (broadcast id, plan id) so every task of every
+  * stage executing the same broadcast as-of join shares ONE build. The
+  * index holds references to the SAME InternalRows as the deserialized
+  * broadcast block (no row copies) plus key/time arrays, so each entry's
+  * incremental footprint is small and the planner's
+  * autoBroadcastJoinThreshold gate keeps it dim-sized; the LRU cap
+  * bounds worst-case retention after broadcasts are destroyed.
+  * `computeIfAbsent` on the synchronized map holds the lock for the
+  * duration of a build — deliberate: a stampede of tasks at stage start
+  * should WAIT milliseconds for one build, not run 32 copies of it. */
+object BroadcastAsOfJoinExec {
+  private val CacheCap = 16
+
+  /** Total index builds in this JVM — observability hook for the
+    * memoization spec (local mode: executor == driver JVM). */
+  private[plans] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val cache: java.util.Map[(Long, Int), java.util.TreeMap[Any, AnyRef]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Long, Int), java.util.TreeMap[Any, AnyRef]](
+        CacheCap, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Int), java.util.TreeMap[Any, AnyRef]]): Boolean =
+          size() > CacheCap
+      })
+
+  private[plans] def cachedIndex(
+      key: (Long, Int),
+      build: () => java.util.TreeMap[Any, AnyRef]): java.util.TreeMap[Any, AnyRef] =
+    cache.computeIfAbsent(key, _ => { buildCount.incrementAndGet(); build() })
 }

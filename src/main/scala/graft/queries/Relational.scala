@@ -1822,6 +1822,51 @@ object Relational {
       |WHERE gap_us <= $B59TolUs
       |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B60: BROADCAST as-of join — the "petabyte fact × megabyte dim"
+  // shape the broadcast physical variant exists for: every event is
+  // stamped with the policy row in force at its event time, where the
+  // policy table is the per-(event_type, hour) change log — a few
+  // hundred rows at any SF. The explicit broadcast(dim) hint forces
+  // BroadcastAsOfJoinExec (an aggregated dim's stats estimate inherits
+  // the pre-aggregation scan size, so the stats path can't see how
+  // small it really is): the dim ships once per executor, each task
+  // does one binary search per fact row, and the fact side is NEVER
+  // shuffled or sorted — plan-asserted in AsOfJoinSpec. The sort-merge
+  // form of the same query would shuffle AND sort every fact row.
+  // Oracle: DuckDB ASOF JOIN (plan-independent semantics).
+  // -------------------------------------------------------------------
+  def b60AsofBroadcastDim(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val policy = ev
+      .groupBy(col("event_type").as("p_type"),
+        date_trunc("hour", col("ts")).as("p_ts"))
+      .agg(max(col("event_id")).as("policy_id"))
+    val fact = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val j = fact.crossJoin(broadcast(policy))
+      .hint("graft_asof", "event_type", "ts", "p_type", "p_ts")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("event_type"), col("policy_id"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b60Sql: String =
+    """WITH policy AS (
+      |  SELECT event_type AS p_type, date_trunc('hour', ts) AS p_ts,
+      |         max(event_id) AS policy_id
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT e.event_id, e.event_type, p.policy_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(p.p_ts) AS BIGINT) AS gap_us
+      |FROM events e ASOF JOIN policy p
+      |  ON e.event_type = p.p_type AND e.ts >= p.p_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1873,5 +1918,6 @@ object Relational {
     ("b55_asof_outer", b55AsofOuter _, b55Sql),
     ("b56_exists_not_in", b56ExistsNotIn _, b56Sql),
     ("b58_asof_forward", b58AsofForward _, b58Sql),
-    ("b59_asof_tolerance", b59AsofTolerance _, b59Sql))
+    ("b59_asof_tolerance", b59AsofTolerance _, b59Sql),
+    ("b60_asof_broadcast", b60AsofBroadcastDim _, b60Sql))
 }

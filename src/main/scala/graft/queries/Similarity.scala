@@ -682,20 +682,28 @@ object Similarity {
     * the flat branch runs (the two-level CTEs evaluate against a
     * false gate and stay empty); above it the flat cross join is the
     * gated-off one — the quadratic |vecs|·K product never
-    * materializes on either engine at scale. */
+    * materializes on either engine at scale. The gate is applied to
+    * the cross join's INPUT CTE (`cents_flat` / `seeds_two`), not as
+    * a WHERE on the joined output: an oracle engine that evaluates
+    * the constant scalar-subquery predicate per-row instead of
+    * short-circuiting it would otherwise still expand the vecs×cents
+    * product before discarding it (correctness unaffected,
+    * runtime/OOM risk at scale). Gating the input makes the gated-off
+    * branch's join input EMPTY on any evaluation strategy. */
   val d8bSql: String =
     s"""WITH vecs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |             FROM embeddings),
       |seeds AS (SELECT vec_id AS sid, v AS sv FROM vecs WHERE vec_id >= 100 AND vec_id < 132),
       |cents AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % 20 = 10),
       |kk AS (SELECT count(*) AS k FROM cents),
+      |cents_flat AS (SELECT * FROM cents WHERE (SELECT k FROM kk) <= $D8bFlatCutoff),
+      |seeds_two AS (SELECT * FROM seeds WHERE (SELECT k FROM kk) > $D8bFlatCutoff),
       |flat_sims AS (
       |  SELECT e.vec_id, c.cid,
       |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i]))
       |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
       |                       * SQRT(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS DOUBLE) AS csim
-      |  FROM vecs e CROSS JOIN cents c
-      |  WHERE (SELECT k FROM kk) <= $D8bFlatCutoff),
+      |  FROM vecs e CROSS JOIN cents_flat c),
       |flat_assign AS (SELECT vec_id, cid FROM (
       |             SELECT vec_id, cid,
       |                    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
@@ -705,8 +713,7 @@ object Similarity {
       |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> e.v[i] * s.sv[i]))
       |                    / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
       |                       * SQRT(list_sum(list_transform(s.sv, x -> x * x)))), 6) AS DOUBLE) AS ss
-      |  FROM vecs e CROSS JOIN seeds s
-      |  WHERE (SELECT k FROM kk) > $D8bFlatCutoff),
+      |  FROM vecs e CROSS JOIN seeds_two s),
       |vcoarse AS (SELECT vec_id, sid FROM (
       |              SELECT vec_id, sid,
       |                     row_number() OVER (PARTITION BY vec_id ORDER BY ss DESC, sid ASC) AS rn
@@ -716,8 +723,7 @@ object Similarity {
       |         CAST(ROUND(list_sum(list_transform(range(1, 65), i -> c.cv[i] * s.sv[i]))
       |                    / (SQRT(list_sum(list_transform(c.cv, x -> x * x)))
       |                       * SQRT(list_sum(list_transform(s.sv, x -> x * x)))), 6) AS DOUBLE) AS ss
-      |  FROM cents c CROSS JOIN seeds s
-      |  WHERE (SELECT k FROM kk) > $D8bFlatCutoff),
+      |  FROM cents c CROSS JOIN seeds_two s),
       |ccoarse AS (SELECT cid, sid FROM (
       |              SELECT cid, sid,
       |                     row_number() OVER (PARTITION BY cid ORDER BY ss DESC, sid ASC) AS rn

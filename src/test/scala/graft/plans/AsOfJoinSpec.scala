@@ -370,6 +370,55 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.getMessage.contains("graft_asof"), bad.getMessage)
   }
 
+  test("SQL front door left_outer under a spine honors right-side nullability (no garbage reads)") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    // NON-nullable inputs: primitive-tuple toDF gives nullable=false
+    // columns, so any spine node that keeps a stale nullable=false on a
+    // right-side attribute would let codegen elide null checks and read
+    // the null-slot's backing bits (0L) instead of NULL.
+    val left = Seq((1L, 100L, 10L), (2L, 50L, 20L), (3L, 5L, 30L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 40L, 777L)).toDF("rk", "rt", "rv")
+    left.createOrReplaceTempView("asof_nn_left")
+    right.createOrReplaceTempView("asof_nn_right")
+    // the hint sits ABOVE a Project(expr over right side) + Filter spine
+    val df = s.sql(
+      """SELECT /*+ graft_asof('k', 't', 'rk', 'rt', 'left_outer') */
+        |       k, rv, rv + 1 AS rv1
+        |FROM asof_nn_left CROSS JOIN asof_nn_right
+        |WHERE t >= 0""".stripMargin)
+    assert(df.schema("rv").nullable, df.schema.treeString)
+    assert(df.schema("rv1").nullable, df.schema.treeString)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows == Set(
+      (1L, Some(777L), Some(778L)),
+      (2L, None, None),
+      (3L, None, None)), rows.toString)
+
+    // nullability-SEMANTIC expressions: the optimizer folds IS NULL to
+    // false and coalesce(x, d) to x when x is (stale-)non-nullable, so
+    // these detect any plan where the spine kept nullable=false
+    val folded = s.sql(
+      """SELECT /*+ graft_asof('k', 't', 'rk', 'rt', 'left_outer') */
+        |       k, rv IS NULL AS rv_null, coalesce(rv, -1L) AS rv_c
+        |FROM asof_nn_left CROSS JOIN asof_nn_right
+        |WHERE t >= 0""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(folded == Set(
+      (1L, false, 777L), (2L, true, -1L), (3L, true, -1L)), folded.toString)
+
+    // aggregate spine over right-side columns: null-fills must be
+    // ignored by count/max, not read as 0
+    val agg = s.sql(
+      """SELECT /*+ graft_asof('k', 't', 'rk', 'rt', 'left_outer') */
+        |       count(rv) AS n_rv, count(*) AS n_all, max(rv) AS max_rv
+        |FROM asof_nn_left CROSS JOIN asof_nn_right""".stripMargin).collect()
+    assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 3L, 777L)), agg.mkString(","))
+  }
+
   test("dim-sized right side plans the broadcast as-of variant, value-equal to sort-merge") {
     val s = freshSession(extended = true)
     import s.implicits._
@@ -426,6 +475,88 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // backward match, nulls never match
     assert(viaBroadcast(4) ==
       Seq[(String, Option[String])](("a", Some("r95")), ("e", Some("r40"))).sorted)
+  }
+
+  test("broadcast as-of builds its index ONCE per executor, not per task") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    // many-partition fact side: without memoization every one of the
+    // 64 tasks would rebuild the per-key sorted index from the
+    // broadcast (the repeated K log K work the r14 verdict flagged)
+    val left = s.range(0, 10000)
+      .select((col("id") % 50).as("k"), (col("id") % 997).as("t"), col("id").as("lv"))
+      .repartition(64)
+    val right = s.range(0, 50)
+      .select(col("id").as("rk"), (col("id") * 3 % 500).as("rt"), (col("id") + 7000).as("rv"))
+    val j = left.crossJoin(right)
+      .hint("graft_asof", "k", "t", "rk", "rt", "left_outer")
+    val before = BroadcastAsOfJoinExec.buildCount.get()
+    val rows = j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    val builds = BroadcastAsOfJoinExec.buildCount.get() - before
+    assert(builds == 1L,
+      s"expected exactly 1 index build across 64 tasks, got $builds")
+    assert(rows.length == 10000)
+    // a RE-execution of the same plan reuses the cached index too
+    // (same broadcast id + plan id)
+    j.collect()
+    assert(BroadcastAsOfJoinExec.buildCount.get() - before == 1L,
+      "re-execution of the same plan must hit the cache")
+    // value parity with the sort-merge exec on the same data — the
+    // memoized index must not change semantics
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val smj = try j.collect() finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(rows.map(_.toString).sorted.sameElements(smj.map(_.toString).sorted))
+  }
+
+  test("b60: explicit broadcast hint forces the broadcast pick; fact side unshuffled and unsorted") {
+    val s = freshSession(extended = true)
+    // plain (non-adaptive) plan tree so the left subtree is directly
+    // inspectable; restore afterwards
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Relational.b60AsofBroadcastDim(s, sf)
+      val plan = df.queryExecution.executedPlan
+      val b = plan.collectFirst { case x: BroadcastAsOfJoinExec => x }
+      assert(b.isDefined, s"expected BroadcastAsOfJoinExec:\n$plan")
+      // the fact (left) subtree must contain NO shuffle and NO sort —
+      // the whole point of the broadcast variant
+      val offenders = b.get.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.nodeName
+        case st: org.apache.spark.sql.execution.SortExec => st.nodeName
+      }
+      assert(offenders.isEmpty,
+        s"fact side was shuffled/sorted: $offenders\n${b.get.left}")
+      // the hint WINS over threshold -1 (mirroring BroadcastHashJoin:
+      // an explicit user hint is not subject to the stats gate)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaHint = Relational.b60AsofBroadcastDim(s, sf)
+      assert(viaHint.queryExecution.executedPlan
+        .collectFirst { case x: BroadcastAsOfJoinExec => x }.isDefined)
+      val hintRows = viaHint.collect().map(_.toString).sorted
+      // value parity with the sort-merge form of the same query
+      // (no broadcast hint + threshold -1 → AsOfJoinExec)
+      val ev = graft.sources.Tables.events(s, sf)
+      val policy = ev.groupBy(col("event_type").as("p_type"),
+          date_trunc("hour", col("ts")).as("p_ts"))
+        .agg(max(col("event_id")).as("policy_id"))
+      val smjDf = ev.select(col("event_id"), col("event_type"), col("ts"))
+        .crossJoin(policy)
+        .hint("graft_asof", "event_type", "ts", "p_type", "p_ts")
+        .select(col("event_id"), col("event_type"), col("policy_id"),
+          (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("gap_us"))
+        .orderBy("event_id")
+      assert(smjDf.queryExecution.executedPlan
+        .collectFirst { case x: AsOfJoinExec => x }.isDefined,
+        smjDf.queryExecution.executedPlan.toString)
+      val smjRows = smjDf.collect().map(_.toString).sorted
+      assert(hintRows.sameElements(smjRows),
+        "broadcast vs sort-merge divergence on b60")
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("b49 under the broadcast-eligible threshold keeps its values (oracle unchanged)") {
