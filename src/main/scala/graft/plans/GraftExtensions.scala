@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Generator, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -287,6 +287,188 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** JVM kernel for [[LshBands]] — all sign-random-projection band values
+  * of one embedding in a single pass, inside generated code.
+  *
+  * Parity contract (bit-identical to the declarative pipeline it
+  * replaces, which was: explode components → join the md5-derived
+  * integer plane weights → `sum(CAST(x*w AS DECIMAL(30,12)))` per
+  * (vector, plane) → sign bit → per-band little-endian bit pack):
+  *  - weights: first 12 hex chars of md5("plane<p>_<d>") as a 48-bit
+  *    integer, % 2001 − 1000 — identical to [[graft.queries.Similarity]]'s
+  *    `planes`/`duckPlanes`;
+  *  - each term replicates Spark's double→DECIMAL(30,12) cast exactly:
+  *    `BigDecimal.valueOf(x*w).setScale(12, HALF_UP)` (valueOf goes
+  *    through Double.toString — the same canonical representation
+  *    Spark's `Decimal(double)` uses), then sums the scale-12 unscaled
+  *    longs exactly (|term| ≤ 3.1e15, 64 terms ⇒ no overflow);
+  *  - a plane with zero non-null terms yields bit 0 (SQL `sum` of an
+  *    empty/all-null group is NULL, and `proj >= 0` on NULL is not
+  *    true), null elements are skipped (SQL sum semantics).
+  *
+  * Why a native kernel: the join form's partial aggregate holds
+  * |corpus|·nPlanes groups (86M at the ×300 wide-geometry probe — past
+  * the hash-agg budget, so it sort-spilled 5.5B rows: >20 min and tens
+  * of GB of disk), while the interpreted HOF form
+  * (transform/zip_with/aggregate over Decimals) pays boxed-Decimal
+  * closure dispatch per term — ~100× this loop. One row in, nBands
+  * longs out, no shuffle, no boxing, codegen-resident.
+  */
+object LshBandsKernel {
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Long]]]()
+
+  /** nPlanes×64 md5-derived integer weights, computed once per JVM. */
+  def weights(nPlanes: Int): Array[Array[Long]] =
+    weightCache.computeIfAbsent(nPlanes, np => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(np, 64) { (p, d) =>
+        md.reset()
+        val hex = md.digest(s"plane${p}_${d}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 12)
+        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+      }
+    })
+
+  /** Scale-12 unscaled long of `BigDecimal.valueOf(v).setScale(12,
+    * HALF_UP)` — i.e. Spark's double→DECIMAL(30,12) cast — computed by
+    * parsing `Double.toString`'s shortest round-trip representation
+    * directly instead of routing it through a BigDecimal parse
+    * (~3× the kernel throughput; differentially tested against the
+    * BigDecimal reference in GraftFunctionsSpec). Callers guarantee
+    * |v| small enough that the scaled value fits a long (|v| ≤ ~3e6
+    * here; terms are embedding components × integer weights ≤ 1000).
+    */
+  def unscaled12(v: Double): Long = {
+    // |v| ≥ 1e6 would need > 18 kept digits (overflow territory) and
+    // never occurs for LSH terms — route the cold path through the
+    // reference implementation instead of guessing
+    if (!(v < 1e6 && v > -1e6)) // also catches NaN
+      return java.math.BigDecimal.valueOf(v)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    // FAST PATH (no string, no allocation): valueOf rounds the
+    // SHORTEST-REPR value R, which lives within halfULP of the exact
+    // binary value E = v. If no rounding half-boundary k+0.5 (at scale
+    // 12) lies within that ambiguity window — plus the error of our
+    // own fraction×1e12 multiply — then round12(R) == round12(E) and
+    // integer math decides it. Otherwise fall through to the exact
+    // string parse. For this kernel's term magnitudes (|v| ≤ ~4e3)
+    // the window is ≤ ~0.25 of one scaled unit, so the slow path is
+    // the rare case, not the common one.
+    val a = if (v < 0) -v else v
+    val ip = a.toLong           // exact: a < 1e6 < 2^52
+    val fp = a - ip             // exact subtraction below 2^52
+    val r = fp * 1e12           // error ≤ 0.5 ulp(1e12) ≈ 1.2e-4
+    val kf = r.toLong
+    val frac = r - kf
+    val margin = 0.5 * Math.ulp(a) * 1e12 + 2e-4
+    val distToHalf = if (frac >= 0.5) frac - 0.5 else 0.5 - frac
+    if (distToHalf > margin) {
+      val scaled = ip * 1000000000000L + (if (frac > 0.5) kf + 1 else kf)
+      return if (v < 0) -scaled else scaled
+    }
+    val s = java.lang.Double.toString(v) // shortest repr; Ryu in JDK 17
+    val n = s.length
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    // locate the exponent marker and the decimal point (toString always
+    // emits a point; the exponent only for |v| >= 1e7 or < 1e-3)
+    var eIdx = -1
+    var dotIdx = -1
+    var j = i
+    while (j < n && eIdx < 0) {
+      val c = s.charAt(j)
+      if (c == 'E') eIdx = j
+      else if (c == '.') dotIdx = j
+      j += 1
+    }
+    val mantEnd = if (eIdx >= 0) eIdx else n
+    val exp = if (eIdx >= 0) java.lang.Integer.parseInt(s.substring(eIdx + 1)) else 0
+    // a mantissa digit's decimal position relative to the value's
+    // decimal point: textual offset from the dot, shifted by exp;
+    // position p >= 1 is the p-th fraction digit, p <= 0 integer part
+    var acc = 0L      // digits with position <= 12, accumulated in order
+    var roundUp = false // HALF_UP: decided by the 13th fraction digit alone
+    var k = i
+    while (k < mantEnd) {
+      val c = s.charAt(k)
+      if (c != '.') {
+        val pos = (if (k < dotIdx) k - dotIdx + 1 else k - dotIdx) - exp
+        if (pos <= 12) acc = acc * 10 + (c - '0')
+        else if (pos == 13 && c >= '5') roundUp = true
+      }
+      k += 1
+    }
+    // acc is scaled by 10^min(fracDigits, 12); pad to scale 12
+    val fracDigits = (mantEnd - dotIdx - 1) - exp
+    var scaled = acc
+    var pad = 12 - math.min(fracDigits, 12)
+    while (pad > 0) { scaled *= 10; pad -= 1 }
+    if (roundUp) scaled += 1
+    if (neg) -scaled else scaled
+  }
+
+  def compute(e: ArrayData, nPlanes: Int, bandBits: Int): ArrayData = {
+    val w = weights(nPlanes)
+    val dims = math.min(e.numElements(), 64)
+    val nBands = nPlanes / bandBits
+    val bvals = new Array[Long](nBands)
+    var p = 0
+    while (p < nPlanes) {
+      val wp = w(p)
+      var acc = 0L // scale-12 unscaled sum, exact
+      var terms = 0
+      var d = 0
+      while (d < dims) {
+        if (!e.isNullAt(d)) {
+          acc += unscaled12(e.getDouble(d) * wp(d))
+          terms += 1
+        }
+        d += 1
+      }
+      if (terms > 0 && acc >= 0L) bvals(p / bandBits) |= 1L << (p % bandBits)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bvals)
+  }
+}
+
+/** `lsh_bands(array<double>, nPlanes, bandBits)` → `array<long>` of the
+  * vector's band values (index = band id). See [[LshBandsKernel]] for
+  * the parity contract with the declarative pipeline it replaced. */
+case class LshBands(child: Expression, nPlanes: Int, bandBits: Int)
+    extends UnaryExpression {
+
+  require(nPlanes > 0 && bandBits > 0 && nPlanes % bandBits == 0,
+    s"lsh_bands: nPlanes ($nPlanes) must be a positive multiple of bandBits ($bandBits)")
+
+  override def prettyName: String = "lsh_bands"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bands expects array<double>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(e: Any): Any =
+    LshBandsKernel.compute(e.asInstanceOf[ArrayData], nPlanes, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => s"""
+      ${ev.value} = graft.plans.LshBandsKernel.compute($e, $nPlanes, $bandBits);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}
+
 /** JVM kernel for [[NativeDot]] — left-to-right dot product of two
   * double arrays; the exact fold order of the declarative
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` idiom it substitutes. */
@@ -484,6 +666,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("native_dot"),
       new ExpressionInfo(classOf[NativeDot].getName, "native_dot"),
       (exprs: Seq[Expression]) => NativeDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "lsh_bands"),
+      (exprs: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_bands: $what must be an integer literal, got $other")
+        }
+        LshBands(exprs.head, lit(exprs(1), "nPlanes"), lit(exprs(2), "bandBits"))
+      }))
     ext.injectOptimizerRule(_ => DotRewrite)
     // whole-operator extension point (SURVEY §4 preference (c)): the
     // graft_asof hint → AsOfJoinPlan rewrite and its physical strategy
@@ -513,6 +706,25 @@ object GraftFunctions {
     if (!registry.functionExists(FunctionIdentifier("cosine_sim")))
       registry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "scala_udf")
+  }
+
+  /** Same contract, for `lsh_bands(embedding, nPlanes, bandBits)` (the
+    * band-signature kernel behind the Similarity family's candidate
+    * generation — see [[LshBandsKernel]]). The plane/band geometry must
+    * be literal ints: the weight matrix is derived from them once per
+    * JVM, not per row. */
+  def ensureLshBands(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("lsh_bands")))
+      registry.createOrReplaceTempFunction(
+        "lsh_bands", exprs => {
+          def lit(e: Expression, what: String): Int = e match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"lsh_bands: $what must be an integer literal, got $other")
+          }
+          LshBands(exprs.head, lit(exprs(1), "nPlanes"), lit(exprs(2), "bandBits"))
+        }, "scala_udf")
   }
 
   def register(spark: SparkSession): Unit = {

@@ -57,8 +57,12 @@ object Similarity {
         (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
           .cast("long") % 2001 - 1000).as("w"))
 
-  private def duckPlanes(nPlanes: Int) =
-    s"""planes AS (SELECT p, d,
+  private def duckPlanes(nPlanes: Int): String = duckPlanes(nPlanes, "")
+
+  /** `sfx` suffixes every CTE name so two plane sets (e.g. d5's
+    * narrow/wide branch geometries) can coexist in one oracle query. */
+  private def duckPlanes(nPlanes: Int, sfx: String) =
+    s"""planes$sfx AS (SELECT p, d,
       |    list_reduce(list_transform(string_split(substr(md5('plane' || p || '_' || d),1,12),''),
       |      c -> CAST(strpos('0123456789abcdef',c)-1 AS BIGINT)), (h,c) -> h*16+c) % 2001 - 1000 AS w
       |  FROM range(0,$nPlanes) t1(p), range(0,64) t2(d))""".stripMargin
@@ -69,17 +73,31 @@ object Similarity {
     * 2^-bandBits, so expected candidates ≈ nBands · n²/2^bandBits —
     * size the bands to the corpus (16-bit bands → 1.5e-5 of the pair
     * space for the near-dup path; 4-bit bands → generous ~23% probe
-    * sets for the recall-hungry top-k path). */
+    * sets for the recall-hungry top-k path).
+    *
+    * Shape: one codegen-resident kernel call per vector
+    * ([[graft.plans.LshBandsKernel]] — all nPlanes projections folded
+    * in place, exact DECIMAL(30,12) term semantics, bit-identical to
+    * the former explode+join+groupBy pipeline), then one posexplode to
+    * the (vec_id, band, bval) relation. The former join form
+    * materialized |corpus|·64·nPlanes rows into a partial aggregate
+    * whose (vec_id, plane) group cardinality (86M at the ×300
+    * wide-geometry probe) blew the hash-agg budget and sort-spilled
+    * 5.5B rows — >20 min and tens of GB of disk for what is a
+    * per-row map (found-and-fixed at the r15 ×300 probe; this shape
+    * is seconds). No join, no aggregate, no shuffle. */
+  /** Dev-probe window into [[bands]] (D5Probe). */
+  private[queries] def bandsProbe(s: SparkSession, emb: DataFrame,
+      nPlanes: Int, bandBits: Int): DataFrame = bands(s, emb, nPlanes, bandBits)
+
   private def bands(s: SparkSession, emb: DataFrame,
       nPlanes: Int, bandBits: Int): DataFrame = {
-    val dots = ex(emb).join(broadcast(planes(s, nPlanes)), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum((col("x") * col("w")).cast(DecimalType(30, 12))).as("proj"))
-    val bits = dots.select(col("vec_id"), col("p"),
-      when(col("proj") >= 0, 1L).otherwise(0L).as("bit"))
-    val weights = typedLit((0 until bandBits).map(b => 1L << b))
-    bits.groupBy(col("vec_id"), (col("p") / bandBits).cast("long").as("band"))
-      .agg(sum(col("bit") * element_at(weights, (col("p") % bandBits).cast("int") + 1)).as("bval"))
+    graft.plans.GraftFunctions.ensureLshBands(s)
+    emb.select(col("vec_id"),
+        call_function("lsh_bands", col("embedding").cast("array<double>"),
+          lit(nPlanes), lit(bandBits)).as("bvals"))
+      .select(col("vec_id"), posexplode(col("bvals")))
+      .select(col("vec_id"), col("pos").cast("long").as("band"), col("col").as("bval"))
   }
 
   /** The projection is computed as a per-(vector, plane) 64-element
@@ -88,19 +106,24 @@ object Similarity {
     * aggregate (2.46B at the 10× scale probe, which OOMed DuckDB);
     * the list shape is bit-identical because every term is cast to
     * DECIMAL(30,12) first, making the sum exactly order-independent. */
-  private def duckBands(bandBits: Int) = {
+  private def duckBands(bandBits: Int): String = duckBands(bandBits, "", "embeddings")
+
+  /** `sfx` suffixes every CTE name and `src` is the (possibly gated)
+    * embeddings source — the d8b-style branch-gating hook: a branch
+    * whose `src` CTE is empty computes nothing. */
+  private def duckBands(bandBits: Int, sfx: String, src: String) = {
     val weights = (0 until bandBits).map(b => 1L << b).mkString("[", ",", "]")
-    s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-      |       FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
-      |plv AS (SELECT p, list(w ORDER BY d) AS wv FROM planes GROUP BY p),
-      |dots AS (SELECT vec_id, p,
+    s"""ex$sfx AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |       FROM $src, UNNEST(range(1, 65)) AS u(i)),
+      |plv$sfx AS (SELECT p, list(w ORDER BY d) AS wv FROM planes$sfx GROUP BY p),
+      |dots$sfx AS (SELECT vec_id, p,
       |         list_sum(list_transform(range(1, 65), i ->
       |           CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * wv[CAST(i AS INT)] AS DECIMAL(30,12)))) AS proj
-      |         FROM embeddings CROSS JOIN plv),
-      |bits AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM dots),
-      |bands AS (SELECT vec_id, p // $bandBits AS band,
+      |         FROM $src CROSS JOIN plv$sfx),
+      |bits$sfx AS (SELECT vec_id, p, CASE WHEN proj >= 0 THEN 1 ELSE 0 END AS bit FROM dots$sfx),
+      |bands$sfx AS (SELECT vec_id, p // $bandBits AS band,
       |                 SUM(bit * ($weights)[(p % $bandBits) + 1]) AS bval
-      |          FROM bits GROUP BY 1, 2)""".stripMargin
+      |          FROM bits$sfx GROUP BY 1, 2)""".stripMargin
   }
 
   /** b12-parity cosine: left-to-right double fold, both engines. */
@@ -231,37 +254,73 @@ object Similarity {
       |SELECT qid, vec_id, sim, rank FROM ranked ORDER BY qid, rank""".stripMargin
 
   // -------------------------------------------------------------------
-  // D5: embedding-cosine near-dup summary. 64 planes banded 4×16 bits:
-  // random near-orthogonal pairs collide on a band with prob ≈ 2^-16,
-  // so expected candidates ≈ 4n²/65536 (≈ 8 pairs at n=500) while a
-  // true near-dup (cos ≥ 0.95, per-bit agreement ≈ 0.94) still matches
-  // some band with ≈ 82% probability per band set — the high-threshold
-  // regime where bucket LSH actually prunes. Buckets above 64 members
-  // are DROPPED before the self-join (the family-wide hot-bucket rule,
-  // same as d2/d3/d8/s1): a saturated sign-bucket means mass-duplicated
-  // embeddings, and joining it is quadratic in the duplication factor —
-  // so candidates stay ≤ nBuckets·C(64,2) under ANY adversarial corpus,
+  // D5: embedding-cosine near-dup summary. Band geometry is
+  // PLAN-SWITCHED on corpus size (the d8b recipe), because a FIXED
+  // band width is quadratic in n once random collisions dominate:
+  // random near-orthogonal pairs collide on a w-bit band with prob ≈
+  // 2^-w, so expected candidates ≈ nBands·n²/2^w — negligible at the
+  // driver SFs (≈ 8 pairs at n=500 with 16-bit bands) but 4n²/65536 ≈
+  // 240M pairs at the ×1000 probe's n=2M, each verify-join row
+  // carrying two 64-dim vectors (~0.5 TB of shuffle: the r15 probe
+  // filled the disk — found-and-fixed in the b37/ScaleGen style). The
+  // bucket cap does NOT bound this regime: at n=2M the mean 16-bit
+  // bucket holds ~30 < 64 members, so nothing is dropped while the
+  // pair count grows as n². Fix: above [[D5WideCutoff]] the bands
+  // widen 4×16 → 6×24 bits (64 → 144 planes), putting expected random
+  // candidates at 6n²/2^24 (≈ 1.4M at n=2M, ≈ 36M at n=10M) while a
+  // true near-dup (cos ≥ 0.95, per-bit agreement ≈ 0.94) still
+  // collides on ≥ 1 of the 6 wide bands with ≈ 78% probability (vs
+  // ≈ 84% for the narrow set — the standard LSH precision/recall
+  // dial, and identical vectors collide on EVERY band in both
+  // geometries). The oracle SQL carries BOTH geometries behind the
+  // same corpus-count scalar gate, applied to each branch's INPUT CTE
+  // so the gated-off branch computes nothing on any evaluation
+  // strategy. Buckets above 64 members are still DROPPED before the
+  // self-join (the family-wide hot-bucket rule, same as d2/d3/d8/s1):
+  // a saturated sign-bucket means mass-duplicated embeddings, so
+  // candidates stay ≤ nBuckets·C(64,2) under ANY adversarial corpus,
   // at the documented cost of dropping near-dups inside saturated
   // buckets (measured in Stress: 10× mass duplication). All surviving
   // same-bucket pairs (da < db) are exact-verified; output is the
   // corpus near-dup profile at thresholds 0.95 / 0.5 / 0.45 plus max
-  // similarity. On this corpus every bucket is far below the cap (the
-  // cap changes nothing here — it only engages adversarially) and
-  // n_ge95 is 0 by construction (max cosine 0.479).
+  // similarity. On the driver corpora every bucket is far below the
+  // cap and n_ge95 is 0 by construction (max cosine 0.479).
   // -------------------------------------------------------------------
   private val D5BucketCap = 64
 
+  /** Narrow→wide band switchover: below this corpus size the 16-bit
+    * bands hold ≲3 vectors per bucket on average and the exhaustive
+    * narrow geometry is the right plan (higher recall, trivial
+    * candidate count); above it random 16-bit collisions dominate the
+    * candidate set (n²-shaped) and the 24-bit geometry takes over. */
+  private val D5WideCutoff = 200000L
+
   /** Capped candidate pairs (qid < vec_id), exposed for the Stress
-    * mass-duplication probe. */
-  private[queries] def d5Candidates(s: SparkSession, emb: DataFrame): DataFrame = {
-    val b = bands(s, emb, 64, 16)
-    val ok = b.groupBy("band", "bval").count()
-      .filter(col("count") <= D5BucketCap).drop("count")
-    val capped = b.join(ok, Seq("band", "bval"))
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id")).distinct()
+    * mass-duplication probe. Geometry picked by a plan-time count()
+    * over one column-pruned scan (same trade as d8bAssign). */
+  private[queries] def d5Candidates(s: SparkSession, emb: DataFrame): DataFrame =
+    d5CandidatesGeo(s, emb, wide = emb.select("vec_id").count() > D5WideCutoff)
+
+  /** Geometry-pinned candidates (spec hook: exercises the wide branch
+    * on fixtures of any size). Pair generation is bucket-collect +
+    * in-bucket explode rather than a capped self-join: the self-join
+    * form planned the band subtree FOUR times (bucket-count gate plus
+    * both join sides), and at the wide geometry the band signature is
+    * the dominant cost. Here bands are computed once, buckets above
+    * the cap drop before pair expansion (same ≤cap semantics, same
+    * pair set), and the worst adversarial bucket costs one
+    * corpus-sized aggregation buffer before its filter drops it. */
+  private[queries] def d5CandidatesGeo(s: SparkSession, emb: DataFrame,
+      wide: Boolean): DataFrame = {
+    val (nPlanes, bits) = if (wide) (144, 24) else (64, 16)
+    val b = bands(s, emb, nPlanes, bits)
+    val buckets = b.groupBy("band", "bval")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) <= D5BucketCap && size(col("ids")) >= 2)
+    buckets.select(explode(col("ids")).as("qid"), col("ids"))
+      .select(col("qid"), explode(col("ids")).as("vec_id"))
+      .filter(col("qid") < col("vec_id"))
+      .select("qid", "vec_id").distinct()
   }
 
   def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
@@ -282,14 +341,22 @@ object Similarity {
   }
 
   val d5Sql: String =
-    s"""WITH ${duckPlanes(64)},
-      |${duckBands(16)},
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |emb_nr AS (SELECT * FROM embeddings WHERE (SELECT n FROM nn) <= $D5WideCutoff),
+      |emb_wd AS (SELECT * FROM embeddings WHERE (SELECT n FROM nn) > $D5WideCutoff),
+      |${duckPlanes(64, "_nr")},
+      |${duckPlanes(144, "_wd")},
+      |${duckBands(16, "_nr", "emb_nr")},
+      |${duckBands(24, "_wd", "emb_wd")},
+      |bands AS (SELECT * FROM bands_nr UNION ALL SELECT * FROM bands_wd),
       |capped AS (SELECT b.* FROM bands b
       |           JOIN (SELECT band, bval FROM bands GROUP BY 1, 2
       |                 HAVING COUNT(*) <= $D5BucketCap) ok USING (band, bval)),
       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
       |         FROM capped a JOIN capped b ON a.band = b.band AND a.bval = b.bval
       |         WHERE a.vec_id < b.vec_id),
+      |ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |       FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
       |sims AS (
       |  SELECT c.qid, c.vec_id,
       |         CAST(ROUND(SUM(a.x * b.x) / (SQRT(SUM(a.x * a.x)) * SQRT(SUM(b.x * b.x))), 6) AS DOUBLE) AS sim

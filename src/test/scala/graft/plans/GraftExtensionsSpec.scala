@@ -73,6 +73,76 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(CosineKernel.compute(short, long2) == null)
   }
 
+  test("unscaled12 equals the BigDecimal.valueOf + setScale(12, HALF_UP) reference exactly") {
+    def ref(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    // edge shapes: zeros, signed zero, exact halves at the 12th place,
+    // exponent-form small values, integer values, >=1e6 fallback path
+    val edges = Seq(0.0, -0.0, 1.0, -1.0, 0.5e-12, -0.5e-12, 1.5e-12,
+      2.5e-12, -2.5e-12, 1e-13, 9.99999e-13, 0.000123, -0.000123,
+      1.23e-5, -1.23e-5, 123.456, 2048.0, -3000.0, 2999.999999999999,
+      1234567.89, -8.7e5, 4.9e-324, -4.9e-324)
+    edges.foreach { v =>
+      assert(LshBandsKernel.unscaled12(v) == ref(v), s"edge $v")
+    }
+    // differential sweep over the kernel's actual input shape:
+    // float-derived components × integer weights in [-1000, 1000]
+    val rnd = new scala.util.Random(20260815L)
+    var i = 0
+    while (i < 2000000) {
+      val x = (rnd.nextFloat() * 8 - 4).toDouble
+      val w = (rnd.nextInt(2001) - 1000).toLong
+      val v = x * w
+      assert(LshBandsKernel.unscaled12(v) == ref(v),
+        s"mismatch at v=$v (x=$x w=$w)")
+      i += 1
+    }
+    // and raw doubles (not float-derived) across magnitudes
+    i = 0
+    while (i < 500000) {
+      val v = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(10) - 6)
+      assert(LshBandsKernel.unscaled12(v) == ref(v), s"mismatch at raw v=$v")
+      i += 1
+    }
+  }
+
+  test("lsh_bands kernel equals the declarative explode+join+decimal-sum pipeline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(7L)
+    val emb = (0L until 200L).map(id =>
+      (id, Array.fill(64)((rnd.nextFloat() * 2 - 1)))).toDF("vec_id", "embedding")
+    val nPlanes = 48
+    val bandBits = 12
+    // reference: the former join-form pipeline, verbatim
+    val planes = spark.range(nPlanes.toLong * 64).select(
+        expr("id div 64").as("p"), (col("id") % 64).as("d"))
+      .select(col("p"), col("d"),
+        (conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))), 1, 12), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>"))).toDF("vec_id", "d", "x")
+    val dots = ex.join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum((col("x") * col("w")).cast(DecimalType(30, 12))).as("proj"))
+    val bits = dots.select(col("vec_id"), col("p"),
+      when(col("proj") >= 0, 1L).otherwise(0L).as("bit"))
+    val weights = typedLit((0 until bandBits).map(b => 1L << b))
+    val refBands = bits.groupBy(col("vec_id"), (col("p") / bandBits).cast("long").as("band"))
+      .agg(sum(col("bit") * element_at(weights, (col("p") % bandBits).cast("int") + 1)).as("bval"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // kernel form
+    GraftFunctions.ensureLshBands(spark)
+    val got = emb.select(col("vec_id"),
+        call_function("lsh_bands", col("embedding").cast("array<double>"),
+          lit(nPlanes), lit(bandBits)).as("bvals"))
+      .select(col("vec_id"), posexplode(col("bvals")))
+      .select(col("vec_id"), col("pos").cast("long"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == refBands, "lsh_bands diverges from the declarative pipeline")
+  }
+
   test("DotRewrite fuses the declarative dot idiom into native_dot, bit-identically") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))

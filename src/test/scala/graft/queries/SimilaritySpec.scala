@@ -145,6 +145,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_sim") <= 1.0)
   }
 
+  test("d5: wide band geometry (the above-cutoff plan) keeps planted dups and prunes harder") {
+    import spark.implicits._
+    // hash-mixed near-orthogonal corpus (same recipe as the d8b
+    // fixture) + planted exact-duplicate groups: identical vectors
+    // collide on EVERY band in ANY geometry, so both branches must
+    // recover every planted pair, while the wide 6×24-bit branch must
+    // admit no MORE random candidates than the narrow 4×16-bit one —
+    // the whole point of the r15 width switch (narrow bands at ×1000
+    // generated ~4n²/65536 random pairs and filled the disk).
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    val distinct = (0 until 4096).map { i =>
+      (i.toLong, Array.tabulate(64)(j => h(i, j)))
+    }
+    val planted = distinct.filter(_._1 % 160 == 0).flatMap { case (id, v) =>
+      (1 to 4).map(k => (200000L + id * 8 + k, v))
+    }
+    val emb = (distinct ++ planted).toDF("vec_id", "embedding")
+    val wantPairs = distinct.map(_._1).filter(_ % 160 == 0).flatMap { base =>
+      val ids = (base +: (1 to 4).map(k => 200000L + base * 8 + k)).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = pairs(Similarity.d5CandidatesGeo(spark, emb, wide = true))
+    val narrow = pairs(Similarity.d5CandidatesGeo(spark, emb, wide = false))
+    assert(wantPairs.subsetOf(wide),
+      s"wide branch lost planted pairs: ${(wantPairs -- wide).take(5)}")
+    assert(wantPairs.subsetOf(narrow),
+      s"narrow branch lost planted pairs: ${(wantPairs -- narrow).take(5)}")
+    assert(wide.size <= narrow.size,
+      s"wider bands admitted MORE candidates: ${wide.size} vs ${narrow.size}")
+    // the plan switch picks the narrow geometry below the cutoff
+    assert(pairs(Similarity.d5Candidates(spark, emb)) == narrow,
+      "below the cutoff d5Candidates must be the narrow plan")
+  }
+
   test("s5: range search returns exactly the brute-force pairs above the floor") {
     val got = Similarity.s5RangeSearch(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
