@@ -201,7 +201,17 @@ object Bench {
               rotated(name)
             } else {
             val df = fn(spark, sfDir)
-            execute(df) // warmup: scan/codegen/broadcast caches
+            // warmup: scan/codegen/broadcast caches. Under the probe
+            // protocol (SPARK_GRAFT_RUNS) the warmup wall is PRINTED:
+            // family queries build shared persisted relations during
+            // their first execution, so at probe SFs the warmup is
+            // where the real subtree cost lands (the r15 ×1000 sweep's
+            // d2 showed 0.48 s timed after a multi-minute unrecorded
+            // warmup) — a probe reader needs both numbers.
+            val w0 = System.nanoTime()
+            execute(df)
+            if (runsOverride.isDefined)
+              println(s"""{"q":"$name","warmup_sec":${jnum((System.nanoTime() - w0) / 1e9)}}""")
             def median(n: Int): Double = {
               val runs = Seq.fill(n) {
                 val t0 = System.nanoTime()

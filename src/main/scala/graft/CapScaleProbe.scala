@@ -97,11 +97,57 @@ object CapScaleProbe {
       .toFeaturesWithQuarantine(alerts, persist = false).quarantine.count()
     val qSec = (System.nanoTime() - qT0) / 1e9
 
+    // cap4/cap5 STREAM drains at the same scale (r14 verdict task 6).
+    // The lifecycle chains replicate like the batch corpus: every file
+    // of one Alert→Update*→Cancel chain carries the SAME identifier,
+    // so the per-copy rewrite keeps each copy a complete independent
+    // chain — N× the live alert ids, N× the mapGroupsWithState /
+    // flatMapGroupsWithState state rows. Drained through the standard
+    // StreamRunner path (RocksDB state, exactly-once file sink,
+    // AvailableNow). requireSingleDataBatch is deliberately NOT
+    // asserted: at probe scale the file source legitimately splits
+    // into multiple micro-batches, which is exactly the cross-batch
+    // state accumulation worth measuring (the golden oracles, which DO
+    // depend on one batch, run at fixture scale only).
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val lcDir = new java.io.File(work + "_lifecycle")
+    val nLc = replicate(graft.queries.CapQueries.lifecycleFixtureDir, lcDir)
+    def drain(sink: String, df: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.StreamRunner.run(spark, sink, lcDir.toString, df, "update").count()
+    def cap4(): Long = drain("cap4_scale_sink",
+      graft.streaming.CapStream.lifecycle(
+          graft.streaming.CapStream.alerts(spark, lcDir.toString)).toDF()
+        .select(col("identifier"), col("status"),
+          concat_ws("|", col("msgTypes")).as("msg_chain"),
+          col("lastSent").as("last_sent")))
+    def cap5(): Long = drain("cap5_scale_sink",
+      graft.streaming.CapStream.lifecycleTransitions(
+          graft.streaming.CapStream.alerts(spark, lcDir.toString)).toDF()
+        .select(col("identifier"), col("fromStatus").as("from_status"),
+          col("toStatus").as("to_status"), col("msgType").as("msg_type"),
+          col("sent")))
+    def timed(f: () => Long): (Long, Seq[Double]) = {
+      val rows = f() // warmup drain (JIT, RocksDB natives, listing)
+      val ws = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        f()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (rows, ws)
+    }
+    val (cap4Rows, cap4Walls) = timed(cap4 _)
+    val (cap5Rows, cap5Walls) = timed(cap5 _)
+
     println(
       s"""{"cap_scale_probe":{"copies":$n,"files":$nFiles,"bad_files":$nBad,""" +
         s""""gen_sec":${f"$genSec%.1f"},"features":$features,""" +
         s""""pipeline_sec":${walls.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
-        s""""quarantined":$quarantined,"quarantine_sec":${f"$qSec%.1f"}}}""")
+        s""""quarantined":$quarantined,"quarantine_sec":${f"$qSec%.1f"},""" +
+        s""""lifecycle_files":$nLc,"cap4_rows":$cap4Rows,""" +
+        s""""cap4_wall_sec":${cap4Walls.map(w => f"$w%.1f").mkString("[", ",", "]")},""" +
+        s""""cap5_rows":$cap5Rows,""" +
+        s""""cap5_wall_sec":${cap5Walls.map(w => f"$w%.1f").mkString("[", ",", "]")}}}""")
+    graft.streaming.StateBackend.shutdown()
     spark.stop()
   }
 }

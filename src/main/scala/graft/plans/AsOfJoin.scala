@@ -40,6 +40,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   left.crossJoin(right).hint("graft_asof",
   *     "leftKeyCol", "leftTimeCol", "rightKeyCol", "rightTimeCol")
+  *   // COMPOSITE keys: comma-separate the key columns inside the two
+  *   // key parameters — counts must match pairwise, e.g. a
+  *   // (symbol, venue)-keyed quote lookup:
+  *   //   .hint("graft_asof", "sym,venue", "ts", "q_sym,q_venue", "q_ts")
+  *   // A row with ANY null key component never matches (SQL equi-join
+  *   // three-valued logic, per component).
   *   // optional trailing flags (any order): "inner" (default) |
   *   // "left_outer" — keep unmatched left rows null-filled; and
   *   // "backward" (default) — largest right time <= left time — |
@@ -73,9 +79,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class AsOfJoinPlan(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
     isLeftOuter: Boolean = false,
     isForward: Boolean = false,
@@ -144,9 +150,31 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     if (names.size < 4 || names.size > 7)
       throw new IllegalArgumentException(
         "graft_asof expects 4 string parameters " +
-          "(leftKey, leftTime, rightKey, rightTime) plus optional flags " +
+          "(leftKeys, leftTime, rightKeys, rightTime; keys may be " +
+          "comma-separated lists of matching length) plus optional flags " +
           s"('inner' | 'left_outer', 'backward' | 'forward', 'tol_us=N'), got $params")
     val Seq(lkN, ltN, rkN, rtN) = names.take(4)
+    // composite keys: each key parameter is a comma-separated column
+    // list; the two lists pair up positionally and must be the same
+    // length — a count mismatch is a silent-semantics hazard, rejected
+    // at analysis like every other malformation
+    def keyList(spec: String, what: String): Seq[String] = {
+      val ks = spec.split(',').map(_.trim).toSeq
+      if (ks.isEmpty || ks.exists(_.isEmpty))
+        throw new IllegalArgumentException(
+          s"graft_asof: $what key list '$spec' is empty or has an empty component")
+      if (ks.distinct.size != ks.size)
+        throw new IllegalArgumentException(
+          s"graft_asof: $what key list '$spec' names a column twice")
+      ks
+    }
+    val lkNs = keyList(lkN, "left")
+    val rkNs = keyList(rkN, "right")
+    if (lkNs.size != rkNs.size)
+      throw new IllegalArgumentException(
+        s"graft_asof: key lists differ in length — '$lkN' has ${lkNs.size} " +
+          s"columns, '$rkN' has ${rkNs.size}; the two sides' keys pair up " +
+          "positionally and must match")
     // trailing flags, any order; each dimension may be set at most once
     var outerFlag: Option[Boolean] = None
     var forwardFlag: Option[Boolean] = None
@@ -180,17 +208,20 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
     }
     val isOuter = outerFlag.getOrElse(false)
     val isFwd = forwardFlag.getOrElse(false)
-    val (lk, lt) = (resolveOne(l, lkN, "left key"), resolveOne(l, ltN, "left time"))
-    val (rk, rt) = (resolveOne(r, rkN, "right key"), resolveOne(r, rtN, "right time"))
-    if (lk.dataType != rk.dataType)
-      throw new IllegalArgumentException(
-        s"graft_asof: key types differ — ${lk.dataType} vs ${rk.dataType}")
+    val lks = lkNs.map(resolveOne(l, _, "left key"))
+    val rks = rkNs.map(resolveOne(r, _, "right key"))
+    val (lt, rt) = (resolveOne(l, ltN, "left time"), resolveOne(r, rtN, "right time"))
+    lks.zip(rks).foreach { case (lk, rk) =>
+      if (lk.dataType != rk.dataType)
+        throw new IllegalArgumentException(
+          s"graft_asof: key types differ — ${lk.dataType} vs ${rk.dataType}")
+    }
     if (lt.dataType != rt.dataType)
       throw new IllegalArgumentException(
         s"graft_asof: time types differ — ${lt.dataType} vs ${rt.dataType}")
     // orderability check: getInterpretedOrdering throws on unordered
     // types at analysis time, not per-row at execution
-    TypeUtils.getInterpretedOrdering(lk.dataType)
+    lks.foreach(lk => TypeUtils.getInterpretedOrdering(lk.dataType))
     TypeUtils.getInterpretedOrdering(lt.dataType)
     // the tolerance is a difference bound, so it additionally needs the
     // time type's internal representation to be an integral number
@@ -203,7 +234,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
         "graft_asof: tol_us requires a time column with an integral " +
           s"internal representation (timestamp, date, or integer types), got $other")
     }
-    AsOfJoinPlan(l, r, lk, lt, rk, rt, isOuter, isFwd, tolUs, rBroadcast)
+    AsOfJoinPlan(l, r, lks, lt, rks, rt, isOuter, isFwd, tolUs, rBroadcast)
   }
 
   /** Descend a UNARY spine to the condition-free cross/inner join the
@@ -271,20 +302,57 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   * hint still wins, mirroring BroadcastHashJoin). */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt, outer, fwd, tol, bcast) =>
+    case AsOfJoinPlan(l, r, lks, lt, rks, rt, outer, fwd, tol, bcast) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (bcast || (threshold > 0 && r.stats.sizeInBytes <= threshold))
-        BroadcastAsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol,
+        BroadcastAsOfJoinExec(lks, lt, rks, rt, outer, fwd, tol,
           planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, lt, rk, rt, outer, fwd, tol,
+        AsOfJoinExec(lks, lt, rks, rt, outer, fwd, tol,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Sort-merge as-of join. Each child is hash-clustered on its key
+/** Composite-key machinery shared by the two as-of execs: evaluates the
+  * N bound key expressions into one Array[Any] — null if ANY component
+  * is null, so a partially-null key never matches (per-component SQL
+  * equi-join three-valued logic) — and compares two such arrays
+  * lexicographically under each component type's interpreted ordering
+  * (the same orderings the sort-merge form's requiredChildOrdering
+  * sorts by, so TreeMap lookups and merge compares agree for every
+  * orderable component type). */
+private[plans] final class AsOfKeyOps(types: Seq[org.apache.spark.sql.types.DataType])
+    extends java.util.Comparator[Array[Any]] with Serializable {
+  private val ords: Array[Ordering[Any]] =
+    types.map(t => TypeUtils.getInterpretedOrdering(t).asInstanceOf[Ordering[Any]]).toArray
+
+  override def compare(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < ords.length) {
+      val c = ords(i).compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Key tuple of `row` under `bound`, or null if any component is null. */
+  def eval(bound: Array[Expression], row: InternalRow): Array[Any] = {
+    val out = new Array[Any](bound.length)
+    var i = 0
+    while (i < bound.length) {
+      val v = bound(i).eval(row)
+      if (v == null) return null
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+}
+
+/** Sort-merge as-of join. Each child is hash-clustered on its key set
   * (EnsureRequirements co-partitions the two shuffles) and sorted by
   * (key, time); the merge streams both sides with O(1) state per
   * partition beyond the children's own sorts. BACKWARD (default):
@@ -305,9 +373,9 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   * non-deterministic input order.
   */
 case class AsOfJoinExec(
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
     isLeftOuter: Boolean,
     isForward: Boolean,
@@ -320,11 +388,11 @@ case class AsOfJoinExec(
     else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   // merge preserves the left side's clustering and (key, time) order
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -339,11 +407,11 @@ case class AsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val keyOrd = new AsOfKeyOps(leftKeys.map(_.dataType))
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val lkB = leftKeys.map(BindReferences.bindReference(_, left.output)).toArray
     val ltB = BindReferences.bindReference(leftTime, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rkB = rightKeys.map(BindReferences.bindReference(_, right.output)).toArray
     val rtB = BindReferences.bindReference(rightTime, right.output)
     val outAttrs = output
     val lRdd = left.execute()
@@ -381,13 +449,13 @@ case class AsOfJoinExec(
         // key/time are extracted eagerly, the row itself is only read
         // before the next rIter.next())
         private var rRow: InternalRow = null
-        private var rK: Any = null
+        private var rK: Array[Any] = null
         private var rT: Any = null
         // the buffered candidate: last right row with key == current
         // left key and time <= current left time (copied — it outlives
         // iterator advances)
         private var candRow: InternalRow = null
-        private var candKey: Any = null
+        private var candKey: Array[Any] = null
         // the candidate's time, re-evaluated from the COPIED row (same
         // buffer-reuse hazard as candKey) — only consulted under hasTol
         private var candTime: Any = null
@@ -396,7 +464,7 @@ case class AsOfJoinExec(
           rRow = null
           while (rRow == null && rIter.hasNext) {
             val r = rIter.next()
-            val k = rkB.eval(r)
+            val k = keyOrd.eval(rkB, r)
             val t = rtB.eval(r)
             if (k != null && t != null) { rRow = r; rK = k; rT = t }
           }
@@ -406,7 +474,7 @@ case class AsOfJoinExec(
         private def computeNext(): Unit = {
           while (ready == null && lIter.hasNext) {
             val l = lIter.next()
-            val lk = lkB.eval(l)
+            val lk = keyOrd.eval(lkB, l)
             val lt = ltB.eval(l)
             if (lk != null && lt != null) {
               if (forward) {
@@ -443,7 +511,7 @@ case class AsOfJoinExec(
                     // advanceRight() for buffer-backed types (UTF8String,
                     // binary, structs) — storing it would corrupt the
                     // candidate-key guard below
-                    candKey = rkB.eval(candRow)
+                    candKey = keyOrd.eval(rkB, candRow)
                     if (hasTol) candTime = rtB.eval(candRow)
                   }
                   advanceRight()
@@ -502,9 +570,9 @@ case class AsOfJoinExec(
   * hashCode/equals of exotic key types).
   */
 case class BroadcastAsOfJoinExec(
-    leftKey: Expression,
+    leftKeys: Seq[Expression],
     leftTime: Expression,
-    rightKey: Expression,
+    rightKeys: Seq[Expression],
     rightTime: Expression,
     isLeftOuter: Boolean,
     isForward: Boolean,
@@ -532,11 +600,11 @@ case class BroadcastAsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val keyOrd = new AsOfKeyOps(leftKeys.map(_.dataType))
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val lkB = leftKeys.map(BindReferences.bindReference(_, left.output)).toArray
     val ltB = BindReferences.bindReference(leftTime, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rkB = rightKeys.map(BindReferences.bindReference(_, right.output)).toArray
     val rtB = BindReferences.bindReference(rightTime, right.output)
     val outAttrs = output
     val outer = isLeftOuter
@@ -570,14 +638,13 @@ case class BroadcastAsOfJoinExec(
       // broadcast array order (stable in-place sort — same "undefined
       // under duplicates" caveat as the sort-merge form).
       val index = BroadcastAsOfJoinExec.cachedIndex(cacheKey, () => {
-        val idx = new java.util.TreeMap[Any, AnyRef](
-          keyOrd.asInstanceOf[java.util.Comparator[Any]])
+        val idx = new java.util.TreeMap[Array[Any], AnyRef](keyOrd)
         // build directly into the FINAL TreeMap: buffers accumulate in
         // place and are replaced by their sorted array form via
         // entry.setValue — no intermediate byKey map, no second
         // allocation of the whole index
         broadcastRows.value.foreach { r =>
-          val k = rkB.eval(r)
+          val k = keyOrd.eval(rkB, r)
           val t = rtB.eval(r)
           if (k != null && t != null) {
             var buf = idx.get(k)
@@ -625,7 +692,7 @@ case class BroadcastAsOfJoinExec(
       }
 
       lIter.flatMap { l =>
-        val lk = lkB.eval(l)
+        val lk = keyOrd.eval(lkB, l)
         val lt = ltB.eval(l)
         var matched: InternalRow = null
         if (lk != null && lt != null) {
@@ -678,17 +745,17 @@ object BroadcastAsOfJoinExec {
     * memoization spec (local mode: executor == driver JVM). */
   private[plans] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private val cache: java.util.Map[(Long, Int), java.util.TreeMap[Any, AnyRef]] =
+  private val cache: java.util.Map[(Long, Int), java.util.TreeMap[Array[Any], AnyRef]] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(Long, Int), java.util.TreeMap[Any, AnyRef]](
+      new java.util.LinkedHashMap[(Long, Int), java.util.TreeMap[Array[Any], AnyRef]](
         CacheCap, 0.75f, /* accessOrder = */ true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(Long, Int), java.util.TreeMap[Any, AnyRef]]): Boolean =
+            e: java.util.Map.Entry[(Long, Int), java.util.TreeMap[Array[Any], AnyRef]]): Boolean =
           size() > CacheCap
       })
 
   private[plans] def cachedIndex(
       key: (Long, Int),
-      build: () => java.util.TreeMap[Any, AnyRef]): java.util.TreeMap[Any, AnyRef] =
+      build: () => java.util.TreeMap[Array[Any], AnyRef]): java.util.TreeMap[Array[Any], AnyRef] =
     cache.computeIfAbsent(key, _ => { buildCount.incrementAndGet(); build() })
 }

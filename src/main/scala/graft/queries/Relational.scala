@@ -1867,6 +1867,59 @@ object Relational {
       |  ON e.event_type = p.p_type AND e.ts >= p.p_ts
       |ORDER BY e.event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // B61: COMPOSITE-KEY as-of join — real as-of consumers key on
+  // (symbol, venue)-style tuples, here (user_id, value band): each
+  // error is matched to the same user's latest prior click IN THE SAME
+  // band. The hint's comma-separated key lists produce one
+  // AsOfJoinPlan over both columns; the sort-merge form hash-clusters
+  // on the FULL key set — one exchange per side on (user_id, band),
+  // shared with the right side's dedup aggregate via the explicit
+  // repartition, exactly the b49 single-exchange layout at N keys.
+  // Null handling is per component (a null band never matches, SQL
+  // three-valued logic). Oracle: DuckDB ASOF JOIN with a multi-column
+  // equality ON — plan-independent semantics.
+  // -------------------------------------------------------------------
+  def b61AsofComposite(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val band = when(col("value") >= lit(0.5), lit("hi")).otherwise(lit("lo"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), band.as("c_band"),
+        col("ts").as("c_ts"), col("event_id"))
+      .repartition(col("c_user_id"), col("c_band"))
+      .groupBy(col("c_user_id"), col("c_band"), col("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), band.as("band"), col("ts"))
+    val j = errors.crossJoin(clicks)
+      .hint("graft_asof", "user_id,band", "ts", "c_user_id,c_band", "c_ts")
+    if (!j.queryExecution.analyzed.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]))
+      throw new IllegalStateException(
+        "graft_asof hint was not rewritten to AsOfJoinPlan — build the " +
+          "session with spark.sql.extensions=graft.plans.GraftExtensions " +
+          "(refusing to run the fallback cartesian join)")
+    j.select(col("event_id"), col("user_id"), col("band"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val b61Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id AS c_user_id,
+      |         CASE WHEN value >= 0.5 THEN 'hi' ELSE 'lo' END AS c_band,
+      |         ts AS c_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3
+      |), errors AS (
+      |  SELECT event_id, user_id,
+      |         CASE WHEN value >= 0.5 THEN 'hi' ELSE 'lo' END AS band, ts
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT e.event_id, e.user_id, e.band, c.click_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(c.c_ts) AS BIGINT) AS gap_us
+      |FROM errors e ASOF JOIN clicks c
+      |  ON e.user_id = c.c_user_id AND e.band = c.c_band AND e.ts >= c.c_ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** name → (builder, oracle SQL) */
   val queries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("b1_scan_filter", b1ScanFilter _, b1Sql),
@@ -1919,5 +1972,6 @@ object Relational {
     ("b56_exists_not_in", b56ExistsNotIn _, b56Sql),
     ("b58_asof_forward", b58AsofForward _, b58Sql),
     ("b59_asof_tolerance", b59AsofTolerance _, b59Sql),
-    ("b60_asof_broadcast", b60AsofBroadcastDim _, b60Sql))
+    ("b60_asof_broadcast", b60AsofBroadcastDim _, b60Sql),
+    ("b61_asof_composite", b61AsofComposite _, b61Sql))
 }

@@ -182,7 +182,7 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rightScan = TestScanExec(s, rOut, Seq(
       Seq("a", 10L, "ra1"), Seq("a", 20L, "ra2"), Seq("b", 5L, "rb")))
     val exec = AsOfJoinExec(
-      lOut.head, lOut(1), rOut.head, rOut(1), isLeftOuter = false,
+      Seq(lOut.head), lOut(1), Seq(rOut.head), rOut(1), isLeftOuter = false,
       isForward = false, tolUs = None, leftScan, rightScan)
     val rows = exec.execute().collect()
     assert(rows.length == 1,
@@ -570,6 +570,178 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val smj = try Relational.b49AsofNative(s, sf).collect().map(_.toString).sorted
     finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert(wide.sameElements(smj), "b49 values depend on the physical as-of plan")
+  }
+
+  test("AQE picks the same as-of physical plans and produces identical values") {
+    // r14 verdict task 5: the scaladoc claims AQE-compatibility via
+    // EnsureRequirements; this pins it. Under adaptive execution the
+    // children become shuffle query stages and CoalesceShufflePartitions
+    // may re-plan their partition counts — the exec's
+    // requiredChildDistribution must keep the two sides CO-partitioned
+    // (a divergence fails doExecute's partition-count require, so value
+    // parity here is also a co-partitioning proof), and the planner's
+    // pick (sort-merge vs broadcast) must be the same one the static
+    // planner makes, with bit-identical output either way.
+    val s = freshSession(extended = true)
+    def finalPlan(df: DataFrame): String = {
+      df.collect() // finalize the adaptive plan
+      df.queryExecution.executedPlan.toString
+    }
+    def sortedRows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // synthetic shape big enough that AQE genuinely re-plans: 16-wide
+    // shuffles on both sides, tiny per-partition bytes → coalescing fires
+    def fact = s.range(0, 20000)
+      .select((col("id") % 100).as("k"), (col("id") % 1009).as("t"), col("id").as("lv"))
+    def dim = s.range(0, 15000)
+      .select((col("id") % 100).as("rk"), ((col("id") * 7) % 1009).as("rt"),
+        (col("id") + 900000).as("rv"))
+    def asof = fact.crossJoin(dim).hint("graft_asof", "k", "t", "rk", "rt", "left_outer")
+
+    def withConf[A](pairs: (String, String)*)(body: => A): A = {
+      pairs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body finally pairs.foreach { case (k, _) => s.conf.unset(k) }
+    }
+    // 1) sort-merge exec under AQE (threshold -1 disables broadcast)
+    val (aqeSmjRows, aqeSmjPlan) = withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "16") {
+      val df = asof
+      (sortedRows(df), finalPlan(df))
+    }
+    assert(aqeSmjPlan.contains("AdaptiveSparkPlan"), aqeSmjPlan)
+    assert(aqeSmjPlan.contains("isFinalPlan=true"), aqeSmjPlan)
+    assert(aqeSmjPlan.contains("AsOfJoin") && !aqeSmjPlan.contains("BroadcastAsOfJoin"),
+      s"AQE did not keep the sort-merge as-of pick:\n$aqeSmjPlan")
+    val offSmjRows = withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "16")(sortedRows(asof))
+    assert(aqeSmjRows == offSmjRows, "AQE on/off divergence through AsOfJoinExec")
+
+    // 2) broadcast exec under AQE (default threshold, dim-sized right)
+    val smallDim = dim.filter(col("rk") < 10).groupBy("rk")
+      .agg(max(col("rt")).as("rt"), max(col("rv")).as("rv"))
+    def basof = fact.crossJoin(smallDim).hint("graft_asof", "k", "t", "rk", "rt")
+    val (aqeBcRows, aqeBcPlan) = withConf(
+      "spark.sql.adaptive.enabled" -> "true") {
+      val df = basof
+      (sortedRows(df), finalPlan(df))
+    }
+    assert(aqeBcPlan.contains("AdaptiveSparkPlan"), aqeBcPlan)
+    assert(aqeBcPlan.contains("BroadcastAsOfJoin"),
+      s"AQE did not keep the broadcast as-of pick:\n$aqeBcPlan")
+    val offBcRows = withConf(
+      "spark.sql.adaptive.enabled" -> "false")(sortedRows(basof))
+    assert(aqeBcRows == offBcRows, "AQE on/off divergence through BroadcastAsOfJoinExec")
+
+    // 3) the oracled queries themselves: hash-equal rows AQE on vs off
+    for ((name, bld) <- Seq(
+        "b49" -> (() => Relational.b49AsofNative(s, sf)),
+        "b60" -> (() => Relational.b60AsofBroadcastDim(s, sf)))) {
+      val on = withConf("spark.sql.adaptive.enabled" -> "true")(sortedRows(bld()))
+      val off = withConf("spark.sql.adaptive.enabled" -> "false")(sortedRows(bld()))
+      assert(on == off, s"$name: AQE on/off value divergence")
+    }
+  }
+
+  test("composite keys: N-column as-of equals the fused-single-key run on both physical plans") {
+    // r14 verdict task 7: (symbol, venue)-style keys. Ground truth by
+    // equivalence — fusing the two key columns into one string key is
+    // semantically identical (concat nulls out when any component is
+    // null, matching the per-component null rule), so every flag combo
+    // must produce the same rows through: composite sort-merge,
+    // composite broadcast, fused sort-merge.
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some("x"), Some(100L), "a"), // matches (1,x,95)
+      (Some(1L), Some("y"), Some(100L), "b"), // same k1, other venue → (1,y,60)
+      (Some(1L), Some("z"), Some(100L), "c"), // venue with no right rows
+      (Some(2L), Some("x"), Some(50L), "d"), // right (2,x) rows are later → no backward match
+      (None: Option[Long], Some("x"), Some(100L), "n1"), // null first component
+      (Some(1L), None: Option[String], Some(100L), "n2"), // null second component
+      (Some(1L), Some("x"), None: Option[Long], "n3")) // null time
+      .toDF("k1", "k2", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some("x"), Some(95L), "r1x95"), (Some(1L), Some("x"), Some(40L), "r1x40"),
+      (Some(1L), Some("y"), Some(60L), "r1y60"), (Some(2L), Some("x"), Some(70L), "r2x70"),
+      (None: Option[Long], Some("x"), Some(1L), "rn1"), (Some(1L), None: Option[String], Some(1L), "rn2"),
+      (Some(1L), Some("x"), None: Option[Long], "rnt"))
+      .toDF("rk1", "rk2", "rt", "rtag")
+    val fuse = (k1: org.apache.spark.sql.Column, k2: org.apache.spark.sql.Column) =>
+      concat(k1.cast("string"), lit("|"), k2)
+    val lf = left.withColumn("fk", fuse(col("k1"), col("k2")))
+    val rf = right.withColumn("rfk", fuse(col("rk1"), col("rk2")))
+    def rows(df: DataFrame): Seq[(String, Option[String])] =
+      df.select("tag", "rtag").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).sorted.toSeq
+    val combos = Seq(
+      Seq.empty[String], Seq("left_outer"), Seq("forward"),
+      Seq("forward", "left_outer"), Seq("tol_us=20"),
+      Seq("left_outer", "tol_us=20"), Seq("forward", "tol_us=20"),
+      Seq("forward", "left_outer", "tol_us=20"))
+    combos.foreach { f =>
+      def composite = left.crossJoin(right)
+        .hint("graft_asof", Seq("k1,k2", "t", "rk1,rk2", "rt") ++ f: _*)
+      val fused = rows(lf.crossJoin(rf)
+        .hint("graft_asof", Seq("fk", "t", "rfk", "rt") ++ f: _*))
+      // default threshold: tiny right → broadcast pick
+      val viaBc = composite
+      val bcRows = rows(viaBc)
+      assert(viaBc.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"),
+        s"flags $f: composite did not plan the broadcast variant")
+      assert(bcRows == fused, s"flags $f: composite broadcast != fused reference")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val viaSmj = composite
+        val smjRows = rows(viaSmj)
+        val plan = viaSmj.queryExecution.executedPlan.toString
+        assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"),
+          s"flags $f: composite did not fall back to sort-merge")
+        assert(smjRows == fused, s"flags $f: composite sort-merge != fused reference")
+      } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // first-principles spot check, backward inner: 'a'→r1x95, 'b'→r1y60,
+    // 'c'/'d' unmatched, null components never match
+    def backward = left.crossJoin(right)
+      .hint("graft_asof", "k1,k2", "t", "rk1,rk2", "rt")
+    assert(rows(backward) == Seq[(String, Option[String])](
+      ("a", Some("r1x95")), ("b", Some("r1y60"))).sorted)
+    // and the sort-merge plan clusters on BOTH key columns
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = backward.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(k1") && plan.contains("k2"),
+        s"composite sort-merge must shuffle on the full key set:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("composite key lists are validated at analysis: length, empties, duplicates, types") {
+    val s = freshSession(extended = true)
+    import s.implicits._
+    val l = Seq((1L, "x", 10L)).toDF("k1", "k2", "t")
+    val r = Seq((1L, "x", 5L)).toDF("rk1", "rk2", "rt")
+    def hint(lk: String, rk: String) =
+      l.crossJoin(r).hint("graft_asof", lk, "t", rk, "rt").queryExecution.analyzed
+    val mismatch = intercept[IllegalArgumentException](hint("k1,k2", "rk1"))
+    assert(mismatch.getMessage.contains("differ in length"), mismatch.getMessage)
+    val empty = intercept[IllegalArgumentException](hint("k1,,k2", "rk1,rk2,rk1"))
+    assert(empty.getMessage.contains("empty component"), empty.getMessage)
+    val dup = intercept[IllegalArgumentException](hint("k1,k1", "rk1,rk2"))
+    assert(dup.getMessage.contains("twice"), dup.getMessage)
+    // positional type check applies to every pair: (k1:long, k2:string)
+    // against (rk2:string, rk1:long) must fail on the FIRST pair
+    val types = intercept[IllegalArgumentException](hint("k1,k2", "rk2,rk1"))
+    assert(types.getMessage.contains("key types differ"), types.getMessage)
+    // ambiguity rejection applies per component
+    val lAmb = Seq((1L, 2L, 10L)).toDF("k1", "k1", "t")
+    val amb = intercept[IllegalArgumentException] {
+      lAmb.crossJoin(r).hint("graft_asof", "k1,t", "t", "rk1,rk2", "rt")
+        .queryExecution.analyzed
+    }
+    assert(amb.getMessage.contains("resolved to 2"), amb.getMessage)
   }
 
   test("tolerance flag parse and type errors fail at analysis") {

@@ -421,6 +421,145 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kernel round6 is bit-identical to Spark's round(col, 6)") {
+    import spark.implicits._
+    // adversarial set: HALF_UP boundaries (positive and negative),
+    // signed zeros, non-finites, magnitudes where ulp rivals the
+    // rounding step, subnormals — plus seeded uniform noise in the
+    // cosine range, where the kernel actually runs
+    val adversarial = Seq(
+      0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0000005, -0.0000005, 0.0000015, -0.0000015, 0.1234565, -0.1234565,
+      0.12345649999999, 0.12345650000001, 1.0000005, -1.0000005,
+      0.9999995, -0.9999995, 0.49999949999, 4.9E-7, 5.1E-7,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      1.0E10 + 0.1234567, -1.0E10 - 0.1234567, 123456.1234565,
+      Double.MaxValue, -Double.MaxValue, 1.0E-300, -1.0E-300)
+    val rnd = new scala.util.Random(20260816L)
+    val noise = Seq.fill(100000)(rnd.nextDouble() * 3.0 - 1.5)
+    val vals = (adversarial ++ noise).toArray
+    val viaColumn = vals.toSeq.toDF("x")
+      .select(round(col("x"), 6).as("r")).collect().map(_.getDouble(0))
+    vals.zip(viaColumn).foreach { case (x, expect) =>
+      assert(java.lang.Double.doubleToLongBits(Similarity.round6(x)) ==
+        java.lang.Double.doubleToLongBits(expect),
+        s"round6($x): kernel ${Similarity.round6(x)} != Column $expect")
+    }
+  }
+
+  test("argmaxRound6 equals round-everything-then-argmax on near-tie fuzz") {
+    // reference: the aggregator's exact order (rounded value DESC via
+    // Double.compare, id ASC) applied after rounding EVERY candidate
+    def reference(xs: Array[Double], ids: Array[Long], n: Int): Int = {
+      if (n == 0) return -1
+      var best = 0
+      var i = 1
+      while (i < n) {
+        // ArgMaxAgg.better verbatim, on pre-rounded values
+        val c = java.lang.Double.compare(
+          Similarity.round6(xs(i)), Similarity.round6(xs(best)))
+        if (c > 0 || (c == 0 && ids(i) < ids(best))) best = i
+        i += 1
+      }
+      best
+    }
+    val rnd = new scala.util.Random(42L)
+    assert(Similarity.argmaxRound6(Array.empty, Array.empty, 0) == -1)
+    (0 until 20000).foreach { trial =>
+      val n = 1 + rnd.nextInt(24)
+      val base = rnd.nextDouble() * 2.0 - 1.0
+      val xs = Array.fill(n) {
+        rnd.nextInt(4) match {
+          case 0 => base // exact duplicates
+          case 1 => base + (rnd.nextInt(9) - 4) * 1.0E-7 // near-ties at rounding scale
+          case 2 if rnd.nextInt(10) == 0 => Double.NaN
+          case _ => rnd.nextDouble() * 2.0 - 1.0
+        }
+      }
+      // duplicate ids never occur in the corpus; keep ids unique
+      val ids = rnd.shuffle((0 until n).toList).map(_.toLong).toArray
+      val got = Similarity.argmaxRound6(xs, ids, n)
+      val want = reference(xs, ids, n)
+      assert(got == want,
+        s"trial $trial: argmaxRound6 -> $got (${xs(got)}, ${ids(got)}), " +
+          s"reference -> $want (${xs(want)}, ${ids(want)}); xs=${xs.mkString(",")}")
+    }
+  }
+
+  test("d8b kernel assignment is bit-identical to the two-level join form") {
+    import spark.implicits._
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    val centPred = col("vec_id") % 20 === 10
+    val seedPred = col("vec_id") >= 100 && col("vec_id") < 132
+    def parity(emb: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val join = Similarity.twoLevelAssign(emb, centPred, seedPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kern = Similarity.twoLevelAssignKernel(emb, centPred, seedPred).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(kern == join, s"$tag: kernel/join divergence — " +
+        s"${(kern.toSet diff join.toSet).take(5)} vs ${(join.toSet diff kern.toSet).take(5)}")
+    }
+    // above-cutoff scale fixture (K=820): the d8bAssign regime the
+    // kernel owns, on a corpus where flat and two-level provably differ
+    parity((0 until 16384).map(i => (i.toLong, Array.tabulate(64)(j => h(i, j))))
+      .toDF("vec_id", "embedding"), "K=820 near-orthogonal")
+    // corners in one corpus: planted identical decades (exact cosine
+    // ties broken by cid), a ZERO corpus vector (every cosine NaN —
+    // NaN-greatest coarse pick, NaN fine pick), and a ZERO centroid
+    // (NaN attracts its whole cell)
+    val distinct = (0 until 2048).map(i => (i.toLong, Array.tabulate(64)(j => h(i, j))))
+    val planted = distinct.filter(_._1 % 160 == 0).flatMap { case (id, v) =>
+      (1 to 9).map(k => (100000L + id * 16 + k, v))
+    }
+    val zeros = Seq((99001L, Array.fill(64)(0.0f)), // plain vector: id ≡ 1 (mod 20)
+      (99010L, Array.fill(64)(0.0f))) // centroid: id ≡ 10 (mod 20)
+    parity((distinct ++ planted ++ zeros).toDF("vec_id", "embedding"),
+      "ties/NaN corners")
+    // empty coarse cells: 3 centroids across 32 seeds leave most cells
+    // centroid-free, so most vectors DROP — both forms must drop the
+    // same ones (direct kernel call; d8bAssign would route this K to flat)
+    parity(distinct.toDF("vec_id", "embedding")
+      .filter(col("vec_id") % 20 =!= 10 || col("vec_id").isin(10L, 30L, 50L)),
+      "sparse codebook / empty cells")
+    // degenerate inputs: no seeds / no centroids ⇒ both forms are empty
+    val noSeeds = distinct.filter { case (id, _) => id < 100 || id >= 132 }
+      .toDF("vec_id", "embedding")
+    assert(Similarity.twoLevelAssignKernel(noSeeds, centPred, seedPred).count() == 0)
+    val noCents = distinct.filter(_._1 % 20 != 10).toDF("vec_id", "embedding")
+    assert(Similarity.twoLevelAssignKernel(noCents, centPred, seedPred).count() == 0)
+  }
+
+  test("d8b plan regimes: flat / broadcast kernel / distributed join by codebook size") {
+    import spark.implicits._
+    assert(Similarity.d8bPlanFor(512) == "flat")
+    assert(Similarity.d8bPlanFor(513) == "kernel")
+    assert(Similarity.d8bPlanFor(500000) == "kernel") // the ×1000 design point
+    assert(Similarity.d8bPlanFor(1000000) == "kernel")
+    assert(Similarity.d8bPlanFor(1000001) == "join")
+    // and the picked plan is OBSERVABLE in the logical plan: above the
+    // flat cutoff d8bAssign's assignment is the shuffle-free kernel
+    // (MapPartitions, no Join anywhere); below it the flat argmax's
+    // broadcast cross join
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Array.tabulate(64)(j => h(i, j)))).toDF("vec_id", "embedding")
+    val big = Similarity.d8bAssign(corpus(16384)).queryExecution.analyzed
+    assert(big.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+      "above the cutoff the kernel assignment must contain NO join")
+    assert(big.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.nonEmpty, "above the cutoff the assignment must be the mapPartitions kernel")
+    val small = Similarity.d8bAssign(corpus(4096)).queryExecution.analyzed
+    assert(small.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.nonEmpty,
+      "below the cutoff the flat broadcast-join argmax must remain")
+  }
+
   test("s6: a constant vector quantizes to q=0 with zero error, not NaN") {
     // hi == lo makes the naive scale division 0/0; the guard must pin
     // q = 0 so the reconstruction is exact and the label aggregates
