@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -839,16 +840,35 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         conv(substring(col("hx"), 1, 15), 16, 10).cast("long").as("h1"),
         conv(substring(col("hx"), 17, 15), 16, 10).cast("long").as("h2"))
+    // "seen in >= 2 distinct docs" as min(doc_id) != max(doc_id) — the
+    // r15 ×1000 probe OOMed the 8 GB heap here under countDistinct:
+    // the distinct rewrite plans TWO aggregate levels over the corpus's
+    // ~1.1B nearly-unique (h1, h2, doc_id) rows (partial combine
+    // removes nothing when every window hash is distinct), doubling
+    // the shuffle/sort machinery for what one pass of two 8-byte
+    // min/max buffers answers exactly. Same predicate, same oracle
+    // (the SQL keeps COUNT(DISTINCT) — values are identical).
     val dup = win.groupBy("h1", "h2")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h1", "h2")
-    // dup (hot windows) scales with the corpus — SMJ-pinned
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax")).select("h1", "h2")
+    // dup (hot windows) scales with the corpus — SMJ-pinned; the join's
+    // (h1, h2) shuffle of `win` is the SAME exchange the dup aggregate
+    // consumes (ReuseExchange), so the corpus shuffles once here
     val dw = win.join(dup.hint("merge"), Seq("h1", "h2")).select("doc_id", "p")
     val agg = dw.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    // covered tokens = |union of [p, p+W)| per doc, as a sorted
+    // interval-union scan: the first window contributes W, every later
+    // one min(W, p − prev). Replaces the per-position explode (×W rows
+    // into a countDistinct — the other half of the ×1000 OOM): one
+    // window function over the dup-window subset, zero row blowup.
+    // (doc_id, p) is unique in dw by construction, so p − prev ≥ 1.
+    val wnd = Window.partitionBy("doc_id").orderBy("p")
     val cov = dw
+      .withColumn("prev", lag(col("p"), 1).over(wnd))
       .select(col("doc_id"),
-        explode(sequence(col("p"), col("p") + (D11W - 1))).as("c"))
-      .groupBy("doc_id").agg(countDistinct(col("c")).as("covered_tokens"))
+        when(col("prev").isNull, lit(D11W))
+          .otherwise(least(lit(D11W), col("p") - col("prev"))).as("add"))
+      .groupBy("doc_id").agg(sum(col("add")).cast("long").as("covered_tokens"))
     val tot = ws.select(col("doc_id"),
       size(col("ws")).cast("long").as("n_tokens"),
       (size(col("ws")) - (D11W - 1)).cast("long").as("n_windows"))

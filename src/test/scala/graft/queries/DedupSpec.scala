@@ -213,6 +213,38 @@ class DedupSpec extends AnyFunSuite {
     assert(flagged <= nTrain)
   }
 
+  test("d11: interval-union coverage on pinned overlap/adjacency/internal-repeat corners") {
+    // Pins the r15 rewrite (min!=max dup predicate + sorted interval
+    // union instead of explode+countDistinct) on shapes the sf corpus
+    // may not contain: overlapping dup windows (a shared 20-word span
+    // = 5 overlapping W=16 windows, union 20 not 80), two DISJOINT
+    // shared spans in one doc, and a span repeated only WITHIN one doc
+    // (min==max — must not count as duplicated).
+    import spark.implicits._
+    val W = 16
+    def words(tag: String, n: Int): Seq[String] = (0 until n).map(i => s"$tag$i")
+    val shared = words("s", 20) // 20-word shared span: 5 windows, union 20
+    val shared2 = words("u", W) // second shared span: 1 window, union 16
+    val selfRep = words("r", W) // repeated twice inside doc 4 only
+    val docs = Seq(
+      (1L, (words("a", 8) ++ shared ++ words("b", 8) ++ shared2).mkString(" ")),
+      (2L, (shared ++ words("c", 10)).mkString(" ")),
+      (3L, (words("d", 5) ++ shared2).mkString(" ")),
+      (4L, (selfRep ++ words("e", 4) ++ selfRep).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d11fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.d11SubstringSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("covered_tokens"))).toMap
+    // doc 1: 5 overlapping windows from `shared` (cover 20) + 1 from
+    // `shared2` (cover 16) = 6 windows, 36 covered; doc 2: 5 windows /
+    // 20 covered; doc 3: 1 window / 16 covered; doc 4: absent — its
+    // repeat never leaves the doc
+    assert(got == Map(1L -> (6L, 36L), 2L -> (5L, 20L), 3L -> (1L, 16L)),
+      s"pinned interval-union corners diverged: $got")
+  }
+
   test("d11: span coverage equals the brute-force rolling-window ground truth") {
     val W = 16
     val texts = Tables.documents(spark, sf)
