@@ -560,6 +560,91 @@ class SimilaritySpec extends AnyFunSuite {
       "below the cutoff the flat broadcast-join argmax must remain")
   }
 
+  test("s12 max-cosine kernel is bit-identical to the broadcast-product form") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureCosine(spark)
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    def parity(e: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val join = Similarity.s12MaxSimJoin(e).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue()) -> r.getDouble(2)).toMap
+      val kern = Similarity.s12MaxSimKernel(e).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(kern.keySet == join.keySet, s"$tag: row-set divergence")
+      kern.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(join(k)),
+          s"$tag: max_sim divergence at $k — kernel $v vs join ${join(k)}")
+      }
+    }
+    // real corpora (driver SFs run the join plan in production; here
+    // both FUNCTIONS are compared directly)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      parity(e, d)
+    }
+    // corners: planted ×2 bench sources (round-6 sim exactly 1.0), a
+    // ZERO vector (every cosine NaN — NaN-greatest max, rounds to NaN,
+    // and Spark SQL's NaN >= 0.999 is TRUE in the rollup either way)
+    val rows = (0 until 2000).map(i => (i.toLong, i % 10, Array.tabulate(64)(j => h(i, j)))) :+
+      ((90001L, 3, Array.fill(64)(0.0f)))
+    parity(rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e")),
+      "planted/NaN corners")
+    // empty bench: no vec_id % 97 == 0 rows ⇒ both forms are EMPTY
+    val noBench = rows.filter(_._1 % 97 != 0).toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    assert(Similarity.s12MaxSimKernel(noBench).count() == 0)
+    assert(Similarity.s12MaxSimJoin(noBench).count() == 0)
+  }
+
+  test("s12 plan switch: broadcast-product below the bench cutoff, row-free kernel above") {
+    import spark.implicits._
+    def h(i: Int, j: Int): Float = {
+      val x = (i * 73856093) ^ (j * 19349663)
+      ((x % 1000003 + 1000003) % 1000003) / 1000003.0f - 0.5f
+    }
+    def writeCorpus(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"s12plan$n").toString
+      (0 until n).map(i => (i.toLong, i % 10, Array.tabulate(64)(j => h(i, j))))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    // 52k vectors ⇒ bench = n/97 ≈ 537 > 512 ⇒ kernel (no Join in the
+    // assignment subtree); 2k ⇒ bench 21 ⇒ broadcast-product plan
+    val bigDir = writeCorpus(52000)
+    val big = Similarity.s12SemanticDecontam(spark, bigDir)
+    val bigPlan = big.queryExecution.analyzed
+    assert(bigPlan.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.nonEmpty, "above the cutoff s12 must run the mapPartitions kernel")
+    assert(bigPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "above the cutoff s12 must contain NO join")
+    val smallPlan = Similarity.s12SemanticDecontam(spark, writeCorpus(2000))
+      .queryExecution.analyzed
+    assert(smallPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "below the cutoff the broadcast-product plan must remain")
+    // and the rolled-up VALUES above the cutoff equal the join form's
+    val e = spark.read.parquet(s"$bigDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    def rollup(maxSim: org.apache.spark.sql.DataFrame) = maxSim
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("max_sim") >= 0.999).cast("int")).as("n_contaminated"),
+        max(col("max_sim")).as("max_sim"))
+      .orderBy("label").collect().map(_.toString).toSeq
+    assert(rollup(Similarity.s12MaxSimKernel(e)) == rollup(Similarity.s12MaxSimJoin(e)),
+      "kernel rollup diverges from the broadcast-product rollup at scale")
+    assert(big.collect().map(_.toString).toSeq == rollup(Similarity.s12MaxSimJoin(e)),
+      "the production query above the cutoff diverges from the join-form rollup")
+  }
+
   test("s6: a constant vector quantizes to q=0 with zero error, not NaN") {
     // hi == lo makes the naive scale division 0/0; the guard must pin
     // q = 0 so the reconstruction is exact and the label aggregates
