@@ -62,12 +62,17 @@ object ScaleGen {
     // paths or accidentally glob "partsupp"-style future tables
     val onTable: String => Boolean = t => t.matches(tablesRe)
     // the embedding variation composes a cyclic rotation (tile % dims)
-    // with a per-group deterministic sign-flip pattern (tile / dims), so
-    // up to dims * dims = 4096 tiles each get a distinct norm-preserving
-    // transform; beyond that the transforms would repeat and silently
-    // inflate the planted near-dup families — fail loudly instead
-    require(tiles >= 1 && tiles <= 4096,
-      s"tiles must be in [1, 4096] (64 rotations x 64 sign-flip groups), got $tiles")
+    // with a per-group murmur3 sign-flip parity pattern keyed by
+    // grp = tile / dims — tile → (rotation, group) is a bijection, and
+    // two GROUPS only share a transform if their 64-component hash
+    // parity patterns collide exactly (≈ G²/2⁶⁵ for G groups), so the
+    // honest ceiling is birthday-bounded, not dims². 16384 tiles is
+    // 256 groups (collision odds ~2⁻⁴⁹) and covers the 10M-vector
+    // d8b design-point corpus (×5000); fail loudly past it rather
+    // than silently stretch the bound's margin.
+    require(tiles >= 1 && tiles <= 16384,
+      s"tiles must be in [1, 16384] (64 rotations x birthday-bounded " +
+        s"murmur3 sign-flip groups), got $tiles")
     def read(t: String): DataFrame =
       // events goes through the footer probe/shim (ns/NTZ/us → session-TZ
       // timestamp), so the synth corpus is written with a MODERN footer
@@ -178,7 +183,8 @@ object ScaleGen {
     // tiles beyond the dimensionality, SIGN-FLIPPED by a deterministic
     // per-group murmur3 parity pattern (tile / dims) — both transforms
     // preserve the norm exactly while pushing cross-tile cosine to
-    // ~zero, so every tile is distinct content up to 4096 tiles.
+    // ~zero, so every tile is distinct content up to the birthday-
+    // bounded group ceiling (see the tiles require above).
     // Planted vec_id % 100 == 0 near-dup clusters stay verbatim;
     // vec_id offsets mirror doc_id so the doc↔vec alignment d6 uses
     // survives tiling. Groups ≤ 64 tiles reduce to the pure rotation,

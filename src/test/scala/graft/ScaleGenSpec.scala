@@ -131,11 +131,32 @@ class ScaleGenSpec extends AnyFunSuite {
       srcDf("documents").count() * 2)
   }
 
-  test("tile counts past the 4096 transform family are rejected loudly") {
+  test("tile counts past the birthday-bounded ceiling are rejected loudly") {
     val dir = Files.createTempDirectory("scalegen-reject").toString
     val err = intercept[IllegalArgumentException] {
-      ScaleGen.generate(spark, src, dir, 4097)
+      ScaleGen.generate(spark, src, dir, 16385)
     }
-    assert(err.getMessage.contains("4096"))
+    assert(err.getMessage.contains("16384"))
+  }
+
+  test("tiles past the old dims² boundary stay distinct: group 64+ patterns don't repeat") {
+    // 4100 tiles crosses grp = 64 (the first group the pre-r15 cap
+    // excluded); murmur3 parity patterns are keyed by grp, so tile
+    // 4096 (grp 64, rot 0) must not collapse onto tile 0, 64, or any
+    // other rot-0 tile — distinctness is the invariant that keeps the
+    // d8b design-point corpus (×5000) measuring corpus growth.
+    val bigTiles = 4100
+    val dir = Files.createTempDirectory("scalegen-grp64").toString
+    ScaleGen.generate(spark, src, dir, bigTiles, "embeddings")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").select(
+      (col("vec_id") % 10000000L).as("src_id"),
+      col("embedding"))
+    val bySrc = e.groupBy("src_id").agg(
+      countDistinct(array_sort(transform(col("embedding"), x => abs(x))).cast("string"))
+        .as("abs_multisets"),
+      countDistinct(col("embedding").cast("string")).as("verbatims"))
+    assert(bySrc.filter(col("abs_multisets") =!= 1).count() === 0L)
+    assert(bySrc.filter(col("src_id") % 100 =!= 0 && col("verbatims") =!= bigTiles).count() === 0L)
+    assert(bySrc.filter(col("src_id") % 100 === 0 && col("verbatims") =!= 1).count() === 0L)
   }
 }
