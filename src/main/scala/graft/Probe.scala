@@ -1,54 +1,67 @@
-package graft
+package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scratch micro-probe (dev-only, not in any gate) — currently
-  * dissecting the SQL front door for graft_asof: where does the parser
-  * attach the hint node for a hinted SELECT over a CROSS JOIN, and does
-  * ResolveAsOfJoin see a bare Join child or a Project/SubqueryAlias
-  * chain above it?
+  * attributing the rewritten t1 kernel's ×300 wall across its stages:
+  * the per-row profile map, the language-profile subtree, and the
+  * map-lookup distance aggregate.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val d = args.headOption.getOrElse("/root/repo/scaledata/ds300")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]").appName("probe")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    val d = "/root/testdata/sf0.001"
-    val ev = graft.sources.Tables.events(spark, d)
-    ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("ts"))
-      .createOrReplaceTempView("errors_v")
-    ev.filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
-      .agg(max(col("event_id")).as("click_id"))
-      .createOrReplaceTempView("clicks_v")
-
-    val sql =
-      """SELECT /*+ graft_asof('user_id', 'ts', 'c_user_id', 'c_ts') */
-        |       event_id, user_id, click_id
-        |FROM errors_v CROSS JOIN clicks_v""".stripMargin
-
-    // 1: what does the PARSED plan look like (pre-analysis)?
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    println("=== parsed ===")
-    println(parsed.treeString)
-
-    // 2: does analysis succeed, and into what?
-    try {
-      val df = spark.sql(sql)
-      println("=== analyzed ===")
-      println(df.queryExecution.analyzed.treeString)
-      println("=== rows === " + df.count())
-    } catch {
-      case e: Exception =>
-        println("=== analysis failed: " + e.getMessage)
+    def time(tag: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+
+    val docs = graft.sources.Tables.documents(spark, d)
+    val profs = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        T1DocProf(id, lang, TextStats.t1Top100(text)) }
+      .filter(_.prof.nonEmpty)
+      .toDF()
+    time("per-row profiles")(profs)
+
+    val ng = docs.select(col("doc_id"), col("lang"), explode(
+        when(length(col("text")) >= 3,
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
+      .filter(col("lrank") <= 100)
+      .select(col("lang").as("cand"), col("ng").as("lng"), col("lrank"))
+    time("lang profile")(langProf)
+
+    val langMaps = langProf.groupBy("cand")
+      .agg(map_from_entries(collect_list(struct(col("lng"), col("lrank")))).as("lmap"))
+    val dist = profs.crossJoin(broadcast(langMaps))
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        aggregate(col("prof"), lit(0L), (acc, e) =>
+          acc + coalesce(
+            abs(e.getField("drank").cast("long") -
+              element_at(col("lmap"), e.getField("ng")).cast("long")),
+            lit(100L))).as("dist"))
+    time("full dist (re-runs profiles + langmaps)")(dist)
     spark.stop()
   }
 }

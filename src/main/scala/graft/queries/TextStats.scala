@@ -21,6 +21,13 @@ import graft.sources.Tables
   *  - per-row double arithmetic is IEEE-exact and needs no handling;
   *  - every output has a total ORDER BY.
   */
+/** One ranked 3-gram of a T1 per-doc profile (rank 1 = most frequent,
+  * ties by unsigned UTF-8 byte order — see [[TextStats.t1Top100]]). */
+final case class T1GramRank(ng: String, drank: Int)
+
+/** A document's T1 language-ID profile, computed per-row. */
+final case class T1DocProf(doc_id: Long, true_lang: String, prof: Array[T1GramRank])
+
 object TextStats {
 
   private val P = 1000000007L
@@ -38,6 +45,76 @@ object TextStats {
   // constant-size, so the plan is a single scan + shuffle on doc_id.
   // -------------------------------------------------------------------
   def t1LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // Per-doc profiles as a ONE-SCAN per-row kernel: every document's
+    // 3-grams originate in its own text cell, so counting them and
+    // ranking the top 100 never needs the corpus-wide
+    // groupBy(doc_id, ng) shuffle + per-doc window sort the exploded
+    // form pays (the r15 ×1000 probe attributed 96 of t1's 180 s at
+    // ×300 to exactly that subtree: ~1.5B counted gram rows shuffled,
+    // then sorted per doc for row_number). Semantics are BIT-equal to
+    // the window form — code-point gram stepping matches substr(),
+    // UTF-8 byte tie order matches Spark's string sort — pinned by a
+    // differential spec on unicode-heavy fixtures plus the DuckDB
+    // oracle (t1Sql keeps the declarative description).
+    val profs = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) => T1DocProf(id, lang, t1Top100(text)) }
+      .filter(_.prof.nonEmpty)
+      .toDF()
+    // Language profiles stay declarative: groupBy(lang, ng) partial-
+    // aggregates map-side down to the (5 langs × vocab) key space, so
+    // the shuffle is vocabulary-sized whatever the corpus size.
+    val ng = docs.select(col("doc_id"), col("lang"), explode(
+        when(length(col("text")) >= 3,
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
+      .filter(col("lrank") <= 100)
+      .select(col("lang").as("cand"), col("ng").as("lng"), col("lrank"))
+    // Rank-displacement distance in MATCHED-JOIN form:
+    //   dist(doc, lang) = Σ_grams coalesce(|drank − lrank|, 100)
+    //                   = 100·|prof| + Σ_matched (|drank − lrank| − 100)
+    // so only grams PRESENT in a language profile ever join (a
+    // BroadcastHashJoin against the ≤ 5×100-row profile — a real hash
+    // lookup inside whole-stage codegen), and the absent-gram penalty
+    // is the closed-form base term. The first cut of this kernel
+    // folded the profiles into a map column and summed with
+    // element_at per gram — but Spark's MapData is array-backed, so
+    // each lookup LINEARLY scans ~100 keys: ~150 s of the ×300 wall
+    // for what the hash join does in a fraction. Integer algebra is
+    // exact, so this is value-identical to the coalesce form.
+    val pg = profs.select(col("doc_id"), explode(col("prof")).as("g"))
+      .select(col("doc_id"), col("g.ng").as("ng"),
+        col("g.drank").cast("long").as("drank"))
+    val adj = pg.join(broadcast(langProf), col("lng") === col("ng"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(abs(col("drank") - col("lrank").cast("long")) - lit(100L)).as("adj"))
+    val langs = langProf.select(col("cand")).distinct()
+    val dist = profs
+      .select(col("doc_id"), col("true_lang"),
+        (size(col("prof")).cast("long") * 100L).as("base"))
+      .crossJoin(broadcast(langs))
+      .join(adj, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("true_lang"), col("cand"),
+        (col("base") + coalesce(col("adj"), lit(0L))).as("dist"))
+    val pred = dist.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dist").asc, col("cand").asc)))
+      .filter(col("rn") === 1)
+      .select(col("true_lang"), col("cand").as("pred_lang"))
+    pred.groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  /** The pre-r15 window form of T1 — kept as the differential-spec
+    * reference for [[t1LangId]]'s per-row kernel (same output, plan
+    * shuffles the full counted gram multiset). */
+  private[queries] def t1LangIdWindowForm(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val ng = docs.select(col("doc_id"), col("lang"), explode(
         when(length(col("text")) >= 3,
@@ -68,6 +145,48 @@ object TextStats {
       .join(pred, "doc_id")
       .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
       .orderBy("true_lang", "pred_lang")
+  }
+
+  /** T1's per-row top-100 3-gram profile, replicating the exploded
+    * form's semantics EXACTLY:
+    *  - grams step by Unicode CODE POINT (what `length()` counts and
+    *    `substr()` slices — a String's UTF-16 code units would drift
+    *    on supplementary characters);
+    *  - ranks order by (count desc, gram asc) with the gram compared
+    *    as unsigned UTF-8 BYTES — Spark sorts strings by UTF8String
+    *    binary order, which DISAGREES with java.lang.String.compareTo
+    *    on supplementary-vs-BMP pairs (U+10000 sorts above U+FFFF in
+    *    UTF-8, below it in UTF-16).
+    */
+  private[queries] def t1Top100(text: String): Array[T1GramRank] = {
+    if (text == null) return Array.empty
+    val cp = text.codePoints().toArray
+    if (cp.length < 3) return Array.empty
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i <= cp.length - 3) {
+      counts.merge(new String(cp, i, 3), 1L, java.lang.Long.sum _)
+      i += 1
+    }
+    val entries = new Array[(String, Long, Array[Byte])](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(j) = (e.getKey, e.getValue, e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      j += 1
+    }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(String, Long, Array[Byte])] {
+      override def compare(a: (String, Long, Array[Byte]), b: (String, Long, Array[Byte])): Int = {
+        val c = java.lang.Long.compare(b._2, a._2)
+        if (c != 0) c else java.util.Arrays.compareUnsigned(a._3, b._3)
+      }
+    })
+    val k = math.min(100, entries.length)
+    val out = new Array[T1GramRank](k)
+    var r = 0
+    while (r < k) { out(r) = T1GramRank(entries(r)._1, r + 1); r += 1 }
+    out
   }
 
   val t1Sql: String =

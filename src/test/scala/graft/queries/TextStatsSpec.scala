@@ -34,6 +34,63 @@ class TextStatsSpec extends AnyFunSuite {
     assert(conf.map(_.getAs[String]("true_lang")).distinct.length == langs)
   }
 
+  test("t1: per-row kernel equals the window form on a unicode-hostile corpus") {
+    // The kernel re-implements substr()'s code-point stepping and
+    // Spark's UTF-8 binary string sort in JVM code; this fixture is
+    // built to catch every divergence the rewrite could introduce:
+    // supplementary characters (UTF-16 surrogate pairs, where
+    // code-unit stepping and String.compareTo both disagree with
+    // Spark), count ties broken only by gram order, >100 distinct
+    // grams (cap engaged), <3-char and empty docs (must drop), and
+    // repeated grams spanning doc boundaries.
+    import spark.implicits._
+    val sup = new String(Array(0x10000, 0x10001, 0xFFFF, 0x10000, 0x10001, 0xFFFF), 0, 6)
+    val longTail = (0 until 130).map(i => f"x$i%03d").mkString("") // >100 distinct grams
+    val rows = Seq(
+      (1L, "abcabcabc" + sup * 3, "aa", "s1", 0L),
+      (2L, sup * 10 + "abc", "bb", "s1", 0L),
+      (3L, "tietietie" + "eittie", "aa", "s1", 0L),
+      (4L, longTail, "bb", "s1", 0L),
+      (5L, "ab", "aa", "s1", 0L), // too short: must vanish from the matrix
+      (6L, "", "bb", "s1", 0L),
+      (7L, "the quick brown fox jumps over the lazy dog the end", "cc", "s1", 0L),
+      (8L, "zzz" + new String(Array(0x10FFFF, 0x10FFFF, 0x10FFFF), 0, 3), "cc", "s1", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("t1diff").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kernel = TextStats.t1LangId(spark, dir).collect().map(_.toSeq).toSeq
+    val window = TextStats.t1LangIdWindowForm(spark, dir).collect().map(_.toSeq).toSeq
+    assert(kernel == window)
+    // the two short docs dropped from both
+    assert(kernel.map(_(2).asInstanceOf[Long]).sum == 6L)
+  }
+
+  test("t1: t1Top100 matches the SQL-form ranking rules directly") {
+    // ties: counts equal -> gram ascending in UTF-8 byte order; the
+    // supplementary char U+10000 must rank ABOVE (sort after) U+FFFF
+    // even though java.lang.String.compareTo says the opposite.
+    val hi = new String(Character.toChars(0x10000))
+    val lo = "￿"
+    val text = (lo + lo + lo) + (hi + hi + hi) // grams: lo*3 once... build explicit repeats
+    val prof = TextStats.t1Top100(text)
+    // 4 grams of length 3 over 6 code points: positions 1..4
+    assert(prof.length == 4)
+    // all counts are 1 -> pure byte-order ranking; first is the
+    // UTF-8-smallest gram
+    val byRank = prof.sortBy(_.drank).map(_.ng)
+    val utf8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      assert(java.util.Arrays.compareUnsigned(utf8(a), utf8(b)) < 0)
+    }
+    // counting: a repeated gram outranks byte-smaller singletons
+    val p2 = TextStats.t1Top100("aaaab")
+    assert(p2.head.ng == "aaa" && p2.head.drank == 1) // count 2 beats "aab"
+    assert(TextStats.t1Top100("ab").isEmpty && TextStats.t1Top100(null).isEmpty)
+    // cap: 150 distinct grams -> exactly 100 survive
+    val many = (0 until 150).map(i => f"y$i%03d").mkString("")
+    assert(TextStats.t1Top100(many).length == 100)
+  }
+
   test("t2: one row per source; ratios and score bounded") {
     val rows = TextStats.t2Quality(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).select("source").distinct().count())
