@@ -45,7 +45,35 @@ object Bench {
 
   private def jnum(v: Double): String = f"$v%.4f"
 
+  /** (load-1min, load-15min, running-java-process count) — the box-
+    * contention evidence stamped into every bench artifact. The r15
+    * stream walls swung 2–5× vs r14 on unchanged code, and the only
+    * contention record was a prose note that ×1000 probes ran
+    * concurrently; with the stamp, every cross-round diff carries its
+    * own idle-or-not evidence. Linux-only reads (/proc); any failure
+    * degrades to (-1,-1,-1) rather than killing the sweep.
+    */
+  private def boxState(): (Double, Double, Int) =
+    try {
+      val la = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      val jp = Files.list(Paths.get("/proc")).iterator()
+      var n = 0
+      while (jp.hasNext) {
+        val p = jp.next()
+        if (p.getFileName.toString.forall(_.isDigit)) {
+          try {
+            val comm = new String(Files.readAllBytes(p.resolve("comm")),
+              StandardCharsets.UTF_8).trim
+            if (comm == "java") n += 1
+          } catch { case _: Throwable => }
+        }
+      }
+      (la(0).toDouble, la(2).toDouble, n)
+    } catch { case _: Throwable => (-1.0, -1.0, -1) }
+
   def main(args: Array[String]): Unit = {
+    val boxPre = boxState()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -248,21 +276,32 @@ object Bench {
     // Honest streaming latency: each builder call is a COMPLETE fresh
     // AvailableNow run (sink+checkpoint wiped, source re-drained,
     // start→awaitTermination inside the builder) — the number the sweep
-    // medians above deliberately exclude. Same methodology as the batch
-    // side: 1 warmup + median of 3, because a single cold run right
-    // after the full sweep measures that sweep's GC/cleaner
-    // backlog as much as the stream (r10 driver sweep: first four
-    // stream walls 5–7 s, identical re-runs 1.1–2.6 s). Every timed
-    // run still pays the full per-run architecture cost — RocksDB
-    // open/commit, changelog checkpoint, file sink, read-back.
-    val streamWall: Seq[(String, Double)] = streaming
+    // medians above deliberately exclude. Every timed run still pays
+    // the full per-run architecture cost: RocksDB open/commit,
+    // changelog checkpoint, file sink, read-back.
+    //
+    // Protocol (pinned r16, mirroring the headline block): the r15
+    // artifact measured these 1-warmup median-of-3 in fixed sweep
+    // order, and its walls swung 2–5× vs r14 on UNCHANGED streaming
+    // code — the same position/box-drift bias the headline set was
+    // cured of in r15 (plus the sweep itself ran concurrently with
+    // ×1000 probes that round). Now position-balanced: one warmup
+    // drain per query, then 5 timed PASSES over the whole stream set,
+    // pass p visiting the set left-rotated by p (every query samples
+    // 5 distinct positions in time), per-query median. Under
+    // SPARK_GRAFT_RUNS the probe protocol (per-query, runs_override
+    // drains) applies instead, exactly as on the batch side.
+    val streamSel: IndexedSeq[String] = streaming
       .filter(SparkEntry.queries.contains)
       .filter(name => only.forall(_.findFirstIn(name).isDefined))
-      .map { name =>
+      .toIndexedSeq
+    val streamWall: Seq[(String, Double)] =
+      if (streamSel.isEmpty) Seq.empty
+      else if (runsOverride.isDefined) streamSel.map { name =>
         val t =
           try {
             SparkEntry.queries(name)(spark, sfDir) // warmup run
-            val runs = Seq.fill(runsOverride.getOrElse(3)) {
+            val runs = Seq.fill(runsOverride.get) {
               val t0 = System.nanoTime()
               SparkEntry.queries(name)(spark, sfDir)
               (System.nanoTime() - t0) / 1e9
@@ -271,6 +310,36 @@ object Bench {
           } catch { case _: Throwable => -1.0 }
         println(s"""{"stream_q":"$name","wall_sec":${jnum(t)}}""")
         name -> t
+      }
+      else {
+        val failed = scala.collection.mutable.Set.empty[String]
+        def drain(name: String): Double =
+          try {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(spark, sfDir)
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              if (failed.add(name))
+                System.err.println(s"[bench] stream $name failed: ${e.getMessage}")
+              -1.0
+          }
+        streamSel.foreach(drain) // one warmup drain per query
+        val times = scala.collection.mutable.Map.empty[String, List[Double]]
+          .withDefaultValue(Nil)
+        val k = streamSel.size
+        (0 until 5).foreach { p =>
+          (0 until k).foreach { i =>
+            val name = streamSel((p + i) % k)
+            if (!failed(name)) times(name) ::= drain(name)
+          }
+        }
+        streamSel.map { name =>
+          val runs = times(name).filter(_ >= 0).sorted
+          val t = if (runs.isEmpty) -1.0 else runs(runs.length / 2)
+          println(s"""{"stream_q":"$name","wall_sec":${jnum(t)}}""")
+          name -> t
+        }
       }
 
     def queriesJson(rs: Seq[(String, Double)]): String =
@@ -305,11 +374,24 @@ object Bench {
       (if (execMode == "noop") s""","exec":"noop"""" else "") +
         runsOverride.map(n => s""","runs_override":$n""").getOrElse("")
 
+    // Box-contention stamp: load averages + running-java count at sweep
+    // start and end. An idle-box sweep reads ~(this JVM's own load, 1–2
+    // java procs); anything larger marks the artifact as contended and
+    // its walls as conservative.
+    val boxPost = boxState()
+    val boxTag =
+      s""","box":{"load1":[${jnum(boxPre._1)},${jnum(boxPost._1)}],""" +
+        s""""load15":[${jnum(boxPre._2)},${jnum(boxPost._2)}],""" +
+        s""""java_procs":[${boxPre._3},${boxPost._3}]}"""
+
     // Durable full artifact — every query, plus totals. The full
     // remeasured list lives only here; the compact driver line carries
     // just its size (the list can be ~100 names — tail-window poison).
     val protocolTag =
-      if (runsOverride.isEmpty) s""","headline_protocol":"block_warmup3_rotated12_median"""" else ""
+      (if (runsOverride.isEmpty)
+        s""","headline_protocol":"block_warmup3_rotated12_median"""" +
+          s""","stream_protocol":"block_warmup1_rotated5_median""""
+      else "") + boxTag
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_b1_b12":${jnum(headSum)},""" +
         s""""n_queries":${results.size},"queries":${queriesJson(results)},""" +

@@ -191,6 +191,18 @@ object ScaleGen {
     // keeping earlier probe corpora bit-reproducible.
     if (onTable("embeddings")) {
     val dims = read("embeddings").selectExpr("size(embedding)").first().getInt(0)
+    // The 16384-tile ceiling above is birthday-justified against the
+    // 64-dim sign-flip pattern space (2^65); a lower-dim corpus
+    // shrinks that space to 2^dims and makes silent transform
+    // collisions likely (dims=16 at 16384 tiles is near-certain),
+    // quietly inflating planted near-dup families. Sign-flip groups
+    // only exist past tiles > dims (grp 0 is pure rotation), so a
+    // small-dim corpus may still tile up to `dims` — beyond that,
+    // fail loudly like the tile-ceiling require does.
+    require(tiles <= dims || dims >= 64,
+      s"sign-flip tiling needs dims >= 64 for the birthday bound " +
+        s"(measured dims=$dims, tiles=$tiles; tiles <= dims stays " +
+        s"within the rotation-only regime and is always safe)")
     val rot = (col("tile") % dims).cast("int")
     val grp = (col("tile") / dims).cast("int")
     val rotated = concat(

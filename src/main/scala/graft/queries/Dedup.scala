@@ -683,14 +683,14 @@ object Dedup {
   // -------------------------------------------------------------------
   /** (doc_id, th, is_base, shingled) member relation of the d10 split
     * — base = t6's train bucket, the same split contract as d9/t7/t13. */
-  private def d10Members(docs: DataFrame): DataFrame =
+  private[queries] def d10Members(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("th"),
       TextStats.isBaseCol.as("is_base"), (size(split(col("text"), " ")) >= 3).as("shingled"))
 
   /** Capped rep band relation tagged has-base (`hb`) / has-delta
     * (`hd`) from each rep's member set — the join input of BOTH d10
     * formulations. */
-  private def d10TaggedBands(docs: DataFrame, members: DataFrame): DataFrame = {
+  private[queries] def d10TaggedBands(docs: DataFrame, members: DataFrame): DataFrame = {
     val repFlags = members.groupBy("th").agg(
         max(when(col("is_base"), 1).otherwise(0)).as("hb"),
         max(when(!col("is_base"), 1).otherwise(0)).as("hd"))

@@ -293,13 +293,19 @@ object Similarity {
     * narrow geometry is the right plan (higher recall, trivial
     * candidate count); above it random 16-bit collisions dominate the
     * candidate set (n²-shaped) and the 24-bit geometry takes over. */
-  private val D5WideCutoff = 200000L
+  private[queries] val D5WideCutoff = 200000L
+
+  /** The d5 gate as a pure function — spec hook pinning the boundary
+    * (`n == cutoff` stays narrow, matching d5Sql's `<=` routing). */
+  private[queries] def d5WideFor(n: Long): Boolean =
+    PlanGate.regime(n, D5WideCutoff) == 1
 
   /** Capped candidate pairs (qid < vec_id), exposed for the Stress
-    * mass-duplication probe. Geometry picked by a plan-time count()
-    * over one column-pruned scan (same trade as d8bAssign). */
+    * mass-duplication probe. Geometry picked by the shared plan-time
+    * cardinality gate ([[PlanGate]] — one column-pruned count, same
+    * trade as d8bAssign). */
   private[queries] def d5Candidates(s: SparkSession, emb: DataFrame): DataFrame =
-    d5CandidatesGeo(s, emb, wide = emb.select("vec_id").count() > D5WideCutoff)
+    d5CandidatesGeo(s, emb, wide = d5WideFor(PlanGate.cardinality(emb, "vec_id")))
 
   /** Geometry-pinned candidates (spec hook: exercises the wide branch
     * on fixtures of any size). Pair generation is bucket-collect +
@@ -864,7 +870,7 @@ object Similarity {
     * the defect the SimilaritySpec planted fixture would catch — has
     * concentrated away). Same shape as every production IVF index:
     * brute force under a cutoff, inverted lists above it. */
-  private val D8bFlatCutoff = 512L
+  private[queries] val D8bFlatCutoff = 512L
 
   /** Kernel↔join switchover for the two-level plan: up to this
     * codebook size the whole codebook broadcasts (≤ ~0.5 GB of vector
@@ -873,15 +879,15 @@ object Similarity {
     * [[twoLevelAssign]]'s join form keeps it distributed — at which
     * point the honest scale answer is a deeper coarse hierarchy
     * (n·(c₁ + K/c₁) re-minimized per level), not a bigger broadcast. */
-  private val D8bKernelCap = 1000000L
+  private[queries] val D8bKernelCap = 1000000L
 
   /** Which d8b assignment plan runs for a codebook of size k — the
-    * selection logic as a pure function so the spec can pin all three
-    * regimes without building a 10⁶-centroid fixture. */
+    * selection logic as a pure function (over the shared [[PlanGate]]
+    * regime arithmetic) so the spec can pin all three regimes without
+    * building a 10⁶-centroid fixture. */
   private[queries] def d8bPlanFor(k: Long): String =
-    if (k <= D8bFlatCutoff) "flat"
-    else if (k <= D8bKernelCap) "kernel"
-    else "join"
+    Seq("flat", "kernel", "join")(
+      PlanGate.regime(k, D8bFlatCutoff, D8bKernelCap))
 
   /** d8b's assignment, plan-selected by codebook size. The count() is
     * a plan-time scalar over one column-pruned scan (the codebook
@@ -893,7 +899,7 @@ object Similarity {
     * describes both); the join form remains the K > [[D8bKernelCap]]
     * fallback where the codebook outgrows a broadcast. */
   private[queries] def d8bAssign(emb: DataFrame): DataFrame = {
-    val k = emb.filter(d8bCentPred).select("vec_id").count()
+    val k = PlanGate.cardinality(emb.filter(d8bCentPred), "vec_id")
     d8bPlanFor(k) match {
       case "flat" => flatAssign(emb, d8bCentPred)
       case "kernel" => twoLevelAssignKernel(emb, d8bCentPred, d8SeedPred)
@@ -1527,7 +1533,7 @@ object Similarity {
     * the row-free kernel takes over — the ×1000 probe's derived
     * benchmark (n/97 ≈ 103k rows) made the product 1.03×10¹² codegen
     * JOIN ROWS, ~an hour of row machinery for 10M per-vector maxes. */
-  private val S12KernelCutoff = 512L
+  private[queries] val S12KernelCutoff = 512L
 
   /** (vec_id, label, max_sim) via the declarative broadcast-product
     * plan — exact, the reference form the kernel is spec-gated
@@ -1586,14 +1592,15 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
-    // plan switch on BENCH size (one column-pruned count, like d8b):
-    // the broadcast-product plan streams |n|·|bench| joined rows —
-    // linear for a real (fixed-size) benchmark suite, quadratic under
-    // this query's derived n/97 benchmark — so above the cutoff the
-    // kernel does the same max with zero product rows. Exact either
-    // way; oracle SQL is plan-independent.
-    val k = e.filter(S12BenchPred).select("vec_id").count()
-    val maxSim = if (k <= S12KernelCutoff) s12MaxSimJoin(e) else s12MaxSimKernel(e)
+    // plan switch on BENCH size (the shared PlanGate — one
+    // column-pruned count, like d8b): the broadcast-product plan
+    // streams |n|·|bench| joined rows — linear for a real (fixed-size)
+    // benchmark suite, quadratic under this query's derived n/97
+    // benchmark — so above the cutoff the kernel does the same max
+    // with zero product rows. Exact either way; oracle SQL is
+    // plan-independent.
+    val maxSim = PlanGate.pick(e.filter(S12BenchPred), "vec_id", S12KernelCutoff)(
+      s12MaxSimJoin(e), s12MaxSimKernel(e))
     maxSim
       .groupBy(col("label").cast("long").as("label"))
       .agg(

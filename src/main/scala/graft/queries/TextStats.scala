@@ -32,6 +32,65 @@ object TextStats {
 
   private val P = 1000000007L
 
+  /** T1's two corpus-derived relations — the per-doc profiles and the
+    * 5×100 language profiles — built once per (session, sfDir) and
+    * persisted MEMORY_AND_DISK. Each is consumed by TWO subtrees of
+    * t1LangId (profiles: the gram explode AND the base/true_lang
+    * projection; language profiles: the broadcast distance join AND
+    * the candidate-language distinct); without persistence Catalyst
+    * plans each pair as two independent corpus scans — the per-row
+    * top-100 kernel (the dominant per-row cost) and the vocabulary
+    * groupBy would both run twice per query. Same memo shape as
+    * Dedup.sharedPairs: weak session keys so a stopped session is
+    * never pinned, [[releaseSharedProfs]] for eager test hygiene. At
+    * 100 TB the equivalent is writing both tables once and reading
+    * them from every consumer.
+    */
+  private val sharedProfs = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+
+  private def t1Shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val perDir = sharedProfs.synchronized {
+      var m = sharedProfs.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+        sharedProfs.put(s, m)
+      }
+      m
+    }
+    perDir.getOrElseUpdate(d, {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val profs = docs.select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, text) => T1DocProf(id, lang, t1Top100(text)) }
+        .filter(_.prof.nonEmpty)
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Language profiles stay declarative: groupBy(lang, ng) partial-
+      // aggregates map-side down to the (5 langs × vocab) key space, so
+      // the shuffle is vocabulary-sized whatever the corpus size.
+      val ng = docs.select(col("doc_id"), col("lang"), explode(
+          when(length(col("text")) >= 3,
+            transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))
+            .otherwise(array().cast("array<string>"))).as("ng"))
+      val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
+        .filter(col("lrank") <= 100)
+        .select(col("lang").as("cand"), col("ng").as("lng"), col("lrank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (profs, langProf)
+    })
+  }
+
+  /** Unpersist and forget the shared T1 relations of `s`. */
+  def releaseSharedProfs(s: SparkSession): Unit = sharedProfs.synchronized {
+    val m = sharedProfs.remove(s)
+    if (m != null) m.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+  }
+
   // -------------------------------------------------------------------
   // T1: language identification — Cavnar-Trenkle character-3-gram rank
   // profiles, self-trained on the labeled corpus. Per-language and
@@ -45,11 +104,9 @@ object TextStats {
   // constant-size, so the plan is a single scan + shuffle on doc_id.
   // -------------------------------------------------------------------
   def t1LangId(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    // Per-doc profiles as a ONE-SCAN per-row kernel: every document's
-    // 3-grams originate in its own text cell, so counting them and
-    // ranking the top 100 never needs the corpus-wide
+    // Per-doc profiles as a ONE-SCAN per-row kernel (see [[t1Shared]]):
+    // every document's 3-grams originate in its own text cell, so
+    // counting them and ranking the top 100 never needs the corpus-wide
     // groupBy(doc_id, ng) shuffle + per-doc window sort the exploded
     // form pays (the r15 ×1000 probe attributed 96 of t1's 180 s at
     // ×300 to exactly that subtree: ~1.5B counted gram rows shuffled,
@@ -58,24 +115,7 @@ object TextStats {
     // UTF-8 byte tie order matches Spark's string sort — pinned by a
     // differential spec on unicode-heavy fixtures plus the DuckDB
     // oracle (t1Sql keeps the declarative description).
-    val profs = docs.select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .map { case (id, lang, text) => T1DocProf(id, lang, t1Top100(text)) }
-      .filter(_.prof.nonEmpty)
-      .toDF()
-    // Language profiles stay declarative: groupBy(lang, ng) partial-
-    // aggregates map-side down to the (5 langs × vocab) key space, so
-    // the shuffle is vocabulary-sized whatever the corpus size.
-    val ng = docs.select(col("doc_id"), col("lang"), explode(
-        when(length(col("text")) >= 3,
-          transform(sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))).as("ng"))
-    val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
-      .withColumn("lrank", row_number().over(
-        Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
-      .filter(col("lrank") <= 100)
-      .select(col("lang").as("cand"), col("ng").as("lng"), col("lrank"))
+    val (profs, langProf) = t1Shared(s, d)
     // Rank-displacement distance in MATCHED-JOIN form:
     //   dist(doc, lang) = Σ_grams coalesce(|drank − lrank|, 100)
     //                   = 100·|prof| + Σ_matched (|drank − lrank| − 100)

@@ -240,6 +240,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t12's outer plan must not re-scan documents.parquet, saw ${docScans.length} scans:\n$opt")
   }
 
+  test("t1: the profile kernel and vocabulary groupBy are each planned once (shared caches)") {
+    // t1LangId consumes each of its two corpus-derived relations from
+    // TWO subtrees (per-doc profiles: gram explode + base projection;
+    // language profiles: distance join + candidate distinct); all four
+    // consumers must read the shared persisted relations — if any fell
+    // back to a fresh build, the per-row top-100 kernel or the
+    // vocabulary groupBy would run twice per query. The corpus scans
+    // live inside the cached build plans (not traversed here), so the
+    // OUTER plan must contain no parquet scan of documents at all.
+    val df = graft.SparkEntry.queries("t1_lang_id")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    val caches = opt.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(caches.length == 4,
+      s"t1's four consumer subtrees should each read a shared cache, " +
+        s"saw ${caches.length} InMemoryRelation leaves:\n$opt")
+    val docScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation] => l
+    }
+    assert(docScans.isEmpty,
+      s"t1's outer plan must not re-scan documents.parquet (both corpus " +
+        s"passes live inside the cached builds), saw ${docScans.length}:\n$opt")
+    graft.queries.TextStats.releaseSharedProfs(spark)
+  }
+
   test("s7: the PQ codebook joins via broadcast; no all-pairs scoring") {
     val p = plan("s7_product_quant")
     assert(p.contains("BroadcastHashJoin"),
