@@ -751,6 +751,23 @@ object Dedup {
   // verify + expansion; only the candidate join's physical access path
   // differs), and held to the SAME DuckDB oracle, so hash-equality to
   // d10 is re-proven every round.
+  //
+  // Measured design-point economics (D10bProbe over ds1000, r16 —
+  // BENCH_NOTES "d10b at its incremental design point"): the standing
+  // base's dominant win is BUILD amortization — each delta joins a
+  // materialized base in ~1-2 s instead of re-deriving its band
+  // relation from text (~253 s at 5M docs): ~160× per delta. The
+  // BUCKETED layout itself is net-negative below a crossover: the
+  // Exchange it eliminates moves only the narrow band rows (~40 MB at
+  // ×1000, ~50 ms of shuffle), while bucket-pinned scan parallelism
+  // (one task per bucket) plus per-bucket small-file merge costs more
+  // than that — measured 0.90 s plain vs 1.59 s at 32 buckets, 4.48 s
+  // at 128. Bucketing pays when the base band relation is itself
+  // shuffle-expensive (corpus-scaled: ~TBs at the 100 TB design
+  // point, hours of saved Exchange, thousands of full-task buckets);
+  // below the crossover a plain standing table is the right layout.
+  // This query keeps the bucketed form deliberately — it exists to
+  // exercise that access path (oracle-equal either way).
   // -------------------------------------------------------------------
   private val D10BaseTable = "graft_d10_base_bands"
   private val D10BaseBuckets = 8
