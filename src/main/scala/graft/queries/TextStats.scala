@@ -34,17 +34,31 @@ object TextStats {
 
   /** T1's two corpus-derived relations — the per-doc profiles and the
     * 5×100 language profiles — built once per (session, sfDir) and
-    * persisted MEMORY_AND_DISK. Each is consumed by TWO subtrees of
-    * t1LangId (profiles: the gram explode AND the base/true_lang
-    * projection; language profiles: the broadcast distance join AND
-    * the candidate-language distinct); without persistence Catalyst
-    * plans each pair as two independent corpus scans — the per-row
-    * top-100 kernel (the dominant per-row cost) and the vocabulary
-    * groupBy would both run twice per query. Same memo shape as
+    * persisted. Each is consumed by TWO subtrees of t1LangId
+    * (profiles: the gram explode AND the base/true_lang projection;
+    * language profiles: the broadcast distance join AND the
+    * candidate-language distinct); without persistence Catalyst plans
+    * each pair as two independent corpus scans — the per-row top-100
+    * kernel (the dominant per-row cost) and the vocabulary groupBy
+    * would both run twice per query. Same memo shape as
     * Dedup.sharedPairs: weak session keys so a stopped session is
     * never pinned, [[releaseSharedProfs]] for eager test hygiene. At
     * 100 TB the equivalent is writing both tables once and reading
     * them from every consumer.
+    *
+    * The cached profile relation is FLAT — (doc_id, true_lang, np,
+    * ng, drank), the typed kernel's array EXPLODED before the cache —
+    * not the array-of-struct row the kernel emits. Spark's columnar
+    * cache builds each 10k-row batch in heap ByteBuffers per column;
+    * a corpus-scaled array<struct> column goes through
+    * ComplexColumnBuilder whose doubling buffers OOMed the default
+    * 8 GB heap at ×1000 (32 concurrent tasks × multi-MB complex
+    * buffers, in BOTH MEMORY_AND_DISK and DISK_ONLY — the batch build
+    * precedes the store either way). Flat scalar columns take the
+    * Basic builders — the exact shape t12's bigger (750M-row) shingle
+    * cache survives ×1000 with. The base projection recovers its
+    * one-row-per-doc form from the flat cache via `drank = 1` (exactly
+    * one rank-1 gram per profiled doc) — a filter, not a shuffle.
     */
   private val sharedProfs = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
@@ -66,6 +80,10 @@ object TextStats {
         .map { case (id, lang, text) => T1DocProf(id, lang, t1Top100(text)) }
         .filter(_.prof.nonEmpty)
         .toDF()
+        .select(col("doc_id"), col("true_lang"),
+          size(col("prof")).as("np"), explode(col("prof")).as("g"))
+        .select(col("doc_id"), col("true_lang"), col("np"),
+          col("g.ng").as("ng"), col("g.drank").as("drank"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Language profiles stay declarative: groupBy(lang, ng) partial-
       // aggregates map-side down to the (5 langs × vocab) key space, so
@@ -128,16 +146,17 @@ object TextStats {
     // each lookup LINEARLY scans ~100 keys: ~150 s of the ×300 wall
     // for what the hash join does in a fraction. Integer algebra is
     // exact, so this is value-identical to the coalesce form.
-    val pg = profs.select(col("doc_id"), explode(col("prof")).as("g"))
-      .select(col("doc_id"), col("g.ng").as("ng"),
-        col("g.drank").cast("long").as("drank"))
+    val pg = profs.select(col("doc_id"), col("ng"),
+      col("drank").cast("long").as("drank"))
     val adj = pg.join(broadcast(langProf), col("lng") === col("ng"))
       .groupBy(col("doc_id"), col("cand"))
       .agg(sum(abs(col("drank") - col("lrank").cast("long")) - lit(100L)).as("adj"))
     val langs = langProf.select(col("cand")).distinct()
-    val dist = profs
+    // one row per profiled doc: exactly one rank-1 gram exists, so
+    // `drank = 1` is a filter on the flat cache, never a shuffle
+    val dist = profs.filter(col("drank") === 1)
       .select(col("doc_id"), col("true_lang"),
-        (size(col("prof")).cast("long") * 100L).as("base"))
+        (col("np").cast("long") * 100L).as("base"))
       .crossJoin(broadcast(langs))
       .join(adj, Seq("doc_id", "cand"), "left")
       .select(col("doc_id"), col("true_lang"), col("cand"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -35,12 +35,122 @@ import org.apache.spark.sql.streaming.Trigger
   *    reappear are legitimate streaming behavior (the inactivity gap
   *    genuinely elapsed mid-corpus) and are counted, not failed.
   *
+  * The building blocks (slicing, the drained run with optional
+  * mid-soak kill, the per-key last-update read-back) are exposed so
+  * `SoakSpec` gates a compact version of the same path in `sbt test`;
+  * this main is the full-depth probe.
+  *
   * Usage: runMain graft.streaming.StreamSoak [sfDir] [nSlices] [workDir]
   * Output: one JSON line per query + one for the kill/resume leg.
   */
 object StreamSoak {
 
   private def jnum(v: Double): String = f"$v%.3f"
+
+  /** One drained run: total wall plus per-batch
+    * (batchId, inputRows, triggerMs, stateRowsTotal). */
+  final case class SoakRun(wall: Double,
+      progress: Seq[(Long, Long, Long, Long)], finished: Boolean)
+
+  /** Cut the events table of `sfDir` into `nSlices` contiguous time
+    * slices under `root`/arrivals (and a doubled copy under
+    * `root`/arrivals_dup for the dedup surface), one file per slice
+    * with strictly increasing modification times. Returns
+    * (arrivalsDir, doubledDir, eventsSchemaSource). */
+  def writeTimeSlices(spark: SparkSession, sfDir: String, nSlices: Int,
+      root: String): (java.io.File, java.io.File, DataFrame) = {
+    val fsRoot = new java.io.File(root)
+    if (fsRoot.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fsRoot)
+    val arrivals = new java.io.File(fsRoot, "arrivals")
+    val arrivalsDup = new java.io.File(fsRoot, "arrivals_dup")
+    arrivals.mkdirs(); arrivalsDup.mkdirs()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // ntile needs a global order — one-partition window over ~1M rows
+    // is fine for a probe-prep step (never part of the timed drain)
+    val sliced = ev.withColumn("slice",
+        ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+      .persist()
+    (1 to nSlices).foreach { i =>
+      def writeOne(df: DataFrame, dir: java.io.File): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"soak_s$i").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val src = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, f"s$i%03d.parquet")
+        java.nio.file.Files.copy(src.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() + i * 2000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      val slice = sliced.filter(col("slice") === i).drop("slice")
+      writeOne(slice, arrivals)
+      writeOne(slice.unionAll(slice), arrivalsDup) // b47's doubled stream
+    }
+    sliced.unpersist()
+    (arrivals, arrivalsDup, ev)
+  }
+
+  /** One-file-per-batch stream over a slice directory. */
+  def readArrivals(spark: SparkSession, dir: java.io.File,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+
+  /** Drain `df` (AvailableNow, RocksDB, IdempotentSink at `out`,
+    * checkpoint at `ckpt`); with `killAfter > 0` a watcher stops the
+    * query once that many batches committed — modeling an executor
+    * loss / restart mid-drain — and `finished` reports false. */
+  def drive(spark: SparkSession, name: String, df: DataFrame, mode: String,
+      ckpt: String, out: String, statePath: String,
+      killAfter: Int = -1): SoakRun = {
+    StateBackend.enableRocksDb(spark)
+    val t0 = System.nanoTime()
+    val q = StateBackend.withStatePartitions(spark, statePath) {
+      df.writeStream
+        .queryName(name)
+        .foreachBatch(IdempotentSink.parquetSink(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    var killed = false
+    if (killAfter > 0) {
+      val watcher = new Thread(() => {
+        while (q.isActive && Option(q.lastProgress).forall(_.batchId < killAfter))
+          Thread.sleep(50)
+        if (q.isActive) { killed = true; q.stop() }
+      }, s"soak-killer-$name")
+      watcher.setDaemon(true)
+      watcher.start()
+    }
+    val finished =
+      try { q.awaitTermination(600000) }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+      finally q.stop()
+    StateBackend.assertRocksDb(q)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.toIndexedSeq.map { p =>
+      val st = p.stateOperators.map(_.numRowsTotal).sum
+      (p.batchId, p.numInputRows, p.durationMs.getOrDefault("triggerExecution", -1L).toLong, st)
+    }
+    SoakRun(wall, prog, finished && !killed)
+  }
+
+  /** Per-key LAST update across all committed batches — the read-back
+    * an update-mode stream's converged value lives in (the batch_id
+    * partition column orders the re-emissions). */
+  def lastUpdate(spark: SparkSession, out: String, keys: Seq[String]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.contains("batch_id=")).toIndexedSeq
+    val all = spark.read.option("basePath", out).parquet(dirs: _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)
+    all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn", "batch_id")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -63,85 +173,11 @@ object StreamSoak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val fsRoot = new java.io.File(work)
-    if (fsRoot.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fsRoot)
-    val arrivals = new java.io.File(fsRoot, "arrivals")
-    val arrivalsDup = new java.io.File(fsRoot, "arrivals_dup")
-    arrivals.mkdirs(); arrivalsDup.mkdirs()
-
-    // ---- arrival files: nSlices contiguous time slices ----
-    val ev = graft.sources.Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-    // ntile needs a global order — one-partition window over ~1M rows
-    // is fine for a probe-prep step (never part of the timed drain)
-    val sliced = ev.withColumn("slice",
-        ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
-      .persist()
+    val (arrivals, arrivalsDup, ev) =
+      writeTimeSlices(spark, sfDir, nSlices, work)
     val evSchema = ev.schema
-    (1 to nSlices).foreach { i =>
-      def writeOne(df: DataFrame, dir: java.io.File): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"soak_s$i").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val src = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(dir, f"s$i%03d.parquet")
-        java.nio.file.Files.copy(src.toPath, dst.toPath)
-        dst.setLastModified(System.currentTimeMillis() + i * 2000L)
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
-      val slice = sliced.filter(col("slice") === i).drop("slice")
-      writeOne(slice, arrivals)
-      writeOne(slice.unionAll(slice), arrivalsDup) // b47's doubled stream
-    }
-    sliced.unpersist()
-
-    def readArrivals(dir: java.io.File): DataFrame =
-      spark.readStream.schema(evSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir.getAbsolutePath)
-
-    // ---- drive one soak run; optionally stop after `killAfter` batches ----
-    final case class SoakRun(wall: Double, progress: Seq[(Long, Long, Long, Long)],
-        finished: Boolean) // (batchId, inputRows, triggerMs, stateRowsTotal)
-    def drive(name: String, df: DataFrame, mode: String,
-        ckpt: String, out: String, killAfter: Int = -1): SoakRun = {
-      StateBackend.enableRocksDb(spark)
-      val t0 = System.nanoTime()
-      val q = StateBackend.withStatePartitions(spark, arrivals.getAbsolutePath) {
-        df.writeStream
-          .queryName(name)
-          .foreachBatch(IdempotentSink.parquetSink(out))
-          .option("checkpointLocation", ckpt)
-          .outputMode(mode)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      }
-      var killed = false
-      if (killAfter > 0) {
-        // mid-soak kill: a watcher stops the query once `killAfter`
-        // batches have committed — modeling an executor loss / restart
-        // halfway through a long drain, with 30+ batches of RocksDB
-        // changelog behind the checkpoint
-        val watcher = new Thread(() => {
-          while (q.isActive && Option(q.lastProgress).forall(_.batchId < killAfter))
-            Thread.sleep(50)
-          if (q.isActive) { killed = true; q.stop() }
-        }, s"soak-killer-$name")
-        watcher.setDaemon(true)
-        watcher.start()
-      }
-      val finished =
-        try { q.awaitTermination(600000) }
-        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
-        finally q.stop()
-      StateBackend.assertRocksDb(q)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val prog = q.recentProgress.toIndexedSeq.map { p =>
-        val st = p.stateOperators.map(_.numRowsTotal).sum
-        (p.batchId, p.numInputRows, p.durationMs.getOrDefault("triggerExecution", -1L).toLong, st)
-      }
-      SoakRun(wall, prog, finished && !killed)
-    }
+    def arr(dir: java.io.File): DataFrame = readArrivals(spark, dir, evSchema)
+    val statePath = arrivals.getAbsolutePath
 
     def report(name: String, runs: Seq[SoakRun], parity: String,
         extra: String = ""): Unit = {
@@ -171,8 +207,8 @@ object StreamSoak {
     // ---- b47: watermarked dedup over the doubled slice stream ----
     locally {
       val out = s"$work/b47/out"; val ckpt = s"$work/b47/ckpt"
-      val r = drive("soak_b47", EventStream.dedupedEvents(readArrivals(arrivalsDup)),
-        "append", ckpt, out)
+      val r = drive(spark, "soak_b47",
+        EventStream.dedupedEvents(arr(arrivalsDup)), "append", ckpt, out, statePath)
       val got = IdempotentSink.readBack(spark, out)
         .select("event_id").as[Long].collect().sorted.toSeq
       val want = evB.select("event_id").as[Long].collect().sorted.toSeq
@@ -181,26 +217,14 @@ object StreamSoak {
       report("b47_dedup", Seq(r), parity)
     }
 
-    // per-key-last-update read-back for the update-mode TWS surfaces:
-    // the batch_id partition column orders the re-emissions
-    def lastUpdate(out: String, keys: Seq[String]): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(out)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dirs = fs.listStatus(p).map(_.getPath.toString)
-        .filter(_.contains("batch_id=")).toIndexedSeq
-      val all = spark.read.option("basePath", out).parquet(dirs: _*)
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)
-      all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .drop("rn", "batch_id")
-    }
-
     // ---- b51: ValueState activity aggregate, killed + resumed mid-soak ----
     locally {
       val out = s"$work/b51/out"; val ckpt = s"$work/b51/ckpt"
-      def df = EventStream.userActivity(readArrivals(arrivals))
-      val half = drive("soak_b51", df, "update", ckpt, out, killAfter = nSlices / 2)
-      val rest = drive("soak_b51_resume", df, "update", ckpt, out)
-      val got = lastUpdate(out, Seq("user_id"))
+      def df = EventStream.userActivity(arr(arrivals))
+      val half = drive(spark, "soak_b51", df, "update", ckpt, out, statePath,
+        killAfter = nSlices / 2)
+      val rest = drive(spark, "soak_b51_resume", df, "update", ckpt, out, statePath)
+      val got = lastUpdate(spark, out, Seq("user_id"))
       val want = evB.groupBy("user_id").agg(
         count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
         min(unix_micros(col("ts"))).as("first_ts_us"),
@@ -216,9 +240,9 @@ object StreamSoak {
     // ---- b53: MapState histogram ----
     locally {
       val out = s"$work/b53/out"; val ckpt = s"$work/b53/ckpt"
-      val r = drive("soak_b53", EventStream.typeHistogram(readArrivals(arrivals)),
-        "update", ckpt, out)
-      val got = lastUpdate(out, Seq("user_id", "event_type"))
+      val r = drive(spark, "soak_b53",
+        EventStream.typeHistogram(arr(arrivals)), "update", ckpt, out, statePath)
+      val got = lastUpdate(spark, out, Seq("user_id", "event_type"))
       val want = evB.groupBy("user_id", "event_type").agg(count(lit(1)).as("n_events"))
       val diff = got.unionAll(want).groupBy(got.columns.map(col).toIndexedSeq: _*)
         .count().filter(col("count") =!= 2).count()
@@ -229,10 +253,10 @@ object StreamSoak {
     locally {
       val gapMs = 30L * 60 * 1000
       val out = s"$work/b57/out"; val ckpt = s"$work/b57/ckpt"
-      val r = drive("soak_b57",
-        EventStream.inactivityCloses(readArrivals(arrivals), gapMs),
-        "update", ckpt, out)
-      val closes = lastUpdate(out, Seq("user_id")) // last close per user
+      val r = drive(spark, "soak_b57",
+        EventStream.inactivityCloses(arr(arrivals), gapMs),
+        "update", ckpt, out, statePath)
+      val closes = lastUpdate(spark, out, Seq("user_id")) // last close per user
       val allCloses = IdempotentSink.readBack(spark, out).count()
       val expected = evB.groupBy("user_id")
         .agg(max(unix_micros(col("ts"))).as("last_us"))

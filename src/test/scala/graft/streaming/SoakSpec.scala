@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gated (compact) version of the [[StreamSoak]] probe: the many-batch
+  * drain path — 16 time-sliced micro-batches through RocksDB with a
+  * mid-soak kill/resume — runs in every `sbt test`, so a regression in
+  * long checkpoint lineages, per-batch state growth, or update-mode
+  * re-emission semantics fails the build instead of waiting for the
+  * next big-SF probe. The full-depth numbers (64 batches at sf0.1)
+  * live in BENCH_NOTES §Round 16.
+  */
+class SoakSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("soak-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.numRecentProgressUpdates", "64")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val nSlices = 16
+
+  private lazy val (arrivals, arrivalsDup, ev) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_soak_spec").toString
+    StreamSoak.writeTimeSlices(spark, sf, nSlices, root)
+  }
+
+  test("b51 ValueState survives a 16-batch drain with a mid-soak kill/resume " +
+      "and converges to the batch aggregate") {
+    val work = java.nio.file.Files.createTempDirectory("soak_b51").toString
+    def df = EventStream.userActivity(
+      StreamSoak.readArrivals(spark, arrivals, ev.schema))
+    val half = StreamSoak.drive(spark, "spec_soak_b51", df, "update",
+      s"$work/ckpt", s"$work/out", arrivals.getAbsolutePath,
+      killAfter = nSlices / 2)
+    assert(!half.finished, "the watcher should have killed the first run mid-drain")
+    val rest = StreamSoak.drive(spark, "spec_soak_b51_resume", df, "update",
+      s"$work/ckpt", s"$work/out", arrivals.getAbsolutePath)
+    assert(rest.finished, "the resumed run should drain to completion")
+    val dataBatches = (half.progress ++ rest.progress).count(_._2 > 0)
+    assert(dataBatches >= nSlices,
+      s"expected >= $nSlices data micro-batches across kill+resume, saw $dataBatches")
+    // converged value parity: per-user LAST update == batch GROUP BY
+    val got = StreamSoak.lastUpdate(spark, s"$work/out", Seq("user_id"))
+    val want = ev.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"), max(col("value")).as("max_value"),
+      min(unix_micros(col("ts"))).as("first_ts_us"),
+      max(unix_micros(col("ts"))).as("last_ts_us"))
+    val asym = got.unionAll(want).groupBy(got.columns.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") =!= 2).count()
+    assert(asym == 0, s"$asym asymmetric rows between converged state and batch aggregate")
+    // bounded state: the store plateaus at the user-key space, never above
+    val users = ev.select("user_id").distinct().count()
+    val maxState = (half.progress ++ rest.progress).map(_._4).max
+    assert(maxState <= users,
+      s"state rows $maxState exceeded the $users-user key space")
+  }
+
+  test("b47 dedup over a doubled 16-batch stream reproduces the raw table " +
+      "with watermark-bounded state") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("soak_b47").toString
+    val r = StreamSoak.drive(spark, "spec_soak_b47",
+      EventStream.dedupedEvents(
+        StreamSoak.readArrivals(spark, arrivalsDup, ev.schema)),
+      "append", s"$work/ckpt", s"$work/out", arrivals.getAbsolutePath)
+    assert(r.finished)
+    assert(r.progress.count(_._2 > 0) >= nSlices)
+    val got = IdempotentSink.readBack(spark, s"$work/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = ev.select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == want,
+      s"dedup output diverged: got ${got.size} rows, want ${want.size}")
+    // eviction visible: the final batch's seen-key state is strictly
+    // below the peak (the watermark passed early keys mid-drain)
+    val states = r.progress.map(_._4)
+    assert(states.last < states.max,
+      s"no watermark eviction observed: state stayed at peak ${states.max}")
+  }
+}
