@@ -308,25 +308,39 @@ object Similarity {
     d5CandidatesGeo(s, emb, wide = d5WideFor(PlanGate.cardinality(emb, "vec_id")))
 
   /** Geometry-pinned candidates (spec hook: exercises the wide branch
-    * on fixtures of any size). Pair generation is bucket-collect +
-    * in-bucket explode rather than a capped self-join: the self-join
-    * form planned the band subtree FOUR times (bucket-count gate plus
-    * both join sides), and at the wide geometry the band signature is
-    * the dominant cost. Here bands are computed once, buckets above
-    * the cap drop before pair expansion (same ≤cap semantics, same
-    * pair set), and the worst adversarial bucket costs one
-    * corpus-sized aggregation buffer before its filter drops it. */
+    * on fixtures of any size). Pair generation is a capped SELF-JOIN
+    * over the band relation PERSISTED once (flat scalar columns —
+    * cache-safe), not a bucket-collect: the r15 collect_list form
+    * computed the band signature once but built its buckets in an
+    * ObjectHashAggregate, whose in-memory map holds one entry per
+    * DISTINCT (band, bval) group per task up to the session's
+    * sort-fallback threshold — raised to 16M for the tiny-buffer
+    * centroid argmax — and at ×3000 (6M vecs, 36M wide-geometry band
+    * rows, near-distinct bvals) those list-buffer entries OOMed the
+    * 8 GB heap on the probe's second execution. The count gate below
+    * is a codegen HashAggregate (partial map-side, spill-safe at any
+    * group count), and the join sides read the persisted relation, so
+    * the plane-projection compute still runs once; CacheManager
+    * dedupes the cache entry across repeated builds (same idempotence
+    * note as t12's shingle cache). Same ≤cap semantics, same pair
+    * set, d2/d4's proven shape.
+    */
   private[queries] def d5CandidatesGeo(s: SparkSession, emb: DataFrame,
       wide: Boolean): DataFrame = {
     val (nPlanes, bits) = if (wide) (144, 24) else (64, 16)
     val b = bands(s, emb, nPlanes, bits)
-    val buckets = b.groupBy("band", "bval")
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) <= D5BucketCap && size(col("ids")) >= 2)
-    buckets.select(explode(col("ids")).as("qid"), col("ids"))
-      .select(col("qid"), explode(col("ids")).as("vec_id"))
-      .filter(col("qid") < col("vec_id"))
-      .select("qid", "vec_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = b.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= D5BucketCap && col("bn") >= 2)
+      .select("band", "bval")
+    // all three relations scale with the corpus — SMJ-pinned (see
+    // Dedup.verifyJaccard) so no side is ever built on the driver
+    val capped = b.join(keep.hint("merge"), Seq("band", "bval"))
+    capped.as("a").join(capped.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
+      .distinct()
   }
 
   def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
