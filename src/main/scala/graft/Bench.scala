@@ -57,18 +57,22 @@ object Bench {
     try {
       val la = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
         StandardCharsets.UTF_8).trim.split("\\s+")
-      val jp = Files.list(Paths.get("/proc")).iterator()
+      // try/finally: Files.list holds a directory fd until closed
+      val stream = Files.list(Paths.get("/proc"))
       var n = 0
-      while (jp.hasNext) {
-        val p = jp.next()
-        if (p.getFileName.toString.forall(_.isDigit)) {
-          try {
-            val comm = new String(Files.readAllBytes(p.resolve("comm")),
-              StandardCharsets.UTF_8).trim
-            if (comm == "java") n += 1
-          } catch { case _: Throwable => }
+      try {
+        val jp = stream.iterator()
+        while (jp.hasNext) {
+          val p = jp.next()
+          if (p.getFileName.toString.forall(_.isDigit)) {
+            try {
+              val comm = new String(Files.readAllBytes(p.resolve("comm")),
+                StandardCharsets.UTF_8).trim
+              if (comm == "java") n += 1
+            } catch { case _: Throwable => }
+          }
         }
-      }
+      } finally stream.close()
       (la(0).toDouble, la(2).toDouble, n)
     } catch { case _: Throwable => (-1.0, -1.0, -1) }
 

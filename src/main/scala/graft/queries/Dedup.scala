@@ -234,33 +234,16 @@ object Dedup {
     * cost once and every later plan reads the cached pairs
     * (InMemoryTableScan — plan-asserted in PlanShapeSpec). At 100 TB
     * the equivalent is writing the verified pairs once as a table;
-    * in-session the cache is that table. Sessions are held WEAKLY so
-    * the memo cannot pin a stopped session; [[releaseSharedPairs]]
-    * drops a session's entries eagerly (test hygiene, long-lived
-    * sessions after a corpus swap).
+    * in-session the cache is that table. Lifecycle (weak session keys,
+    * eager [[releaseSharedPairs]]) lives in the one shared idiom,
+    * [[SharedRelation]].
     */
-  private val sharedPairs =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val perDir = sharedPairs.synchronized {
-      var m = sharedPairs.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        sharedPairs.put(s, m)
-      }
-      m
-    }
-    perDir.getOrElseUpdate(d,
-      d2Pairs(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+  def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    SharedRelation(s, "dedup.pairs", d)(d2Pairs(Tables.documents(s, d)))
 
   /** Unpersist and forget the shared pair relation(s) of `s`. */
-  def releaseSharedPairs(s: SparkSession): Unit = sharedPairs.synchronized {
-    val m = sharedPairs.remove(s)
-    if (m != null) m.values.foreach(_.unpersist())
-  }
+  def releaseSharedPairs(s: SparkSession): Unit =
+    SharedRelation.release(s, "dedup.pairs")
 
   /** Shared DuckDB CTE chain mirroring [[d2Pairs]] exactly: exact-dup
     * collapse → shingles → minhash → capped bands → verified rep pairs

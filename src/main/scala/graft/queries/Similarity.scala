@@ -328,8 +328,14 @@ object Similarity {
   private[queries] def d5CandidatesGeo(s: SparkSession, emb: DataFrame,
       wide: Boolean): DataFrame = {
     val (nPlanes, bits) = if (wide) (144, 24) else (64, 16)
-    val b = bands(s, emb, nPlanes, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the persisted band relation goes through the one shared-cache
+    // idiom ([[SharedRelation]], r16 verdict task 6) — keyed by the
+    // input's canonicalized plan + geometry so distinct corpora get
+    // distinct entries, with releaseSharedBands as the eager hygiene
+    // hook the anonymous persist() lacked
+    val b = SharedRelation(s, "d5.bands",
+      (emb.queryExecution.logical.canonicalized, nPlanes))(
+      bands(s, emb, nPlanes, bits))
     val keep = b.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= D5BucketCap && col("bn") >= 2)
       .select("band", "bval")
@@ -342,6 +348,11 @@ object Similarity {
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"))
       .distinct()
   }
+
+  /** Unpersist and forget `s`'s shared d5 band relations (all corpora
+    * and both geometries). */
+  def releaseSharedBands(s: SparkSession): Unit =
+    SharedRelation.release(s, "d5.bands")
 
   def d5EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
     ensureCosine(s)

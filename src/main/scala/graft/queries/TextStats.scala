@@ -40,9 +40,9 @@ object TextStats {
     * candidate-language distinct); without persistence Catalyst plans
     * each pair as two independent corpus scans — the per-row top-100
     * kernel (the dominant per-row cost) and the vocabulary groupBy
-    * would both run twice per query. Same memo shape as
-    * Dedup.sharedPairs: weak session keys so a stopped session is
-    * never pinned, [[releaseSharedProfs]] for eager test hygiene. At
+    * would both run twice per query. Lifecycle (weak session keys,
+    * eager [[releaseSharedProfs]]) lives in the one shared idiom,
+    * [[SharedRelation]]. At
     * 100 TB the equivalent is writing both tables once and reading
     * them from every consumer.
     *
@@ -60,22 +60,10 @@ object TextStats {
     * one-row-per-doc form from the flat cache via `drank = 1` (exactly
     * one rank-1 gram per profiled doc) — a filter, not a shuffle.
     */
-  private val sharedProfs = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
-
   private def t1Shared(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val perDir = sharedProfs.synchronized {
-      var m = sharedProfs.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
-        sharedProfs.put(s, m)
-      }
-      m
-    }
-    perDir.getOrElseUpdate(d, {
+    val profs = SharedRelation(s, "t1.profs", d) {
       import s.implicits._
-      val docs = Tables.documents(s, d)
-      val profs = docs.select(col("doc_id"), col("lang"), col("text"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
         .map { case (id, lang, text) => T1DocProf(id, lang, t1Top100(text)) }
         .filter(_.prof.nonEmpty)
@@ -84,29 +72,29 @@ object TextStats {
           size(col("prof")).as("np"), explode(col("prof")).as("g"))
         .select(col("doc_id"), col("true_lang"), col("np"),
           col("g.ng").as("ng"), col("g.drank").as("drank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Language profiles stay declarative: groupBy(lang, ng) partial-
-      // aggregates map-side down to the (5 langs × vocab) key space, so
-      // the shuffle is vocabulary-sized whatever the corpus size.
-      val ng = docs.select(col("doc_id"), col("lang"), explode(
+    }
+    // Language profiles stay declarative: groupBy(lang, ng) partial-
+    // aggregates map-side down to the (5 langs × vocab) key space, so
+    // the shuffle is vocabulary-sized whatever the corpus size.
+    val langProf = SharedRelation(s, "t1.langprof", d) {
+      val ng = Tables.documents(s, d).select(col("doc_id"), col("lang"), explode(
           when(length(col("text")) >= 3,
             transform(sequence(lit(1), length(col("text")) - 2),
               i => col("text").substr(i, lit(3))))
             .otherwise(array().cast("array<string>"))).as("ng"))
-      val langProf = ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
+      ng.groupBy("lang", "ng").agg(count(lit(1)).as("c"))
         .withColumn("lrank", row_number().over(
           Window.partitionBy("lang").orderBy(col("c").desc, col("ng").asc)))
         .filter(col("lrank") <= 100)
         .select(col("lang").as("cand"), col("ng").as("lng"), col("lrank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (profs, langProf)
-    })
+    }
+    (profs, langProf)
   }
 
   /** Unpersist and forget the shared T1 relations of `s`. */
-  def releaseSharedProfs(s: SparkSession): Unit = sharedProfs.synchronized {
-    val m = sharedProfs.remove(s)
-    if (m != null) m.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+  def releaseSharedProfs(s: SparkSession): Unit = {
+    SharedRelation.release(s, "t1.profs")
+    SharedRelation.release(s, "t1.langprof")
   }
 
   // -------------------------------------------------------------------

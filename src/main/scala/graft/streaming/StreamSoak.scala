@@ -48,9 +48,14 @@ object StreamSoak {
   private def jnum(v: Double): String = f"$v%.3f"
 
   /** One drained run: total wall plus per-batch
-    * (batchId, inputRows, triggerMs, stateRowsTotal). */
+    * (batchId, inputRows, triggerMs, stateRowsTotal). `finished` is
+    * true only for a full un-killed drain; `killed` reports whether
+    * the mid-soak watcher actually stopped the query (on a fast drain
+    * every batch can commit inside one watcher poll, so a kill REQUEST
+    * does not guarantee a kill — callers gate on this, not on timing). */
   final case class SoakRun(wall: Double,
-      progress: Seq[(Long, Long, Long, Long)], finished: Boolean)
+      progress: Seq[(Long, Long, Long, Long)], finished: Boolean,
+      killed: Boolean = false)
 
   /** Cut the events table of `sfDir` into `nSlices` contiguous time
     * slices under `root`/arrivals (and a doubled copy under
@@ -115,12 +120,15 @@ object StreamSoak {
         .trigger(Trigger.AvailableNow())
         .start()
     }
-    var killed = false
+    // written by the watcher thread, read by this thread after
+    // awaitTermination — AtomicBoolean for the cross-thread visibility
+    // a plain var does not guarantee
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
     if (killAfter > 0) {
       val watcher = new Thread(() => {
         while (q.isActive && Option(q.lastProgress).forall(_.batchId < killAfter))
           Thread.sleep(50)
-        if (q.isActive) { killed = true; q.stop() }
+        if (q.isActive) { killed.set(true); q.stop() }
       }, s"soak-killer-$name")
       watcher.setDaemon(true)
       watcher.start()
@@ -135,7 +143,7 @@ object StreamSoak {
       val st = p.stateOperators.map(_.numRowsTotal).sum
       (p.batchId, p.numInputRows, p.durationMs.getOrDefault("triggerExecution", -1L).toLong, st)
     }
-    SoakRun(wall, prog, finished && !killed)
+    SoakRun(wall, prog, finished && !killed.get(), killed.get())
   }
 
   /** Per-key LAST update across all committed batches — the read-back
@@ -258,10 +266,14 @@ object StreamSoak {
         "update", ckpt, out, statePath)
       val closes = lastUpdate(spark, out, Seq("user_id")) // last close per user
       val allCloses = IdempotentSink.readBack(spark, out).count()
+      // floor() on BOTH sides: the processor truncates micros to ms
+      // with integer division, so the oracle must too — un-truncated
+      // double division can flip an event with sub-ms residue sitting
+      // exactly at the watermark boundary
       val expected = evB.groupBy("user_id")
         .agg(max(unix_micros(col("ts"))).as("last_us"))
-        .crossJoin(evB.agg((max(unix_micros(col("ts"))) / 1000 - 1000).as("wm_ms")))
-        .filter(col("last_us") / 1000 + gapMs <= col("wm_ms"))
+        .crossJoin(evB.agg((floor(max(unix_micros(col("ts"))) / 1000) - 1000).as("wm_ms")))
+        .filter(floor(col("last_us") / 1000) + gapMs <= col("wm_ms"))
         .select(col("user_id"),
           ((floor(col("last_us") / 1000) + gapMs) * 1000).as("close_ts_us"))
       val diffExp = expected.join(closes,
