@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples the shuffle-partition count from
+    // the thread count for hostile-parallelism invariance sweeps (r16
+    // verdict task 2): the determinism recipe promises identical
+    // results under ANY (threads, partitions) pairing, and the sweep
+    // measures that promise instead of assuming it
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.files.maxPartitionBytes", "8m") // see Bench
       // AQE-coalesced wide shuffles — see the Bench scaladoc; results
       // are partition-count independent (spec-pinned), so the gate
