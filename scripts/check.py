@@ -24,6 +24,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     tpath = f"{sfdir}/{t}.parquet"
     if os.path.isdir(tpath):
         tpath = f"{tpath}/*.parquet"
+    elif not os.path.exists(tpath):
+        # table-subset probe corpus (graft.ScaleGen tablesRe): skip the
+        # view; any oracle touching it fails loudly at query time
+        continue
     if t == "events":
         # driver SFs carry ts as timestamp[ns]; Spark-rewritten scale
         # probes (graft.ScaleGen) carry the same nanos as BIGINT —
