@@ -257,6 +257,66 @@ object StreamSoak {
       report("b53_mapstate", Seq(r), if (diff == 0) "ok" else s"FAIL $diff")
     }
 
+    // ---- b45: native session windows, killed + resumed mid-soak ----
+    // The hardest agg-state encoding the r16 soak skipped: session
+    // state MERGES across batches (open sessions absorb later events)
+    // and append mode only emits once the watermark passes a session's
+    // end, so the drain exercises merge + emit + evict in every batch.
+    locally {
+      val out = s"$work/b45/out"; val ckpt = s"$work/b45/ckpt"
+      def df = EventStream.sessionAgg(arr(arrivals))
+      val half = drive(spark, "soak_b45", df, "append", ckpt, out, statePath,
+        killAfter = nSlices / 2)
+      val rest = drive(spark, "soak_b45_resume", df, "append", ckpt, out, statePath)
+      val got = IdempotentSink.readBack(spark, out)
+      // batch twin (sessionAgg is batch/stream agnostic) restricted to
+      // sessions the FINAL watermark closed: wm_ms = floor(max_us/1000)
+      // - 2h, emit when sess_end_us <= wm_ms*1000 (same ms truncation
+      // the engine applies — the b57 oracle lesson)
+      val want = EventStream.sessionAgg(evB)
+        .crossJoin(evB.agg(
+          ((floor(max(unix_micros(col("ts"))) / 1000) - 7200000L) * 1000)
+            .as("wm_us")))
+        .filter(col("sess_end_us") <= col("wm_us"))
+        .drop("wm_us")
+      val nGot = got.count(); val nWant = want.count()
+      val diff = got.unionAll(want).groupBy(got.columns.map(col).toIndexedSeq: _*)
+        .count().filter(col("count") =!= 2).count()
+      val parity = if (diff == 0) "ok"
+        else s"FAIL $diff asymmetric rows (got=$nGot want=$nWant)"
+      val kb = half.progress.count(_._2 > 0)
+      report("b45_sessions_killresume", Seq(half, rest), parity,
+        s""","killed":${half.killed},"killed_after_data_batches":$kb""" +
+          s""","emitted_sessions":$nGot,"open_at_eof":${
+            EventStream.sessionAgg(evB).count() - nWant}""")
+    }
+
+    // ---- b46: stream-stream interval join, killed + resumed mid-soak ----
+    // The symmetric join-buffer encoding: BOTH sides buffer rows in
+    // RocksDB until the watermark clears them; with time-ordered
+    // arrivals every error still finds its ≤30-min-old clicks (they
+    // cannot be evicted before the error's slice arrives), so the
+    // inner join's committed union equals the batch join exactly.
+    locally {
+      val out = s"$work/b46/out"; val ckpt = s"$work/b46/ckpt"
+      // streaming SELF-join: both sides the same source, b46's shape
+      def df = { val ev = arr(arrivals); EventStream.clickErrorJoin(ev, ev) }
+      val half = drive(spark, "soak_b46", df, "append", ckpt, out, statePath,
+        killAfter = nSlices / 2)
+      val rest = drive(spark, "soak_b46_resume", df, "append", ckpt, out, statePath)
+      val got = IdempotentSink.readBack(spark, out)
+      val want = EventStream.clickErrorJoin(evB, evB)
+      val nGot = got.count(); val nWant = want.count()
+      val diff = got.unionAll(want).groupBy(got.columns.map(col).toIndexedSeq: _*)
+        .count().filter(col("count") =!= 2).count()
+      val parity = if (diff == 0) "ok"
+        else s"FAIL $diff asymmetric rows (got=$nGot want=$nWant)"
+      val kb = half.progress.count(_._2 > 0)
+      report("b46_interval_join_killresume", Seq(half, rest), parity,
+        s""","killed":${half.killed},"killed_after_data_batches":$kb""" +
+          s""","joined_rows":$nGot""")
+    }
+
     // ---- b57: event-time timers ----
     locally {
       val gapMs = 30L * 60 * 1000

@@ -80,6 +80,44 @@ class SoakSpec extends AnyFunSuite {
       s"state rows $maxState exceeded the $users-user key space")
   }
 
+  test("b45 session windows and b46 interval join drain 16 batches with exact " +
+      "parity and watermark-evicted state") {
+    // the two hardest state encodings (merging session state; symmetric
+    // join buffers) — full-depth kill/resume evidence lives in the
+    // StreamSoak probe, this gates the drain path per build
+    val w45 = java.nio.file.Files.createTempDirectory("soak_b45").toString
+    val r45 = StreamSoak.drive(spark, "spec_soak_b45",
+      EventStream.sessionAgg(StreamSoak.readArrivals(spark, arrivals, ev.schema)),
+      "append", s"$w45/ckpt", s"$w45/out", arrivals.getAbsolutePath)
+    assert(r45.finished && r45.progress.count(_._2 > 0) >= nSlices)
+    val got45 = IdempotentSink.readBack(spark, s"$w45/out")
+    val want45 = EventStream.sessionAgg(ev)
+      .crossJoin(ev.agg(
+        ((floor(max(unix_micros(col("ts"))) / 1000) - 7200000L) * 1000).as("wm_us")))
+      .filter(col("sess_end_us") <= col("wm_us")).drop("wm_us")
+    val asym45 = got45.unionAll(want45)
+      .groupBy(got45.columns.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") =!= 2).count()
+    assert(asym45 == 0, s"b45: $asym45 asymmetric session rows")
+    val st45 = r45.progress.map(_._4)
+    assert(st45.last < st45.max, s"b45: no session-state eviction (peak ${st45.max})")
+
+    val w46 = java.nio.file.Files.createTempDirectory("soak_b46").toString
+    val r46 = StreamSoak.drive(spark, "spec_soak_b46", {
+        val e = StreamSoak.readArrivals(spark, arrivals, ev.schema)
+        EventStream.clickErrorJoin(e, e)
+      }, "append", s"$w46/ckpt", s"$w46/out", arrivals.getAbsolutePath)
+    assert(r46.finished && r46.progress.count(_._2 > 0) >= nSlices)
+    val got46 = IdempotentSink.readBack(spark, s"$w46/out")
+    val want46 = EventStream.clickErrorJoin(ev, ev)
+    val asym46 = got46.unionAll(want46)
+      .groupBy(got46.columns.map(col).toIndexedSeq: _*)
+      .count().filter(col("count") =!= 2).count()
+    assert(asym46 == 0, s"b46: $asym46 asymmetric joined rows")
+    val st46 = r46.progress.map(_._4)
+    assert(st46.last < st46.max, s"b46: no join-buffer eviction (peak ${st46.max})")
+  }
+
   test("b47 dedup over a doubled 16-batch stream reproduces the raw table " +
       "with watermark-bounded state") {
     import spark.implicits._
