@@ -149,11 +149,25 @@ object Dedup {
   //    self-join (see the cap's scaladoc).
   // -------------------------------------------------------------------
   /** One representative (min doc_id) per distinct text — d1's md5
-    * group as the LSH front door. `first(text)` is deterministic here:
-    * all texts within a group are byte-identical. */
+    * group as the LSH front door.
+    *
+    * Grouped by the TEXT ITSELF (a grouping KEY may be a string in
+    * HashAggregate) rather than by md5(text) carrying `first(text)`
+    * through the buffer: a string-typed aggregation BUFFER is immutable
+    * in UnsafeRow, so the earlier `first(text)` form planned
+    * SortAggregate — a full per-partition sort of the corpus by the
+    * 32-char hex hash in front of EVERY query in the dedup family
+    * (guide §5: prefer hash aggregate over sort aggregate). Same
+    * groups (identical text ⇔ identical md5), same min(doc_id), and
+    * the rep's text is the group key itself, so the output is
+    * row-identical; md5 now runs once per distinct text instead of
+    * once per row. The exchange carries the same bytes (one row per
+    * distinct text per partition, map-side combined), keyed by text
+    * instead of th — downstream th-joins re-shuffle only the collapsed
+    * rep relation, not the corpus. */
   private def d2Reps(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("th"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(md5(col("text")).as("th"), col("doc_id"), col("text"))
 
   /** Distinct word-3-gram shingles of the representatives. */
   private def repShingles(docs: DataFrame): DataFrame =

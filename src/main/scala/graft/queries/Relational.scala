@@ -956,17 +956,29 @@ object Relational {
   // one.
   // -------------------------------------------------------------------
   def b31StringFuncs(s: SparkSession, d: String): DataFrame =
+    // min/max run on the NUMERIC p_size and are lpad-formatted after
+    // the aggregate: a string-typed aggregation buffer is immutable in
+    // UnsafeRow, so min/max over the padded string planned
+    // SortAggregate at every level of the countDistinct rewrite — a
+    // full sort of `part` by brand_key (guide §5: hash over sort agg).
+    // Zero-padded fixed-width strings order exactly like the
+    // non-negative integers beneath them (p_size ∈ [1,50] by the TPC-H
+    // column contract), so lpad(min) ≡ min(lpad) row-for-row.
     Tables.part(s, d)
       .select(
         upper(regexp_replace(col("p_brand"), "#", "_")).as("brand_key"),
-        lpad(col("p_size").cast("string"), 3, "0").as("size_key"),
+        col("p_size"),
         lower(substring(col("p_type"), 1, 6)).as("type_prefix"))
       .groupBy("brand_key")
       .agg(
         count(lit(1)).as("n_parts"),
-        min(col("size_key")).as("min_size_key"),
-        max(col("size_key")).as("max_size_key"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
         countDistinct(col("type_prefix")).as("n_type_prefixes"))
+      .select(col("brand_key"), col("n_parts"),
+        lpad(col("min_size").cast("string"), 3, "0").as("min_size_key"),
+        lpad(col("max_size").cast("string"), 3, "0").as("max_size_key"),
+        col("n_type_prefixes"))
       .orderBy("brand_key")
 
   val b31Sql: String =
