@@ -97,6 +97,22 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.queries.Dedup.releaseSharedPairs(spark)
   }
 
+  test("dedup front door and b31 aggregate by hash, never by sort") {
+    // the r17 optimization round moved the rep collapse (d2Reps) off
+    // `first(text)` — a string aggregation BUFFER is immutable in
+    // UnsafeRow, so that form planned SortAggregate: a full
+    // per-partition sort of the corpus by the 32-char hex hash in
+    // front of every dedup-family query. Same for b31's min/max over
+    // the lpad-formatted string. Pin the hash path so a convenience
+    // rewrite can't quietly reintroduce the corpus sort.
+    for (q <- Seq("d3_simhash", "d10_incremental_neardup", "b31_string_funcs")) {
+      val p = plan(q)
+      assert(!p.contains("SortAggregate"),
+        s"$q re-plans a sort-based aggregate (string agg buffer?):\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation:\n$p")
+    }
+  }
+
   test("d8b/s2/s7: centroid assignment is a hash aggregate, never a sorted window") {
     // the corpus×codebook product must stream through ObjectHashAggregate
     // (map-side partial argmax buffers) — a Window, or a sort-based agg
